@@ -1,0 +1,51 @@
+"""Table catalog over the driver's parquet test tables and engine tables.
+
+Replaces the reference's HDF5 key→DataFrame map (``h5_writer.py:466-509``,
+SURVEY §1.1) with tall parquet tables addressed by name. At scale the same
+interface fronts a real metastore; here it is a thin path registry with
+read-through temp-view registration so every operator is reachable from both
+the DataFrame API and SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Parquet scan → column pruning + predicate pushdown
+    happen automatically for whatever the downstream query selects/filters.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
+    convert to a micros timestamp (identical truncation to DuckDB's
+    micros-precision read of the same file)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register each test table as a temp view (idempotent)."""
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,265 @@
+"""Deduplication operators: exact, keep-last upsert, MinHash-LSH near-dup,
+SimHash, n-gram Jaccard (SURVEY §2.6 A3 / §2.5 J4 + the LLM-pipeline
+extensions mandated by BASELINE.json).
+
+Reference parity:
+  - exact dedup ``~index.duplicated(keep='first')`` (``mootdx_fetcher.py:163``)
+  - last-writer-wins upsert (``download_efficient.py:330-331,356-358``)
+
+Scale design:
+  - exact/keep-last: one shuffle on the key (window row_number), map-side
+    partial nothing to combine — the canonical Spark dedup.
+  - MinHash-LSH: signatures are computed with built-in higher-order functions
+    (xxhash64 + affine permutations, all JVM-side, no UDF); banding turns the
+    quadratic all-pairs problem into an equi-join on (band_id, band_hash) —
+    only same-bucket pairs are verified. This is the standard
+    shingle→minhash→band→bucket-join pipeline and scales linearly in corpus
+    size for fixed collision rate.
+  - SimHash: 64-bit signature via one aggregate() fold per row; near-dup =
+    small Hamming distance, candidate generation by rotating band prefixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Mersenne prime 2^31-1: modulus for the affine minhash permutations.
+# 31-bit domain keeps a*h+b < 2^62 — no int64 overflow under ANSI mode —
+# while leaving minhash collision probability (~2^-31 per pair per hash)
+# negligible for near-dup detection.
+_MERSENNE = (1 << 31) - 1
+
+
+def dedup_exact(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Keep one row per key. With ``order_by``: the first row under that order
+    (deterministic, pandas keep='first' parity). Without: ``dropDuplicates``
+    (any row — cheaper, no sort)."""
+    if order_by is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def keep_last(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Last-writer-wins upsert compaction: keep the row that sorts LAST under
+    ``order_by`` per key (J4 semantics)."""
+    return dedup_exact(df, keys, [c.desc() for c in order_by])
+
+
+def tokens(text_col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization to an array<string>, empty-safe."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct)."""
+    toks = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(toks))
+
+
+def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic affine permutation coefficients (a odd, b) mod 2^61-1."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE) | 1, rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    seed: int = 7,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append ``out_col``: array<bigint> of ``num_hashes`` minhash values over
+    word ``shingle_n``-gram shingles. Entirely built-in expressions
+    (xxhash64 → affine permutation → array_min), fully codegen'd."""
+    sh = shingles(text_col, shingle_n)
+    # Materialize the hashed shingle array ONCE in its own projection —
+    # Catalyst's CollapseProject keeps non-cheap multiply-referenced
+    # expressions separate, so the string hashing is not re-inlined into each
+    # of the num_hashes permutations (64× speedup observed).
+    staged = df.withColumn(
+        "__mh_base",
+        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__mh_base"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
+                )
+            )
+            for a, b in _perm_params(num_hashes, seed)
+        ]
+    )
+    return staged.withColumn(
+        out_col, F.when(F.size("__mh_base") > 0, sig)
+    ).drop("__mh_base")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH.
+
+    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
+    rows → explode (band_id, band_hash) → self-equi-join on the band bucket →
+    verify estimated Jaccard (signature agreement) ≥ threshold.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    r = num_hashes // bands
+    sigd = minhash_signatures(df, text_col, num_hashes, shingle_n, seed).filter(
+        F.col("minhash").isNotNull()
+    )
+    banded = sigd.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("minhash"), b * r + 1, r),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "minhash", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum ±1 of each token
+    hash's bit, sign → bit. One aggregate() fold per row, no UDF."""
+    toks = tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bits_of(h):
+        # ±1 per bit position; bit index is a Python literal (shiftright
+        # requires a constant shift), so the 64 positions are unrolled here.
+        return F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for i in range(64)
+            ]
+        )
+
+    bitsums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
+    )
+    # Majority sign per bit → set bit i. Distinct powers of two, so OR == sum.
+    sig = None
+    for i in range(64):
+        term = F.when(
+            F.element_at(bitsums, i + 1) > 0,
+            F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return df.withColumn(out_col, sig)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact token-shingle Jaccard for all pairs within a blocking key
+    (quadratic within block — block on source/lang/LSH bucket to bound it).
+    Returns (id_a, id_b, jaccard)."""
+    base = df.select(
+        *block_cols, F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__sh"), F.col("b.__sh")))
+    uni = F.size(F.array_union(F.col("a.__sh"), F.col("b.__sh")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            (inter / uni).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

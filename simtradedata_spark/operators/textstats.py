@@ -1,0 +1,106 @@
+"""Text analysis operators (LLM-pipeline extension, BASELINE.json):
+token counting, quality scoring, language-ID heuristic, document
+fingerprinting. All built-in column expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.dedup import tokens
+
+# A small multilingual stopword table for the language-ID heuristic.
+# Deliberately tiny + deterministic (this is a heuristic, not a model).
+# Explicit ASCII punctuation class — identical meaning in Java regex (Spark)
+# and RE2 (DuckDB oracle), unlike \p{Punct}.
+PUNCT_CLASS = r"""[!-/:-@\[-`{-~]"""
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "das", "und", "ist", "von", "ein", "zu"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "en"],
+}
+
+
+def token_count(text_col: Column | str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_tokens, n_chars_calc, avg_token_len, punct_ratio,
+    upper_ratio, digit_ratio — the standard cheap quality features."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    strip = lambda pat: n_chars - F.length(F.regexp_replace(c, pat, ""))
+    toks = tokens(text_col)
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn(
+            "avg_token_len",
+            F.when(
+                F.size(toks) > 0,
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0),
+                    lambda a, v: a + v,
+                )
+                / F.size(toks),
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, strip(PUNCT_CLASS) / n_chars).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0, strip(r"[0-9]") / n_chars).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def stopword_ratio(text_col: Column | str, lang: str = "en") -> Column:
+    toks = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def detect_language(text_col: Column | str) -> Column:
+    """Stopword-vote language ID: the language whose stopword list hits the
+    most tokens; 'und' (undetermined) when no list hits."""
+    toks = tokens(text_col)
+    best_lang, best_hits = F.lit("und"), F.lit(0)
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        cond = hits > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Canonical-form document fingerprint: lowercase, collapse whitespace,
+    md5 — the exact-dup key that survives formatting noise."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    canon = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(canon)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the cheap features: penalize
+    too-short/too-long docs, high punctuation/digit density, low stopword
+    density. Weights are heuristic constants, stable across runs."""
+    d = char_stats(df, text_col)
+    len_score = F.least(F.col("n_tokens") / F.lit(20.0), F.lit(1.0)) * F.least(
+        F.lit(2000.0) / F.greatest(F.col("n_tokens"), F.lit(1)), F.lit(1.0)
+    )
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("punct_ratio") * 5)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - F.col("digit_ratio") * 3)
+    return d.withColumn(
+        "quality_score",
+        F.round(len_score * punct_pen * digit_pen, 6),
+    )

@@ -1,0 +1,919 @@
+"""Driver-facing query registry: one entry per implemented operator family
+from SURVEY.md §2, each with a Spark implementation and (where expressible)
+an equivalent ANSI-SQL oracle for DuckDB.
+
+Cross-engine determinism rules used throughout (see also tools/check_correctness.py):
+
+  - **Money sums use integer cents**: ``sum(cast(round(x*100) as bigint))/100.0``.
+    Both engines compute the same IEEE double product and the same
+    half-away-from-zero round, then an EXACT integer sum — immune to
+    summation-order floating error, which otherwise exceeds the 1e-6
+    comparison granularity on ~1e8-magnitude sums.
+  - **Timestamps are cast to date or formatted strings** in outputs (Spark
+    session TZ pinned to UTC == DuckDB's naive reading of the same parquet).
+  - **Every window/top-k order has a total tie-break** (the test lineitem
+    table has duplicate (orderkey, linenumber) pairs by construction).
+  - Float-valued outputs that cannot be made exact (cosine similarity) are
+    reduced to *ranks*, which are stable because score gaps >> float error.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simtradedata_spark.catalog import load_table
+from simtradedata_spark.functions.codes import to_ptrade_code, from_ptrade_code
+from simtradedata_spark.operators.asof import asof_join
+from simtradedata_spark.operators.align import forward_fill
+from simtradedata_spark.operators.dedup import (
+    dedup_exact,
+    keep_last,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+    hamming64,
+    tokens,
+)
+from simtradedata_spark.operators.resample import resample_ohlc
+from simtradedata_spark.operators.similarity import cosine_top_k, lsh_bucket_top_k
+from simtradedata_spark.operators.textstats import (
+    PUNCT_CLASS,
+    STOPWORDS,
+    char_stats,
+    fingerprint,
+)
+from simtradedata_spark.operators.topk import top_k, top_k_per_group
+from simtradedata_spark.operators.windows import cumulative_product, moving_avg, trailing_n
+
+
+def cents(col) -> F.Column:
+    """double → exact integer cents (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * 100).cast("long")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1/A4/A5; TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multi-way dimension join (J1/J3: broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q_region_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+SELECT r_name,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+       count(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k (SURVEY §2.8) — global TakeOrdered + deterministic tie-break
+# ---------------------------------------------------------------------------
+
+def q_top_customers(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(cents("o_totalprice")) / 100.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    top = top_k(rev, 10, F.col("revenue").desc(), F.col("o_custkey"))
+    return top.join(F.broadcast(cust), top.o_custkey == cust.c_custkey).select(
+        "o_custkey", "c_name", "revenue", "n_orders"
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT o_custkey, c_name, revenue, n_orders FROM (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+  ORDER BY revenue DESC, o_custkey LIMIT 10
+) t JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi joins (F9 / F2)
+# ---------------------------------------------------------------------------
+
+def q_customers_without_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_big_spender_segments(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000)
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_BIG_SPENDER_SEGMENTS = """
+SELECT c_mktsegment, count(*) AS n_customers FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup (A3 keep-first / J4 keep-last)
+# ---------------------------------------------------------------------------
+
+def q_dedup_lineitem_first(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ordered = [
+        F.col("l_linenumber"),
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_shipdate"),
+    ]
+    return dedup_exact(li, ["l_orderkey"], ordered).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+SQL_DEDUP_LINEITEM_FIRST = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+               l_extendedprice, l_shipdate) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return keep_last(ev, ["user_id"], [F.col("ts"), F.col("event_id")]).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+    )
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, value
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows: moving average (A1), trailing-N (W3), cumulative product (W1)
+# ---------------------------------------------------------------------------
+
+def q_supplier_moving_avg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "price_cents", cents("l_extendedprice")
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey", "price_cents")
+        .rowsBetween(-6, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.sum("price_cents").over(w) / (100.0 * F.count(F.lit(1)).over(w))).alias(
+            "ma7_price"
+        ),
+    )
+
+
+SQL_SUPPLIER_MOVING_AVG = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(l_shipdate AS DATE) AS ship_date,
+       sum(price_cents) OVER w / (100.0 * count(*) OVER w) AS ma7_price
+FROM (SELECT *, CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents
+      FROM lineitem)
+WINDOW w AS (PARTITION BY l_suppkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, price_cents
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_trailing_3_per_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    last3 = trailing_n(
+        li,
+        3,
+        ["l_suppkey"],
+        [
+            F.col("l_shipdate"),
+            F.col("l_orderkey"),
+            F.col("l_linenumber"),
+            F.col("l_partkey"),
+            F.col("l_extendedprice"),
+        ],
+    )
+    return last3.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_extendedprice",
+    )
+
+
+SQL_TRAILING_3_PER_SUPPLIER = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(l_shipdate AS DATE) AS ship_date, l_extendedprice
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_suppkey
+      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+               l_partkey DESC, l_extendedprice DESC) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+"""
+
+
+def q_user_value_cumlog(spark, sf_dir):
+    """Per-user running sum of ln(1+value/1000) — the adjust-factor cumprod
+    linking pattern (W1) in log space, exact enough for 6-decimal compare."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.sum(F.log(F.lit(1.0) + F.col("value") / 1000.0)).over(w), 6
+        ).alias("cum_log_growth"),
+    )
+
+
+SQL_USER_VALUE_CUMLOG = """
+SELECT user_id, event_id,
+       round(sum(ln(1.0 + value/1000.0)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_log_growth
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# Forward fill (W2/J6) — region daily revenue carried over gap days
+# ---------------------------------------------------------------------------
+
+def q_region_daily_ffill(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.col("o_orderdate").cast("date").alias("day"))
+        .agg((F.sum(cents("o_totalprice")) / 100.0).alias("day_revenue"))
+    )
+    span = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    scaffold = _t(spark, sf_dir, "region").select("r_name").crossJoin(
+        F.broadcast(days)
+    )
+    joined = scaffold.join(daily, ["r_name", "day"], "left")
+    filled = forward_fill(joined, ["day_revenue"], ["r_name"], ["day"])
+    return filled.select(
+        "r_name", "day", F.coalesce("day_revenue", F.lit(0.0)).alias("revenue_ffill")
+    )
+
+
+SQL_REGION_DAILY_FFILL = """
+WITH daily AS (
+  SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS day_revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+), spine AS (
+  SELECT r_name, CAST(u.day AS DATE) AS day
+  FROM region,
+       (SELECT unnest(generate_series(
+          (SELECT CAST(min(o_orderdate) AS DATE) FROM orders),
+          (SELECT CAST(max(o_orderdate) AS DATE) FROM orders),
+          INTERVAL 1 DAY)) AS day) u
+)
+SELECT s.r_name, s.day,
+       coalesce(last_value(d.day_revenue IGNORE NULLS) OVER (
+         PARTITION BY s.r_name ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS revenue_ffill
+FROM spine s LEFT JOIN daily d ON s.r_name = d.r_name AND s.day = d.day
+"""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J5)
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_signup(spark, sf_dir):
+    """For each purchase, the user's most recent signup-or-earlier event —
+    the point-in-time lookup shape of get_fundamentals (J5)."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = asof_join(purchases, signups, on="ts", by=["user_id"])
+    return joined.select(
+        "user_id",
+        "event_id",
+        "signup_event_id",
+        "signup_value",
+        F.date_format("__asof_matched_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "signup_ts_str"
+        ),
+    )
+
+
+SQL_ASOF_PURCHASE_LOGIN = """
+SELECT p.user_id, p.event_id,
+       s.event_id AS signup_event_id,
+       s.value AS signup_value,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S.%f') AS signup_ts_str
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Pivot (W5), rollup, sessionize, tumbling window, json, distinct union
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_user_event_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+SQL_PIVOT_USER_EVENT_COUNTS = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type='click')    AS n_click,
+       count(*) FILTER (WHERE event_type='error')    AS n_error,
+       count(*) FILTER (WHERE event_type='purchase') AS n_purchase,
+       count(*) FILTER (WHERE event_type='signup')   AS n_signup,
+       count(*) FILTER (WHERE event_type='view')     AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_rollup_region_nation(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        base.rollup("r_name", "n_name")
+        .agg(
+            (F.sum(cents("c_acctbal")) / 100.0).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+SQL_ROLLUP_REGION_NATION = """
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       sum(CAST(round(c_acctbal*100) AS BIGINT))/100.0 AS total_acctbal,
+       count(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_sessionize_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE_USERS = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+) GROUP BY user_id
+"""
+
+
+def q_hourly_event_stats(spark, sf_dir):
+    """Tumbling-window aggregation — identical semantics to the streaming
+    windowed agg (streaming/ingest.py applies the same plan via readStream)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+        )
+    )
+
+
+SQL_HOURLY_EVENT_STATS = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type, count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k, max(k) AS max_k, count(*) AS n
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_active_nations(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    keys = (
+        cust.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supp.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+    return keys.join(
+        F.broadcast(nation), keys.nationkey == nation.n_nationkey
+    ).select("n_name", "nationkey")
+
+
+SQL_ACTIVE_NATIONS = """
+SELECT n_name, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+) JOIN nation ON nationkey = n_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (C1 code conversion, C4 percent parsing)
+# ---------------------------------------------------------------------------
+
+def q_code_conversion(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    coded = cust.select(
+        "c_custkey",
+        F.lpad(((F.col("c_custkey") * 7919) % 1000000).cast("string"), 6, "0").alias(
+            "code"
+        ),
+    )
+    return coded.select(
+        "c_custkey",
+        "code",
+        to_ptrade_code("code").alias("ptrade_code"),
+        from_ptrade_code(to_ptrade_code("code")).alias("baostock_code"),
+    )
+
+
+SQL_CODE_CONVERSION = """
+SELECT c_custkey, code,
+       code || CASE WHEN substr(code,1,1) IN ('6','5') THEN '.SS' ELSE '.SZ' END
+         AS ptrade_code,
+       CASE WHEN substr(code,1,1) IN ('6','5') THEN 'sh.' ELSE 'sz.' END || code
+         AS baostock_code
+FROM (SELECT c_custkey,
+             lpad(CAST((c_custkey * 7919) % 1000000 AS VARCHAR), 6, '0') AS code
+      FROM customer)
+"""
+
+
+def q_percent_roundtrip(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pct_str = F.concat(
+        F.round(F.col("l_discount") * 100).cast("int").cast("string"), F.lit("%")
+    )
+    parsed = F.regexp_replace(pct_str, "%$", "").cast("double") / 100.0
+    return li.select(parsed.alias("parsed_discount"), "l_discount").agg(
+        F.sum(
+            F.when(F.abs(F.col("parsed_discount") - F.col("l_discount")) < 1e-9, 1)
+            .otherwise(0)
+        ).alias("n_roundtrip_ok"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+SQL_PERCENT_ROUNDTRIP = """
+SELECT CAST(sum(CASE WHEN abs(parsed_discount - l_discount) < 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_roundtrip_ok,
+       count(*) AS n_total
+FROM (
+  SELECT CAST(regexp_replace(CAST(CAST(round(l_discount*100) AS INT) AS VARCHAR) || '%', '%$', '')
+              AS DOUBLE) / 100.0 AS parsed_discount,
+         l_discount
+  FROM lineitem)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+def q_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return char_stats(docs, "text").select(
+        "doc_id",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("digit_ratio", 6).alias("digit_ratio"),
+        fingerprint("text").alias("doc_fingerprint"),
+    )
+
+
+SQL_DOC_STATS = """
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS n_tokens,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / CAST(length(text) AS DOUBLE) ELSE 0.0 END, 6) AS digit_ratio,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS doc_fingerprint
+FROM documents
+"""
+
+
+def q_language_votes(spark, sf_dir):
+    from simtradedata_spark.operators.textstats import detect_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(detect_language("text").alias("lang_detected"))
+        .groupBy("lang_detected")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _sql_lang_votes() -> str:
+    hit = lambda lang: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        + "], t)))"
+    )
+    return f"""
+SELECT lang_detected, count(*) AS n_docs FROM (
+  SELECT CASE
+    WHEN h_en = 0 AND h_es = 0 AND h_de = 0 AND h_fr = 0 THEN 'und'
+    WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+    WHEN h_es >= h_de AND h_es >= h_fr THEN 'es'
+    WHEN h_de >= h_fr THEN 'de'
+    ELSE 'fr' END AS lang_detected
+  FROM (
+    SELECT {hit('en')} AS h_en, {hit('es')} AS h_es,
+           {hit('de')} AS h_de, {hit('fr')} AS h_fr
+    FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                             t -> t <> '') AS toks
+          FROM documents)
+  )
+) GROUP BY lang_detected
+"""
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    """Exact token-set Jaccard within (source, lang) blocks — the verification
+    stage of near-dup detection (the MinHash query is its scale path)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.array_distinct(tokens("text")).alias("tok"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    uni = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+SQL_TOKEN_JACCARD_PAIRS = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.tok, b.tok)) /
+             CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE), 6) AS jaccard
+FROM (SELECT source, lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t <> '')) AS tok
+      FROM documents) a
+JOIN (SELECT source, lang, doc_id,
+             list_distinct(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       t -> t <> '')) AS tok
+      FROM documents) b
+  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.tok, b.tok)) /
+      CAST(len(list_distinct(a.tok || b.tok)) AS DOUBLE) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (LLM-pipeline extension)
+# ---------------------------------------------------------------------------
+
+def q_cosine_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_top_k(emb, queries, k=5)
+
+
+SQL_COSINE_TOP5 = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c ON c.vec_id <> q.vec_id
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL-expressible operators (rows-only driver check)
+# ---------------------------------------------------------------------------
+
+def q_minhash_near_dups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    )
+
+
+def q_simhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text").select("doc_id", "simhash")
+
+
+def q_lsh_ann_top5(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucket_top_k(emb, queries, dim=64, k=5, bits=4)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+def q_weekly_ohlc(spark, sf_dir):
+    """Weekly OHLC synthesis (W4) on the events stream — min_by/max_by keyed
+    on ts (unique in the test data), order-insensitive under any partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("week", "ts").cast("date").alias("week_start"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            (F.sum(cents("value")) / 100.0).alias("total_value"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+    )
+
+
+SQL_WEEKLY_OHLC = """
+SELECT event_type,
+       CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+       count(*) AS n_bars
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "customers_without_orders": (
+        q_customers_without_orders,
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+    ),
+    "big_spender_segments": (q_big_spender_segments, SQL_BIG_SPENDER_SEGMENTS),
+    "dedup_lineitem_first": (q_dedup_lineitem_first, SQL_DEDUP_LINEITEM_FIRST),
+    "latest_event_per_user": (q_latest_event_per_user, SQL_LATEST_EVENT_PER_USER),
+    "supplier_moving_avg": (q_supplier_moving_avg, SQL_SUPPLIER_MOVING_AVG),
+    "trailing_3_per_supplier": (
+        q_trailing_3_per_supplier,
+        SQL_TRAILING_3_PER_SUPPLIER,
+    ),
+    "user_value_cumlog": (q_user_value_cumlog, SQL_USER_VALUE_CUMLOG),
+    "weekly_ohlc": (q_weekly_ohlc, SQL_WEEKLY_OHLC),
+    "region_daily_ffill": (q_region_daily_ffill, SQL_REGION_DAILY_FFILL),
+    "asof_purchase_signup": (q_asof_purchase_signup, SQL_ASOF_PURCHASE_LOGIN),
+    "pivot_user_event_counts": (
+        q_pivot_user_event_counts,
+        SQL_PIVOT_USER_EVENT_COUNTS,
+    ),
+    "rollup_region_nation": (q_rollup_region_nation, SQL_ROLLUP_REGION_NATION),
+    "sessionize_users": (q_sessionize_users, SQL_SESSIONIZE_USERS),
+    "hourly_event_stats": (q_hourly_event_stats, SQL_HOURLY_EVENT_STATS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "active_nations": (q_active_nations, SQL_ACTIVE_NATIONS),
+    "code_conversion": (q_code_conversion, SQL_CODE_CONVERSION),
+    "percent_roundtrip": (q_percent_roundtrip, SQL_PERCENT_ROUNDTRIP),
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "language_votes": (q_language_votes, _sql_lang_votes()),
+    "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+    "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    # Non-SQL-expressible (driver records rows-only checks):
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash_signatures": (q_simhash_signatures, None),
+    "lsh_ann_top5": (q_lsh_ann_top5, None),
+}
