@@ -1,0 +1,377 @@
+"""PTrade-compatible query API (SURVEY §2.12) served from the warehouse.
+
+Reference: ``simtradedata/interfaces/ptrade_data_api.py`` (partly built on
+deleted fetchers, SURVEY §0.1) + the full spec in
+``docs/PTrade_API_mini_Reference.md``. Every method plans a Spark DataFrame
+query over the tall tables and converts to pandas only at the client edge
+(the W5 shape layer) — a backtest day is a partition-pruned slice, never a
+network fetch (§3.2).
+
+Return shapes (``PTrade_API_mini_Reference.md:1826-1875,2015-2073``):
+  - single security → pandas DataFrame indexed by date, columns = fields;
+  - multiple securities, one field → DataFrame date × symbol;
+  - multiple × multiple → dict[field → date×symbol DataFrame] (Panel is dead
+    in modern pandas; the spec's Panel axes are preserved as dict keys).
+"""
+
+from __future__ import annotations
+
+from datetime import date as _date
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from simtradedata_spark.operators.adjust import adjust_bars
+from simtradedata_spark.operators.asof import asof_join
+from simtradedata_spark.operators.indicators import compute_indicators
+from simtradedata_spark.sources.tables import Warehouse
+
+BAR_FIELDS = ["open", "high", "low", "close", "volume", "money"]
+
+VALUATION_FIELDS = [
+    "pe_ttm", "pb", "ps_ttm", "pcf", "turnover_rate",
+    "total_shares", "total_value", "float_value",
+]
+
+
+def _to_date_str(d) -> str:
+    if isinstance(d, _date):
+        return d.isoformat()
+    s = str(d)
+    if len(s) == 8 and s.isdigit():  # YYYYMMDD (C2)
+        return f"{s[:4]}-{s[4:6]}-{s[6:]}"
+    return s[:10]
+
+
+class PTradeDataAPI:
+    def __init__(self, warehouse: Warehouse):
+        self.wh = warehouse
+        self.spark = warehouse.spark
+
+    # -- calendar ----------------------------------------------------------
+
+    def get_trade_days(self, start_date=None, end_date=None) -> list[str]:
+        """F1: trading days in range (``ptrade_data_api.py:274-305``)."""
+        cal = self.wh.read("trade_calendar").filter("is_trading_day")
+        if start_date:
+            cal = cal.filter(F.col("calendar_date") >= _to_date_str(start_date))
+        if end_date:
+            cal = cal.filter(F.col("calendar_date") <= _to_date_str(end_date))
+        rows = cal.select("calendar_date").orderBy("calendar_date").collect()
+        return [r[0].isoformat() for r in rows]
+
+    def get_all_trades_days(self) -> list[str]:
+        return self.get_trade_days()
+
+    # -- bars --------------------------------------------------------------
+
+    def _bars(self, securities: list[str], fq=None) -> DataFrame:
+        bars = self.wh.read("bars").filter(F.col("symbol").isin(securities))
+        if fq in ("pre", "post"):
+            bars = adjust_bars(bars, self.wh.read("adjust_factor"), fq)
+        return bars
+
+    def get_price(
+        self,
+        security,
+        start_date=None,
+        end_date=None,
+        frequency="1d",
+        fields=None,
+        fq=None,
+        count=None,
+    ):
+        """``ptrade_data_api.py:33-106`` / spec ``:1957-2108``.
+
+        count mode returns the ``count`` bars strictly BEFORE ``end_date``
+        (exclusive-of-today rule, spec ``:1977``); range mode is inclusive.
+        """
+        if frequency not in ("1d", "daily"):
+            raise ValueError("only daily frequency is materialized; use resample_ohlc")
+        securities = [security] if isinstance(security, str) else list(security)
+        fields = fields or BAR_FIELDS
+        bars = self._bars(securities, fq)
+        if count is not None:
+            end = _to_date_str(end_date) if end_date else None
+            if end:
+                bars = bars.filter(F.col("trade_date") < end)
+            w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
+            bars = (
+                bars.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= count)
+                .drop("__rn")
+            )
+        else:
+            if start_date:
+                bars = bars.filter(F.col("trade_date") >= _to_date_str(start_date))
+            if end_date:
+                bars = bars.filter(F.col("trade_date") <= _to_date_str(end_date))
+        pdf = (
+            bars.select("symbol", "trade_date", *fields)
+            .orderBy("trade_date", "symbol")
+            .toPandas()
+        )
+        return self._shape(pdf, securities, fields)
+
+    def get_history(
+        self,
+        count,
+        frequency="1d",
+        field="close",
+        security_list=None,
+        fq=None,
+        include=False,
+        fill="nan",
+        is_dict=False,
+        current_date=None,
+    ):
+        """Spec ``:1774-1955``: last ``count`` bars before ``current_date``
+        (inclusive when ``include``). ``fill='pre'`` forward-fills suspension
+        gaps (W2)."""
+        securities = (
+            [security_list] if isinstance(security_list, str) else list(security_list)
+        )
+        fields = [field] if isinstance(field, str) else list(field)
+        bars = self._bars(securities, fq)
+        if current_date:
+            cur = _to_date_str(current_date)
+            bars = bars.filter(
+                F.col("trade_date") <= cur if include else F.col("trade_date") < cur
+            )
+        if fill == "pre":
+            from simtradedata_spark.operators.align import forward_fill
+
+            bars = forward_fill(bars, list(fields), ["symbol"], ["trade_date"])
+        w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
+        bars = (
+            bars.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= count)
+            .drop("__rn")
+        )
+        pdf = (
+            bars.select("symbol", "trade_date", *fields)
+            .orderBy("trade_date", "symbol")
+            .toPandas()
+        )
+        if is_dict:
+            return {
+                s: pdf[pdf.symbol == s].set_index("trade_date")[fields]
+                for s in securities
+            }
+        return self._shape(pdf, securities, fields)
+
+    @staticmethod
+    def _shape(pdf: pd.DataFrame, securities: list[str], fields: list[str]):
+        """W5 pivots: the three PTrade return shapes."""
+        if len(securities) == 1:
+            return pdf.set_index("trade_date")[fields]
+        if len(fields) == 1:
+            return pdf.pivot(index="trade_date", columns="symbol", values=fields[0])
+        return {
+            f: pdf.pivot(index="trade_date", columns="symbol", values=f)
+            for f in fields
+        }
+
+    # -- universe / metadata ----------------------------------------------
+
+    def get_Ashares(self, date=None) -> list[str]:
+        """Point-in-time universe (``ptrade_data_api.py:109-141``): listed on
+        or before ``date``, not yet delisted, excluding the benchmark index."""
+        meta = self.wh.read("stock_metadata")
+        if date:
+            d = _to_date_str(date)
+            meta = meta.filter(
+                (F.col("listed_date") <= d)
+                & (
+                    F.col("de_listed_date").isNull()
+                    | (F.col("de_listed_date") > d)
+                )
+            )
+        return sorted(r[0] for r in meta.select("symbol").collect())
+
+    def get_stock_info(self, security, field=None) -> pd.DataFrame:
+        """``ptrade_data_api.py:158-209``."""
+        securities = [security] if isinstance(security, str) else list(security)
+        fields = (
+            [field]
+            if isinstance(field, str)
+            else list(field or ["stock_name", "listed_date", "de_listed_date"])
+        )
+        meta = self.wh.read("stock_metadata").filter(F.col("symbol").isin(securities))
+        return meta.select("symbol", *fields).toPandas().set_index("symbol")
+
+    def get_stock_blocks(self, security) -> dict:
+        """``ptrade_data_api.py:212-243``: blocks map for one stock."""
+        row = (
+            self.wh.read("stock_metadata")
+            .filter(F.col("symbol") == security)
+            .select("blocks")
+            .first()
+        )
+        return dict(row[0]) if row else {}
+
+    def get_industry_stocks(self, industry: str) -> list[str]:
+        """Implemented (stub in the reference — ``ptrade_data_api.py:648-657``):
+        symbols whose blocks.industry matches."""
+        meta = self.wh.read("stock_metadata")
+        return sorted(
+            r[0]
+            for r in meta.filter(
+                F.col("blocks")["industry"] == industry
+            ).select("symbol").collect()
+        )
+
+    def get_stock_exrights(self, security: str, date=None) -> pd.DataFrame | None:
+        """``ptrade_data_api.py:246-271``: ex-rights rows, int yyyymmdd index
+        (``data_converter.py:356``)."""
+        ex = self.wh.read("exrights").filter(F.col("symbol") == security)
+        if date:
+            ex = ex.filter(F.col("ex_date") == _to_date_str(date))
+        pdf = (
+            ex.select(
+                F.date_format("ex_date", "yyyyMMdd").cast("long").alias("date"),
+                "allotted_ps", "rationed_ps", "rationed_px", "bonus_ps",
+                "exer_forward_a", "exer_forward_b",
+                "exer_backward_a", "exer_backward_b",
+            )
+            .orderBy("date")
+            .toPandas()
+        )
+        return pdf.set_index("date") if len(pdf) else None
+
+    # -- status predicates (F5/F6/F7) --------------------------------------
+
+    def get_stock_status(self, stocks, query_type="ST", query_date=None) -> dict:
+        """``ptrade_data_api.py:308-422``."""
+        stocks = [stocks] if isinstance(stocks, str) else list(stocks)
+        if query_type not in ("ST", "HALT", "DELISTING"):
+            raise ValueError(query_type)
+        if query_type == "DELISTING":
+            meta = self.wh.read("stock_metadata").filter(F.col("symbol").isin(stocks))
+            d = _to_date_str(query_date) if query_date else None
+            rows = meta.select("symbol", "de_listed_date").collect()
+            return {
+                r["symbol"]: (
+                    r["de_listed_date"] is not None
+                    and (d is None or r["de_listed_date"].isoformat() <= d)
+                )
+                for r in rows
+            }
+        st = self.wh.read("stock_status").filter(F.col("symbol").isin(stocks))
+        if query_date:
+            st = st.filter(F.col("trade_date") == _to_date_str(query_date))
+        else:
+            w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
+            st = st.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1")
+        col = "is_st" if query_type == "ST" else "is_halt"
+        rows = st.select("symbol", col).collect()
+        found = {r["symbol"]: bool(r[col]) for r in rows}
+        return {s: found.get(s, False) for s in stocks}
+
+    # -- fundamentals (J5 as-of) -------------------------------------------
+
+    def get_fundamentals(
+        self,
+        stocks,
+        table="growth_ability",
+        fields=None,
+        date=None,
+        start_year=None,
+        end_year=None,
+        report_types=None,
+        merge_type="first",
+    ) -> pd.DataFrame:
+        """``ptrade_data_api.py:425-598`` / spec ``:3274-3412,6145-6259``.
+
+        date mode: as-of join on publ_date — the most recent report PUBLISHED
+        on or before ``date`` per symbol (no lookahead). year mode: all
+        reports whose end_date falls in [start_year, end_year].
+        merge_type: 'first' → only original publications (merge_seq=0);
+        'latest' → restatements supersede (keep max merge_seq per report).
+        """
+        stocks = [stocks] if isinstance(stocks, str) else list(stocks)
+        f = self.wh.read("fundamentals").filter(F.col("symbol").isin(stocks))
+        if report_types:
+            rts = [int(r) for r in (
+                report_types if isinstance(report_types, (list, tuple)) else [report_types]
+            )]
+            f = f.filter(F.col("report_type").isin(rts))
+        if merge_type == "first":
+            f = f.filter(F.col("merge_seq") == 0)
+        else:
+            w = Window.partitionBy("symbol", "end_date").orderBy(
+                F.col("merge_seq").desc()
+            )
+            f = f.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+
+        if date is not None:
+            d = _to_date_str(date)
+            probe = self.spark.createDataFrame(
+                [(s, d) for s in stocks], "symbol string, qd string"
+            ).select("symbol", F.col("qd").cast("date").alias("publ_date"))
+            payload = [c for c in f.columns if c not in ("symbol", "publ_date")]
+            joined = asof_join(probe, f, on="publ_date", by=["symbol"], right_cols=payload)
+            pdf = joined.drop("__asof_matched_publ_date").toPandas()
+        else:
+            if start_year:
+                f = f.filter(F.year("end_date") >= int(start_year))
+            if end_year:
+                f = f.filter(F.year("end_date") <= int(end_year))
+            pdf = f.orderBy("symbol", "end_date").toPandas()
+        if fields:
+            keep = ["symbol", "end_date", "publ_date"] + [
+                c for c in fields if c in pdf.columns
+            ]
+            pdf = pdf[[c for c in keep if c in pdf.columns]]
+        return pdf.set_index("symbol")
+
+    # -- constituents -------------------------------------------------------
+
+    def get_index_stocks(self, index_code: str, date=None) -> list[str]:
+        """``ptrade_data_api.py:601-645``: membership at the latest sample on
+        or before ``date`` (point-in-time, not latest-overall)."""
+        ic = self.wh.read("index_constituents").filter(
+            F.col("index_code") == index_code
+        )
+        if date:
+            ic = ic.filter(F.col("sample_date") <= _to_date_str(date))
+        last = ic.agg(F.max("sample_date").alias("d")).first()["d"]
+        if last is None:
+            return []
+        return sorted(
+            r[0]
+            for r in ic.filter(F.col("sample_date") == last)
+            .select("symbol")
+            .collect()
+        )
+
+    # -- indicators (W7) ----------------------------------------------------
+
+    def get_indicators(self, security, start_date=None, end_date=None) -> pd.DataFrame:
+        securities = [security] if isinstance(security, str) else list(security)
+        bars = self._bars(securities, fq="post")
+        ind = compute_indicators(bars)
+        if start_date:
+            ind = ind.filter(F.col("trade_date") >= _to_date_str(start_date))
+        if end_date:
+            ind = ind.filter(F.col("trade_date") <= _to_date_str(end_date))
+        return ind.orderBy("symbol", "trade_date").toPandas()
+
+    def get_MACD(self, security, **kw) -> pd.DataFrame:
+        return self.get_indicators(security, **kw)[
+            ["symbol", "trade_date", "dif", "dea", "macd"]
+        ]
+
+    def get_KDJ(self, security, **kw) -> pd.DataFrame:
+        return self.get_indicators(security, **kw)[
+            ["symbol", "trade_date", "k", "d", "j"]
+        ]
+
+    def get_RSI(self, security, **kw) -> pd.DataFrame:
+        return self.get_indicators(security, **kw)[["symbol", "trade_date", "rsi"]]
+
+    def get_CCI(self, security, **kw) -> pd.DataFrame:
+        return self.get_indicators(security, **kw)[["symbol", "trade_date", "cci"]]

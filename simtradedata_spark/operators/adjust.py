@@ -1,0 +1,57 @@
+"""Ex-rights price adjustment — operator W1 (SURVEY §2.7), the correctness
+heart of the reference's query surface.
+
+Semantics (``docs/DATA_MAPPING.md:536-575``, ``PTrade_API_mini_Reference.md:
+2968-3002``, BaoStock direction note ``BaoStock_API_Reference.md:326``):
+
+  - ``fq='post'`` (后复权, adjustflag=1): price × back_adj, where back_adj is
+    the cumulative product of per-event ratios up to the date — historical
+    prices stay fixed, post-event prices are scaled up.
+  - ``fq='pre'``  (前复权, adjustflag=2): price × fore_adj where
+    fore_adj(t) = back_adj(t) / back_adj(latest) — today's price stays fixed,
+    history is scaled down.
+  - ``fq=None``   (不复权, adjustflag=3): raw prices.
+
+The reference's fetcher docstring has the flag direction backwards
+(``unified_fetcher.py:102``); we follow the BaoStock docs and the API map at
+``ptrade_data_api.py:68-69`` (none→3, pre→2, post→1).
+
+Plan shape: bars ⋈ adjust_factor is an equi-join on (symbol, trade_date) —
+both sides partitioned/bucketed the same way in the warehouse, so at scale
+this is a co-located join; the multiply is codegen'd. Volume is adjusted by
+the inverse factor (share counts scale opposite to price).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PRICE_COLS = ("open", "high", "low", "close", "preclose")
+FQ_TO_ADJUSTFLAG = {None: "3", "none": "3", "pre": "2", "post": "1"}
+
+
+def adjust_bars(
+    bars: DataFrame,
+    adjust_factor: DataFrame,
+    fq: str | None = None,
+    price_cols: tuple[str, ...] = PRICE_COLS,
+) -> DataFrame:
+    """Return bars with price columns adjusted per ``fq``; rows without a
+    factor row (index series — ``baostock_fetcher.py:98-104``) pass through
+    unadjusted (factor defaults to 1)."""
+    if fq in (None, "none"):
+        return bars
+    if fq not in ("pre", "post"):
+        raise ValueError(f"fq must be None/'pre'/'post', got {fq!r}")
+    fcol = "fore_adj" if fq == "pre" else "back_adj"
+    af = adjust_factor.select("symbol", "trade_date", fcol)
+    joined = bars.join(af, ["symbol", "trade_date"], "left")
+    factor = F.coalesce(F.col(fcol), F.lit(1.0))
+    out = joined
+    for c in price_cols:
+        if c in bars.columns:
+            out = out.withColumn(c, F.round(F.col(c) * factor, 6))
+    if "volume" in bars.columns:
+        out = out.withColumn("volume", F.round(F.col("volume") / factor, 2))
+    return out.drop(fcol)

@@ -1,0 +1,90 @@
+"""Technical indicators MACD/KDJ/RSI/CCI — operator W7 (SURVEY §2.7).
+
+Declared in the PTrade spec (``docs/PTrade_API_mini_Reference.md:5031-5213``)
+but never implemented by the reference. The EMA recurrences are inherently
+sequential per symbol, so the idiomatic Spark shape is a grouped-map pandas
+UDF (``applyInPandas``): each symbol's series is one Arrow batch, vectorized
+inside pandas, parallel across symbols — the standard pattern for per-key
+recursive time series. Window functions cover the rolling min/max/mean parts
+only; the recursion itself cannot be a window function.
+
+Formulas follow the standard Chinese-market conventions (ewm adjust=False):
+  MACD: DIF = EMA12(close) − EMA26(close); DEA = EMA9(DIF); MACD = 2(DIF−DEA)
+  KDJ(9,3,3): RSV = 100(C−LLV9)/(HHV9−LLV9); K = EMA(RSV, α=1/3);
+              D = EMA(K, α=1/3); J = 3K − 2D
+  RSI(n): 100 · EMA(gain, α=1/n) / (EMA(gain, α=1/n) + EMA(loss, α=1/n))
+  CCI(n): (TP − SMA(TP,n)) / (0.015 · MD),  TP = (H+L+C)/3
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+OUT_SCHEMA = (
+    "symbol string, trade_date date, close double, "
+    "dif double, dea double, macd double, "
+    "k double, d double, j double, rsi double, cci double"
+)
+
+
+def _compute_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("trade_date").reset_index(drop=True)
+    close, high, low = pdf["close"], pdf["high"], pdf["low"]
+
+    ema12 = close.ewm(span=12, adjust=False).mean()
+    ema26 = close.ewm(span=26, adjust=False).mean()
+    dif = ema12 - ema26
+    dea = dif.ewm(span=9, adjust=False).mean()
+    macd = 2 * (dif - dea)
+
+    llv = low.rolling(9, min_periods=1).min()
+    hhv = high.rolling(9, min_periods=1).max()
+    rng = (hhv - llv).replace(0, np.nan)
+    rsv = (100 * (close - llv) / rng).fillna(50.0).astype(float)
+    k = rsv.ewm(alpha=1 / 3, adjust=False).mean()
+    d = k.ewm(alpha=1 / 3, adjust=False).mean()
+    j = 3 * k - 2 * d
+
+    delta = close.diff()
+    gain = delta.clip(lower=0).fillna(0.0)
+    loss = (-delta).clip(lower=0).fillna(0.0)
+    n = 6
+    avg_gain = gain.ewm(alpha=1 / n, adjust=False).mean()
+    avg_loss = loss.ewm(alpha=1 / n, adjust=False).mean()
+    denom = (avg_gain + avg_loss).replace(0, np.nan)
+    rsi = (100 * avg_gain / denom).fillna(50.0).astype(float)
+
+    tp = (high + low + close) / 3
+    sma_tp = tp.rolling(14, min_periods=1).mean()
+    md = (tp - sma_tp).abs().rolling(14, min_periods=1).mean().replace(0, np.nan)
+    cci = ((tp - sma_tp) / (0.015 * md)).astype(float)
+
+    out = pd.DataFrame(
+        {
+            "symbol": pdf["symbol"],
+            "trade_date": pdf["trade_date"],
+            "close": close,
+            "dif": dif,
+            "dea": dea,
+            "macd": macd,
+            "k": k,
+            "d": d,
+            "j": j,
+            "rsi": rsi,
+            "cci": cci,
+        }
+    )
+    return out
+
+
+def compute_indicators(bars: DataFrame) -> DataFrame:
+    """bars(symbol, trade_date, high, low, close, …) → per-day indicator
+    table. One Arrow batch per symbol; scales across symbols."""
+    return (
+        bars.select("symbol", "trade_date", "high", "low", "close")
+        .groupBy("symbol")
+        .applyInPandas(_compute_group, OUT_SCHEMA)
+    )

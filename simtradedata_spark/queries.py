@@ -819,6 +819,100 @@ SELECT query_id, neighbor_id, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# Ex-rights adjustment pipeline (W1) — oracle-checked on the events table
+# ---------------------------------------------------------------------------
+
+def q_exrights_adjust(spark, sf_dir):
+    """The W1 adjustment pipeline (sparse factor events → per-key cumulative
+    factor → price × factor), exercised on events: purchases are 'prices',
+    signups are 'split events' with ratio 1 + (k%10)/1000. Same plan shape as
+    operators/adjust.py: union + one window + multiply, no blow-up join."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    prices = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value", F.lit(1.0).alias("ratio")
+    )
+    splits = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("double").alias("value"),
+        (1.0 + (F.col("k") % 10) / 1000.0).alias("ratio"),
+    )
+    unioned = prices.unionByName(splits)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    adjusted = unioned.withColumn(
+        "back_factor", F.exp(F.sum(F.log("ratio")).over(w))
+    )
+    return adjusted.filter(F.col("value").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.round("back_factor", 6).alias("back_factor"),
+        F.round(F.col("value") * F.col("back_factor"), 6).alias("adjusted_value"),
+    )
+
+
+SQL_EXRIGHTS_ADJUST = """
+SELECT user_id, event_id,
+       round(back_factor, 6) AS back_factor,
+       round(value * back_factor, 6) AS adjusted_value
+FROM (
+  SELECT user_id, event_id, value,
+         exp(sum(ln(ratio)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS back_factor
+  FROM (
+    SELECT user_id, ts, event_id, value, 1.0 AS ratio
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT user_id, ts, event_id, NULL AS value,
+           1.0 + (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)/1000.0 AS ratio
+    FROM events WHERE event_type = 'signup'
+  )
+) WHERE value IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trading-domain surface on the synthetic market (rows-only driver check —
+# the full semantics are oracle-tested in tests/ against pandas)
+# ---------------------------------------------------------------------------
+
+def _small_market(spark):
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+
+    return SyntheticMarket(spark, n_symbols=10, start="2022-01-03", end="2022-12-30")
+
+
+def q_synthetic_bars(spark, sf_dir):
+    """Spark-native synthetic bar generation (the BASELINE.json north star):
+    deterministic hash-derived OHLCV honoring suspension/IPO/delisting."""
+    return _small_market(spark).bars().drop("sym_idx", "day_idx", "n_days")
+
+
+def q_adjusted_bars_post(spark, sf_dir):
+    """bars ⋈ adjust_factor × price — get_price(fq='post') engine path."""
+    from simtradedata_spark.operators.adjust import adjust_bars
+
+    m = _small_market(spark)
+    return adjust_bars(
+        m.bars().drop("sym_idx", "day_idx", "n_days"), m.adjust_factor(), fq="post"
+    )
+
+
+def q_macd_indicators(spark, sf_dir):
+    """W7 MACD/KDJ/RSI/CCI via grouped-map pandas UDF over synthetic bars."""
+    from simtradedata_spark.operators.indicators import compute_indicators
+
+    return compute_indicators(_small_market(spark).bars())
+
+
+# ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------
 
@@ -912,8 +1006,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    "exrights_adjust": (q_exrights_adjust, SQL_EXRIGHTS_ADJUST),
     # Non-SQL-expressible (driver records rows-only checks):
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_signatures": (q_simhash_signatures, None),
     "lsh_ann_top5": (q_lsh_ann_top5, None),
+    "synthetic_bars": (q_synthetic_bars, None),
+    "adjusted_bars_post": (q_adjusted_bars_post, None),
+    "macd_indicators": (q_macd_indicators, None),
 }

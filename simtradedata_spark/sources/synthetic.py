@@ -1,0 +1,444 @@
+"""Deterministic Spark-native synthetic A-share market generator.
+
+Replaces the reference's provider fetch layer (S1-S10,
+``simtradedata/fetchers/unified_fetcher.py:20-34,83-150`` — the unified
+14-field daily row) with pure DataFrame generation: ``spark.range`` over
+symbols × trading days, all randomness derived from ``xxhash64(seed, key)``
+column expressions — no Python RNG in the data path, so the output is
+identical for any partitioning, parallelism, or executor count, and scales
+linearly (100 TB of synthetic bars is just a bigger range).
+
+Schemas follow FIXTURES.md / SURVEY §1.2; required edge cases are generated
+deterministically:
+  - suspension runs ≥3 days (flat OHLC at prior close, volume=0, status=0)
+    per ``BaoStock_API_Reference.md:330`` semantics,
+  - one mid-range IPO symbol and one mid-range delisting,
+  - an ST flip for ≥1 symbol,
+  - a benchmark index series (``000300.SS``) with no adjust-factor rows
+    (``baostock_fetcher.py:98-104``),
+  - ex-rights events whose back_adj step function satisfies the cumprod
+    relation (``DATA_MAPPING.md:536-575``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+BENCHMARK = "000300.SS"
+
+
+def _u01(*cols, salt: str) -> F.Column:
+    """Deterministic uniform [0,1) from key columns — the generator's RNG."""
+    h = F.xxhash64(F.lit(salt), *cols)
+    return F.pmod(h, F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
+
+
+@dataclass
+class SyntheticMarket:
+    spark: SparkSession
+    n_symbols: int = 20
+    start: str = "2022-01-03"
+    end: str = "2023-12-29"
+    seed: int = 42
+    # symbols with engineered edge cases (indices into the symbol list)
+    suspended_idx: tuple[int, ...] = (3,)
+    ipo_idx: int = 5          # lists mid-range
+    delist_idx: int = 7       # delists mid-range
+    st_idx: tuple[int, ...] = (2,)
+
+    def symbols(self) -> DataFrame:
+        """Symbol dimension: PTrade codes 600000.SS.., 000001.SZ.. alternating."""
+        return (
+            self.spark.range(self.n_symbols)
+            .select(
+                F.col("id").alias("sym_idx"),
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.concat(
+                        F.lpad((600000 + F.col("id")).cast("string"), 6, "0"),
+                        F.lit(".SS"),
+                    ),
+                )
+                .otherwise(
+                    F.concat(
+                        F.lpad(F.col("id").cast("string"), 6, "0"),
+                        F.lit(".SZ"),
+                    )
+                )
+                .alias("symbol"),
+            )
+        )
+
+    def trade_calendar(self) -> DataFrame:
+        """calendar_date, is_trading_day — weekdays minus fixed synthetic
+        holidays (first 5 weekdays of Jan/Oct, Chinese-calendar-like)."""
+        cal = self.spark.sql(
+            f"SELECT explode(sequence(date'{self.start}', date'{self.end}')) AS calendar_date"
+        )
+        dow = F.dayofweek("calendar_date")  # 1=Sun..7=Sat
+        is_weekday = (dow >= 2) & (dow <= 6)
+        day = F.dayofmonth("calendar_date")
+        month = F.month("calendar_date")
+        is_holiday = ((month == 1) & (day <= 3)) | ((month == 10) & (day <= 5))
+        return cal.select(
+            "calendar_date",
+            (is_weekday & ~is_holiday).alias("is_trading_day"),
+        )
+
+    def trading_days(self) -> DataFrame:
+        w = Window.orderBy("calendar_date")
+        return (
+            self.trade_calendar()
+            .filter("is_trading_day")
+            .select(
+                F.col("calendar_date").alias("trade_date"),
+                (F.row_number().over(w) - 1).alias("day_idx"),
+            )
+        )
+
+    def _grid(self) -> DataFrame:
+        """symbols × trading days with IPO/delist spans applied."""
+        days = self.trading_days()
+        n_days = days.count()
+        ipo_cut = n_days // 3
+        delist_cut = (2 * n_days) // 3
+        grid = self.symbols().crossJoin(F.broadcast(days))
+        return grid.filter(
+            ~(
+                (F.col("sym_idx") == self.ipo_idx)
+                & (F.col("day_idx") < ipo_cut)
+            )
+            & ~(
+                (F.col("sym_idx") == self.delist_idx)
+                & (F.col("day_idx") >= delist_cut)
+            )
+        ).withColumn("n_days", F.lit(n_days))
+
+    def _suspended(self) -> F.Column:
+        """Deterministic suspension runs: suspended symbols halt for day_idx
+        in [100, 110) and [250, 253)."""
+        idx = F.col("sym_idx")
+        d = F.col("day_idx")
+        in_run = ((d >= 100) & (d < 110)) | ((d >= 250) & (d < 253))
+        return idx.isin(list(self.suspended_idx)) & in_run
+
+    def bars(self) -> DataFrame:
+        """Daily OHLCV per FIXTURES.md §2: seeded log-random-walk close, OHLC
+        envelope honoring low ≤ min(o,c) ≤ max(o,c) ≤ high, suspension rows
+        flat at prior close with volume=0."""
+        g = self._grid()
+        base_price = 5.0 + 95.0 * _u01(F.col("sym_idx"), salt=f"base{self.seed}")
+        # Daily log return in ±2%, zero while suspended (price frozen).
+        raw_ret = (0.5 - _u01(F.col("sym_idx"), F.col("day_idx"), salt=f"ret{self.seed}")) * 0.04
+        suspended = self._suspended()
+        log_ret = F.when(suspended, F.lit(0.0)).otherwise(raw_ret)
+        w = (
+            Window.partitionBy("sym_idx")
+            .orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        close = F.round(base_price * F.exp(F.sum(log_ret).over(w)), 4)
+        wlag = Window.partitionBy("sym_idx").orderBy("day_idx")
+        df = g.withColumn("suspended", suspended).withColumn("close", close)
+        prev_close = F.lag("close").over(wlag)
+        preclose = F.coalesce(prev_close, F.col("close"))
+
+        spread_hi = _u01(F.col("sym_idx"), F.col("day_idx"), salt="hi") * 0.02
+        spread_lo = _u01(F.col("sym_idx"), F.col("day_idx"), salt="lo") * 0.02
+        open_w = _u01(F.col("sym_idx"), F.col("day_idx"), salt="op")
+        open_ = F.round(preclose * (1 + (open_w - 0.5) * 0.02), 4)
+        high = F.round(F.greatest(open_, F.col("close")) * (1 + spread_hi), 4)
+        low = F.round(F.least(open_, F.col("close")) * (1 - spread_lo), 4)
+        volume = F.round(
+            1e5 + 1e6 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="vol"), 0
+        )
+        money = F.round(volume * (high + low) / 2, 2)
+
+        is_st = (
+            F.col("sym_idx").isin(list(self.st_idx))
+            & (F.col("day_idx") >= F.col("n_days") / 2)
+        ).cast("tinyint")
+
+        return df.select(
+            "symbol",
+            "trade_date",
+            F.when(F.col("suspended"), preclose).otherwise(open_).alias("open"),
+            F.when(F.col("suspended"), preclose).otherwise(high).alias("high"),
+            F.when(F.col("suspended"), preclose).otherwise(low).alias("low"),
+            # log_ret is 0 while suspended, so close == prior close already;
+            # the explicit when() keeps the flat-OHLC invariant obvious.
+            F.when(F.col("suspended"), preclose).otherwise(F.col("close")).alias("close"),
+            F.when(F.col("suspended"), F.lit(0.0)).otherwise(volume).alias("volume"),
+            F.when(F.col("suspended"), F.lit(0.0)).otherwise(money).alias("money"),
+            F.round(preclose, 4).alias("preclose"),
+            is_st.alias("is_st"),
+            F.when(F.col("suspended"), F.lit(0)).otherwise(F.lit(1))
+            .cast("tinyint")
+            .alias("trade_status"),
+            "sym_idx",
+            "day_idx",
+        )
+
+    def benchmark(self) -> DataFrame:
+        """Benchmark index bars under 000300.SS — same walk, no exrights."""
+        days = self.trading_days()
+        w = (
+            Window.orderBy("day_idx")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        ret = (0.5 - _u01(F.col("day_idx"), salt=f"idx{self.seed}")) * 0.02
+        close = F.round(3000.0 * F.exp(F.sum(ret).over(w)), 4)
+        df = days.withColumn("close", close)
+        wl = Window.orderBy("day_idx")
+        preclose = F.coalesce(F.lag("close").over(wl), F.col("close"))
+        return df.select(
+            F.lit(BENCHMARK).alias("symbol"),
+            "trade_date",
+            F.round(preclose * 1.001, 4).alias("open"),
+            F.round(F.greatest(F.col("close"), preclose) * 1.002, 4).alias("high"),
+            F.round(F.least(F.col("close"), preclose) * 0.998, 4).alias("low"),
+            "close",
+            F.round(F.lit(5e8) * (1 + _u01(F.col("day_idx"), salt="iv")), 0).alias(
+                "volume"
+            ),
+            F.round(F.lit(6e11) * (1 + _u01(F.col("day_idx"), salt="im")), 2).alias(
+                "money"
+            ),
+            F.round(preclose, 4).alias("preclose"),
+            F.lit(0).cast("tinyint").alias("is_st"),
+            F.lit(1).cast("tinyint").alias("trade_status"),
+            F.lit(-1).cast("bigint").alias("sym_idx"),
+            "day_idx",
+        )
+
+    def exrights(self) -> DataFrame:
+        """Ex-rights events (FIXTURES §5): each symbol with sym_idx % 3 == 0
+        gets 2 events (bonus shares + cash dividend) at day_idx 120 and 360.
+
+        PTrade linear form (``PTrade_API_mini_Reference.md:2992-3002``):
+        forward-adjusted price = A·price + B with, for a bonus ratio b
+        (shares per share) and cash dividend d (CNY per share):
+            A = 1/(1+b),  B = -d/(1+b)   …applied backwards in time
+        """
+        days = self.trading_days()
+        ev = (
+            self.symbols()
+            .filter((F.col("sym_idx") % 3 == 0))
+            .crossJoin(F.broadcast(days.filter(F.col("day_idx").isin(120, 360))))
+        )
+        bonus = F.round(0.2 + 0.3 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="bo"), 4)
+        div = F.round(0.1 + 0.4 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="dv"), 4)
+        return ev.select(
+            "symbol",
+            F.col("trade_date").alias("ex_date"),
+            F.lit(0.0).alias("allotted_ps"),
+            F.lit(0.0).alias("rationed_ps"),
+            F.lit(0.0).alias("rationed_px"),
+            bonus.alias("bonus_ps"),
+            div.alias("dividend_ps"),
+            (1.0 / (1.0 + bonus)).alias("exer_forward_a"),
+            (-div / (1.0 + bonus)).alias("exer_forward_b"),
+            (1.0 + bonus).alias("exer_backward_a"),
+            div.alias("exer_backward_b"),
+            "sym_idx",
+            "day_idx",
+        )
+
+    def adjust_factor(self) -> DataFrame:
+        """Daily back/fore adjust factors consistent with exrights: back_adj
+        is the running product of per-event ratios (1+bonus) — a step function
+        that steps ON ex_date; fore_adj = back_adj / final back_adj."""
+        bars = self.bars().filter(F.col("sym_idx") >= 0)
+        ev = self.exrights().select(
+            "symbol",
+            F.col("ex_date").alias("trade_date"),
+            (F.lit(1.0) + F.col("bonus_ps")).alias("ratio"),
+        )
+        joined = bars.select("symbol", "trade_date").join(
+            ev, ["symbol", "trade_date"], "left"
+        )
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("trade_date")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wall = Window.partitionBy("symbol").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        back = F.exp(F.sum(F.log(F.coalesce(F.col("ratio"), F.lit(1.0)))).over(w))
+        out = joined.withColumn("back_adj", back).withColumn(
+            "fore_adj", F.col("back_adj") / F.max("back_adj").over(wall)
+        )
+        return out.select(
+            "symbol",
+            "trade_date",
+            F.round("fore_adj", 6).alias("fore_adj"),
+            F.round("back_adj", 6).alias("back_adj"),
+        )
+
+    def valuation(self) -> DataFrame:
+        """Daily valuation ratios (FIXTURES §3); total_value = close ×
+        total_shares (``DATA_MAPPING.md:464-466``); loss-makers get null
+        pe_ttm."""
+        bars = self.bars().filter(F.col("sym_idx") >= 0)
+        shares = F.round(1e8 * (1 + 9 * _u01(F.col("sym_idx"), salt="sh")), 0)
+        eps = (0.5 - _u01(F.col("sym_idx"), salt="eps")) * 10  # some negative
+        pe = F.when(eps > 0, F.round(F.col("close") / eps, 4))
+        return bars.select(
+            "symbol",
+            "trade_date",
+            pe.alias("pe_ttm"),
+            F.round(F.lit(1.0) + 5 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="pb"), 4).alias("pb"),
+            F.round(F.lit(1.0) + 10 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="ps"), 4).alias("ps_ttm"),
+            F.round(F.lit(2.0) + 20 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="pcf"), 4).alias("pcf"),
+            F.round(100 * F.col("volume") / shares, 6).alias("turnover_rate"),
+            shares.alias("total_shares"),
+            F.round(F.col("close") * shares, 2).alias("total_value"),
+            F.round(F.col("close") * shares * 0.7, 2).alias("float_value"),
+        )
+
+    def fundamentals(self) -> DataFrame:
+        """Quarterly reports (FIXTURES §6) with publ_date = end_date + 30-80
+        days (drives as-of tests) and one restatement (merge_seq=1) per
+        symbol for the 2022Q4 report."""
+        quarters = self.spark.sql(
+            """SELECT explode(array(
+                 date'2022-03-31', date'2022-06-30', date'2022-09-30', date'2022-12-31',
+                 date'2023-03-31', date'2023-06-30', date'2023-09-30', date'2023-12-31'
+               )) AS end_date"""
+        )
+        base = self.symbols().crossJoin(F.broadcast(quarters))
+        lag_days = (30 + 50 * _u01(F.col("sym_idx"), F.col("end_date"), salt="lag")).cast("int")
+        report_type = (F.quarter("end_date")).cast("tinyint")
+        first = base.select(
+            "symbol",
+            "end_date",
+            F.date_add("end_date", lag_days).alias("publ_date"),
+            report_type.alias("report_type"),
+            F.lit(0).cast("tinyint").alias("merge_seq"),
+            "sym_idx",
+        )
+        restated = first.filter(
+            (F.month("end_date") == 12) & (F.year("end_date") == 2022)
+        ).select(
+            "symbol",
+            "end_date",
+            F.date_add("publ_date", 60).alias("publ_date"),
+            "report_type",
+            F.lit(1).cast("tinyint").alias("merge_seq"),
+            "sym_idx",
+        )
+        allrows = first.unionByName(restated)
+        ind = lambda name, lo, hi: F.round(
+            lo + (hi - lo) * _u01(F.col("sym_idx"), F.col("end_date"), F.col("merge_seq"), salt=name),
+            4,
+        ).alias(name)
+        indicators = [
+            ind("roe", -5, 25), ind("roa", -3, 15),
+            ind("net_profit_ratio", -10, 40), ind("gross_income_ratio", 5, 60),
+            ind("current_ratio", 0.5, 4), ind("quick_ratio", 0.3, 3),
+            ind("debt_equity_ratio", 5, 150),
+            ind("accounts_receivables_turnover_rate", 1, 20),
+            ind("inventory_turnover_rate", 1, 15),
+            ind("total_asset_turnover_rate", 0.1, 3),
+            ind("current_assets_turnover_rate", 0.5, 6),
+            ind("operating_revenue_grow_rate", -30, 80),
+            ind("net_profit_grow_rate", -50, 120),
+            ind("total_asset_grow_rate", -10, 50),
+            ind("basic_eps_yoy", -40, 90), ind("np_parent_company_yoy", -40, 90),
+            ind("interest_cover", 0.5, 30), ind("roic", -5, 20),
+        ]
+        out = allrows.select("symbol", "end_date", "publ_date", "report_type", "merge_seq", "sym_idx", *indicators)
+        # TTM columns: rolling 4-quarter mean of the quarterly value
+        # (DATA_MAPPING.md:741-755); null for the first 3 quarters.
+        w4 = (
+            Window.partitionBy("symbol", "merge_seq")
+            .orderBy("end_date")
+            .rowsBetween(-3, 0)
+        )
+        cnt = F.count(F.lit(1)).over(w4)
+        for src, ttm in [
+            ("roe", "roe_ttm"), ("roa", "roa_ttm"),
+            ("gross_income_ratio", "gross_income_ratio_ttm"),
+            ("net_profit_ratio", "net_profit_ratio_ttm"),
+            ("roa", "roa_ebit_ttm"),
+        ]:
+            out = out.withColumn(
+                ttm, F.when(cnt >= 4, F.round(F.avg(src).over(w4), 4))
+            )
+        return out
+
+    def stock_metadata(self) -> DataFrame:
+        """FIXTURES §7: names (with an ST- and a 退-prefixed one), listed /
+        de-listed dates, industry blocks map."""
+        days = self.trading_days()
+        n_days = days.count()
+        d0 = days.filter(F.col("day_idx") == 0).select("trade_date")
+        ipo_day = days.filter(F.col("day_idx") == n_days // 3).select("trade_date")
+        delist_day = days.filter(F.col("day_idx") == (2 * n_days) // 3).select(
+            "trade_date"
+        )
+        d0v, ipov, delv = (
+            d0.first()[0],
+            ipo_day.first()[0],
+            delist_day.first()[0],
+        )
+        industries = ["bank", "tech", "energy", "consumer", "health"]
+        ind = F.element_at(
+            F.array(*[F.lit(x) for x in industries]),
+            (F.col("sym_idx") % len(industries) + 1).cast("int"),
+        )
+        name = (
+            F.when(F.col("sym_idx").isin(list(self.st_idx)), F.concat(F.lit("ST股票"), F.col("sym_idx").cast("string")))
+            .when(F.col("sym_idx") == self.delist_idx, F.concat(F.lit("退市股"), F.col("sym_idx").cast("string")))
+            .otherwise(F.concat(F.lit("股票"), F.col("sym_idx").cast("string")))
+        )
+        return self.symbols().select(
+            "symbol",
+            name.alias("stock_name"),
+            F.when(F.col("sym_idx") == self.ipo_idx, F.lit(ipov))
+            .otherwise(F.lit(d0v))
+            .alias("listed_date"),
+            F.when(F.col("sym_idx") == self.delist_idx, F.lit(delv))
+            .otherwise(F.lit(None).cast("date"))
+            .alias("de_listed_date"),
+            F.lit(True).alias("has_info"),
+            F.create_map(
+                F.lit("industry"), ind,
+                F.lit("industry_classification"), F.concat(F.lit("csrc_"), ind),
+            ).alias("blocks"),
+            "sym_idx",
+        )
+
+    def index_constituents(self) -> DataFrame:
+        """FIXTURES §8: quarterly samples; membership = hash-rotating subset
+        so it changes between samples."""
+        samples = self.spark.sql(
+            """SELECT explode(array(
+                 date'2022-01-04', date'2022-04-01', date'2022-07-01', date'2022-10-10',
+                 date'2023-01-04', date'2023-04-03', date'2023-07-03', date'2023-10-09'
+               )) AS sample_date"""
+        )
+        idx = self.spark.createDataFrame(
+            [("000016.SS",), ("000300.SS",), ("000905.SS",)], ["index_code"]
+        )
+        grid = idx.crossJoin(samples).crossJoin(self.symbols())
+        member = _u01(
+            F.col("index_code"), F.col("sample_date"), F.col("sym_idx"), salt="member"
+        ) < 0.5
+        return grid.filter(member).select("index_code", "sample_date", "symbol")
+
+    def stock_status(self) -> DataFrame:
+        """Persisted form of the reference's in-memory status cache
+        (``download_efficient.py:117-118``, TODO at ``:424``)."""
+        bars = self.bars().filter(F.col("sym_idx") >= 0)
+        return bars.select(
+            "symbol",
+            "trade_date",
+            (F.col("is_st") == 1).alias("is_st"),
+            (F.col("trade_status") == 0).alias("is_halt"),
+        )

@@ -1,0 +1,96 @@
+"""Warehouse: tall partitioned parquet tables replacing the reference's
+per-symbol HDF5 keys (``h5_writer.py`` K1-K6, SURVEY §2.2).
+
+Layout decisions (designed for 100 TB, exercised locally):
+  - ``bars``/``valuation``/``adjust_factor``/``stock_status`` are partitioned
+    by ``trade_year`` (derived) — date-range queries prune whole directories;
+    within a partition, files are written sorted by (symbol, trade_date) so
+    min/max parquet stats make symbol predicates effective too.
+  - dimension tables (metadata, calendar, exrights, fundamentals,
+    constituents) are single unpartitioned tables — they are broadcast-sized
+    at any realistic scale.
+  - ``compression`` inherits the session's zstd default (K1's blosc-9 analog).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITIONED = {"bars", "valuation", "adjust_factor", "stock_status"}
+DIMENSION = {
+    "trade_calendar",
+    "exrights",
+    "fundamentals",
+    "stock_metadata",
+    "index_constituents",
+    "benchmark",
+}
+
+
+class Warehouse:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+        """K1-K5 sink: partitioned fact tables get a derived trade_year
+        partition column + in-file sort; dims are written as-is."""
+        if table in PARTITIONED and "trade_date" in df.columns:
+            (
+                df.withColumn("trade_year", F.year("trade_date"))
+                .repartition("trade_year")
+                .sortWithinPartitions("symbol", "trade_date")
+                .write.mode(mode)
+                .partitionBy("trade_year")
+                .parquet(self.path(table))
+            )
+        else:
+            df.write.mode(mode).parquet(self.path(table))
+
+    def read(self, table: str) -> DataFrame:
+        df = self.spark.read.parquet(self.path(table))
+        return df.drop("trade_year") if "trade_year" in df.columns else df
+
+    def exists(self, table: str) -> bool:
+        """K6 integrity: the parquet footer read doubles as an openability
+        check (h5_writer.py:511-537 analog)."""
+        try:
+            self.spark.read.parquet(self.path(table)).schema
+            return True
+        except Exception:
+            return False
+
+    def tables(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d))
+        )
+
+
+def build_warehouse(spark: SparkSession, root: str, market=None) -> Warehouse:
+    """Generate the full synthetic market and persist every table — the
+    engine-side replacement for scripts/download_efficient.py (§3.1)."""
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+
+    market = market or SyntheticMarket(spark)
+    wh = Warehouse(spark, root)
+    bars = market.bars().drop("sym_idx", "day_idx")
+    bench = market.benchmark().drop("sym_idx", "day_idx")
+    wh.write("bars", bars.unionByName(bench))
+    wh.write("trade_calendar", market.trade_calendar())
+    wh.write("valuation", market.valuation())
+    wh.write("adjust_factor", market.adjust_factor())
+    wh.write("exrights", market.exrights().drop("sym_idx", "day_idx"))
+    wh.write("fundamentals", market.fundamentals().drop("sym_idx"))
+    wh.write("stock_metadata", market.stock_metadata().drop("sym_idx"))
+    wh.write("index_constituents", market.index_constituents())
+    wh.write("stock_status", market.stock_status())
+    return wh

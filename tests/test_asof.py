@@ -1,0 +1,62 @@
+"""asof_join vs pandas merge_asof (the reference oracle for J5)."""
+
+import pandas as pd
+import numpy as np
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.asof import asof_join
+
+
+def _mk(spark, n_left=200, n_right=60, seed=1):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_left),
+            "t": rng.randint(0, 1000, n_left),
+            "lid": np.arange(n_left),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 5, n_right),
+            "t": rng.choice(np.arange(0, 1000, 7), n_right, replace=False),
+            "payload": rng.rand(n_right).round(6),
+        }
+    )
+    return left, right
+
+
+def test_asof_matches_pandas(spark):
+    left, right = _mk(spark)
+    lsdf = spark.createDataFrame(left)
+    rsdf = spark.createDataFrame(right)
+    got = (
+        asof_join(lsdf, rsdf, on="t", by=["k"])
+        .select("lid", "payload")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["payload"], expect["payload"], check_names=False)
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, 99.0), (1, 5, 55.0)], "k int, t int, v double")
+    inclusive = asof_join(left, right, on="t", by=["k"]).select("v").first()[0]
+    strict = asof_join(left, right, on="t", by=["k"], strict=True).select("v").first()[0]
+    assert inclusive == 99.0
+    assert strict == 55.0
+
+
+def test_asof_no_match_is_null(spark):
+    left = spark.createDataFrame([(1, 1)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, 99.0)], "k int, t int, v double")
+    row = asof_join(left, right, on="t", by=["k"]).first()
+    assert row["v"] is None

@@ -1,0 +1,173 @@
+"""Generic operator library vs pandas/python oracles."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.align import forward_fill
+from simtradedata_spark.operators.dedup import (
+    keep_last,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash,
+    hamming64,
+)
+from simtradedata_spark.operators.resample import resample_ohlc
+from simtradedata_spark.operators.similarity import cosine_top_k
+from simtradedata_spark.operators.windows import cumulative_product, moving_avg
+
+
+def test_forward_fill(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("a", 3, None), ("a", 4, 40.0), ("b", 1, None)],
+        "k string, t int, v double",
+    )
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in forward_fill(df, ["v"], ["k"], ["t"]).collect()
+    }
+    assert got[("a", 2)] == 10.0 and got[("a", 3)] == 10.0
+    assert got[("a", 4)] == 40.0
+    assert got[("b", 1)] is None
+
+
+def test_moving_avg_matches_pandas(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"k": ["x"] * 50, "t": range(50), "v": rng.rand(50).round(4)})
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        moving_avg(sdf, "v", 5, ["k"], ["t"], out_col="ma")
+        .orderBy("t")
+        .toPandas()["ma"]
+    )
+    expect = pdf.v.rolling(5).mean()
+    pd.testing.assert_series_equal(
+        got, expect, check_names=False, check_exact=False, rtol=1e-9
+    )
+
+
+def test_cumulative_product(spark):
+    pdf = pd.DataFrame({"k": ["x"] * 20, "t": range(20), "r": 1 + np.random.RandomState(4).rand(20) * 0.1})
+    sdf = spark.createDataFrame(pdf)
+    got = cumulative_product(sdf, "r", ["k"], ["t"]).orderBy("t").toPandas()["cumprod"]
+    expect = pdf.r.cumprod()
+    assert np.allclose(got, expect, rtol=1e-9)
+
+
+def test_resample_weekly_matches_pandas(spark, market):
+    bars = market.bars().filter(F.col("sym_idx") == 0)
+    got = (
+        resample_ohlc(bars, "W")
+        .orderBy("period_start")
+        .toPandas()
+        .set_index("period_start")
+    )
+    pdf = bars.orderBy("trade_date").toPandas()
+    pdf["trade_date"] = pd.to_datetime(pdf.trade_date)
+    expect = (
+        pdf.set_index("trade_date")
+        .resample("W-SUN", label="left")
+        .agg(
+            open=("open", "first"),
+            high=("high", "max"),
+            low=("low", "min"),
+            close=("close", "last"),
+            volume=("volume", "sum"),
+        )
+        .dropna()
+    )
+    # Spark week starts Monday; pandas W-SUN label=left gives Sunday starts
+    # one day earlier — compare the values row-by-row.
+    assert len(got) == len(expect)
+    assert np.allclose(got.open.values, expect.open.values)
+    assert np.allclose(got.high.values, expect.high.values)
+    assert np.allclose(got.low.values, expect.low.values)
+    assert np.allclose(got.close.values, expect.close.values)
+
+
+def test_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, 1, "old"), (1, 2, "new"), (2, 5, "only")], "k int, v int, tag string"
+    )
+    got = {r["k"]: r["tag"] for r in keep_last(df, ["k"], [F.col("v")]).collect()}
+    assert got == {1: "new", 2: "only"}
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement ≈ true shingle Jaccard (±0.2 at 128 hashes)."""
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy cat again and again today"
+    c = "completely different words entirely unrelated content goes right here"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id long, text string")
+    sigs = {
+        r["id"]: r["minhash"]
+        for r in minhash_signatures(df, "text", num_hashes=128).collect()
+    }
+
+    def est(x, y):
+        return sum(1 for u, v in zip(x, y) if u == v) / len(x)
+
+    def true_jac(x, y, n=3):
+        tx = x.split()
+        ty = y.split()
+        sx = {" ".join(tx[i : i + n]) for i in range(len(tx) - n + 1)}
+        sy = {" ".join(ty[i : i + n]) for i in range(len(ty) - n + 1)}
+        return len(sx & sy) / len(sx | sy)
+
+    assert abs(est(sigs[1], sigs[2]) - true_jac(a, b)) < 0.2
+    assert est(sigs[1], sigs[3]) < 0.1
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    rows = [(i, f"unique document number {i} with totally distinct content piece {i*7}") for i in range(20)]
+    rows.append((100, "the quick brown fox jumps over the lazy dog in the morning sun"))
+    rows.append((101, "the quick brown fox jumps over the lazy dog in the morning light"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(
+        df, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in found
+
+
+def test_simhash_near_duplicates_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df, "text")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dists = {
+        (r["ia"], r["ib"]): r["d"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("d"),
+        )
+        .collect()
+    }
+    assert dists[(1, 2)] < dists[(1, 3)]
+    assert dists[(1, 2)] < dists[(2, 3)]
+
+
+def test_cosine_top_k_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(30, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>"
+    )
+    got = (
+        cosine_top_k(df, df.filter(F.col("vec_id") == 0), k=3)
+        .orderBy("rank")
+        .toPandas()
+    )
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms[0]
+    sims[0] = -2
+    expect = np.argsort(-sims)[:3]
+    assert got.neighbor_id.tolist() == expect.tolist()

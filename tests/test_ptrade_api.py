@@ -1,0 +1,145 @@
+"""PTrade query API surface (SURVEY §2.12) against the synthetic warehouse."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_trade_days_range(api):
+    days = api.get_trade_days("2022-03-01", "2022-03-31")
+    assert days and all("2022-03-01" <= d <= "2022-03-31" for d in days)
+    assert days == sorted(days)
+
+
+def test_get_price_single_shape(api):
+    df = api.get_price("600000.SS", "2022-02-01", "2022-02-28")
+    assert list(df.columns) == ["open", "high", "low", "close", "volume", "money"]
+    assert df.index.name == "trade_date"
+    assert len(df) > 10
+    assert (df.low <= df.high).all()
+
+
+def test_get_price_count_excludes_end(api):
+    days = api.get_trade_days("2022-01-01", "2022-06-30")
+    cut = days[30]
+    df = api.get_price("600000.SS", end_date=cut, count=5)
+    assert len(df) == 5
+    assert str(df.index.max()) < cut  # exclusive-of-today rule (spec :1977)
+
+
+def test_get_price_multi_single_field(api):
+    df = api.get_price(["600000.SS", "000001.SZ"], "2022-02-01", "2022-02-28",
+                       fields=["close"])
+    assert set(df.columns) == {"600000.SS", "000001.SZ"}
+
+
+def test_get_price_fq_continuity(api, market):
+    """Post-adjusted price = raw × back_adj; pre-adjusted final price == raw."""
+    sym = "600000.SS"  # sym_idx 0 -> has exrights (0 % 3 == 0)
+    raw = api.get_price(sym, "2022-01-01", "2023-12-29")
+    post = api.get_price(sym, "2022-01-01", "2023-12-29", fq="post")
+    pre = api.get_price(sym, "2022-01-01", "2023-12-29", fq="pre")
+    assert abs(pre.close.iloc[-1] - raw.close.iloc[-1]) < 1e-6
+    af = market.adjust_factor().filter(F.col("symbol") == sym).toPandas()
+    af = af.set_index("trade_date").back_adj
+    expected_last = raw.close.iloc[-1] * af.iloc[-1]
+    assert abs(post.close.iloc[-1] - expected_last) < 1e-3
+    # before first event all three agree (back_adj == 1)
+    assert abs(post.close.iloc[0] - raw.close.iloc[0]) < 1e-6
+
+
+def test_get_history_dict_mode(api):
+    days = api.get_trade_days()
+    d = days[100]
+    h = api.get_history(10, field=["close", "volume"], security_list=["000001.SZ"],
+                        is_dict=True, current_date=d)
+    assert set(h.keys()) == {"000001.SZ"}
+    assert len(h["000001.SZ"]) == 10
+    assert str(h["000001.SZ"].index.max()) < d
+
+
+def test_get_ashares_point_in_time(api, market):
+    days = api.get_trade_days()
+    early, late = days[10], days[-10]
+    ipo_sym = market.symbols().filter(
+        F.col("sym_idx") == market.ipo_idx
+    ).first()["symbol"]
+    delist_sym = market.symbols().filter(
+        F.col("sym_idx") == market.delist_idx
+    ).first()["symbol"]
+    early_univ = api.get_Ashares(early)
+    late_univ = api.get_Ashares(late)
+    assert ipo_sym not in early_univ and ipo_sym in late_univ
+    assert delist_sym in early_univ and delist_sym not in late_univ
+
+
+def test_stock_status(api, market):
+    days = api.get_trade_days()
+    st_sym = market.symbols().filter(F.col("sym_idx") == 2).first()["symbol"]
+    halt_sym = market.symbols().filter(F.col("sym_idx") == 3).first()["symbol"]
+    halt_day = market.trading_days().filter(F.col("day_idx") == 105).first()["trade_date"]
+    st = api.get_stock_status([st_sym, halt_sym], "ST", days[-5])
+    assert st[st_sym] is True
+    halt = api.get_stock_status([halt_sym, st_sym], "HALT", str(halt_day))
+    assert halt[halt_sym] is True and halt[st_sym] is False
+    delist_sym = market.symbols().filter(
+        F.col("sym_idx") == market.delist_idx
+    ).first()["symbol"]
+    dl = api.get_stock_status([delist_sym], "DELISTING", days[-1])
+    assert dl[delist_sym] is True
+
+
+def test_fundamentals_no_lookahead(api, warehouse):
+    """date-mode must only use reports with publ_date <= query date (J5)."""
+    f = warehouse.read("fundamentals").toPandas()
+    sym = "600000.SS"
+    pub = f[(f.symbol == sym) & (f.merge_seq == 0)].sort_values("publ_date")
+    # query one day before a known publication: that report must NOT appear
+    target = pub.iloc[2]
+    qd = (pd.Timestamp(target.publ_date) - pd.Timedelta(days=1)).date().isoformat()
+    got = api.get_fundamentals(sym, date=qd)
+    assert str(got.loc[sym, "end_date"]) < str(target.end_date)
+    # query exactly on the publication date: report appears
+    got2 = api.get_fundamentals(sym, date=str(target.publ_date))
+    assert str(got2.loc[sym, "end_date"]) == str(target.end_date)
+
+
+def test_fundamentals_merge_type(api):
+    """'latest' must pick the restated 2022Q4 row, 'first' the original."""
+    sym = "600000.SS"
+    first = api.get_fundamentals(sym, start_year=2022, end_year=2022, merge_type="first")
+    latest = api.get_fundamentals(sym, start_year=2022, end_year=2022, merge_type="latest")
+    q4f = first[first.end_date.astype(str) == "2022-12-31"]
+    q4l = latest[latest.end_date.astype(str) == "2022-12-31"]
+    assert len(q4f) == 1 and len(q4l) == 1
+    assert q4f.iloc[0].merge_seq == 0 and q4l.iloc[0].merge_seq == 1
+    assert q4f.iloc[0].roe != q4l.iloc[0].roe
+
+
+def test_index_stocks_point_in_time(api, warehouse):
+    ic = warehouse.read("index_constituents").toPandas()
+    samples = sorted(ic[ic.index_code == "000300.SS"].sample_date.unique())
+    first_members = api.get_index_stocks("000300.SS", str(samples[0]))
+    later_members = api.get_index_stocks("000300.SS", str(samples[-1]))
+    assert first_members and later_members
+    assert set(first_members) != set(later_members)
+    expect = sorted(
+        ic[(ic.index_code == "000300.SS") & (ic.sample_date == samples[0])].symbol
+    )
+    assert first_members == expect
+
+
+def test_industry_and_blocks(api):
+    blocks = api.get_stock_blocks("600000.SS")
+    assert "industry" in blocks
+    members = api.get_industry_stocks(blocks["industry"])
+    assert "600000.SS" in members
+
+
+def test_exrights_int_index(api):
+    ex = api.get_stock_exrights("600000.SS")
+    assert ex is not None
+    assert ex.index.dtype.kind == "i"  # yyyymmdd int (data_converter.py:356)
+    assert all(20220101 < d < 20240101 for d in ex.index)
+    # A/B linear-form consistency: forward A = 1/backward A
+    assert ((ex.exer_forward_a * ex.exer_backward_a - 1).abs() < 1e-9).all()
