@@ -64,14 +64,20 @@ def tokens(text_col: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
 
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct)."""
-    toks = tokens(text_col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
+    array column. Keep tokenization in its own projection: inlining the regex
+    split here makes Catalyst re-evaluate it once per shingle (observed 50×
+    slowdown on the explode path)."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(toks))
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct). Prefer staging
+    ``tokens()`` as a column and calling ``shingles_of`` in hot paths."""
+    return shingles_of(tokens(text_col), n)
 
 
 def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -87,38 +93,40 @@ def _perm_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 def minhash_signatures(
     df: DataFrame,
+    id_col: str,
     text_col: str,
     num_hashes: int = 64,
     shingle_n: int = 3,
     seed: int = 7,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Append ``out_col``: array<bigint> of ``num_hashes`` minhash values over
-    word ``shingle_n``-gram shingles. Entirely built-in expressions
-    (xxhash64 → affine permutation → array_min), fully codegen'd."""
-    sh = shingles(text_col, shingle_n)
-    # Materialize the hashed shingle array ONCE in its own projection —
-    # Catalyst's CollapseProject keeps non-cheap multiply-referenced
-    # expressions separate, so the string hashing is not re-inlined into each
-    # of the num_hashes permutations (64× speedup observed).
-    staged = df.withColumn(
-        "__mh_base",
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))),
+    """(id, text) → (id, minhash array<bigint> of ``num_hashes`` values) over
+    word ``shingle_n``-gram shingles.
+
+    Plan shape: explode shingles → hash once → ONE groupBy(id) carrying 64
+    ``min()`` aggregates (each an affine permutation of the shingle hash).
+    All built-in expressions inside whole-stage codegen; the 64 mins combine
+    map-side, so the shuffle moves one 64-long array per document regardless
+    of document length — the layout that survives 100 TB corpora. Documents
+    with no shingles get a null signature."""
+    exploded = (
+        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        .select(
+            id_col, F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("__s")
+        )
+        .select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__mh_base"),
-                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE),
-                )
-            )
-            for a, b in _perm_params(num_hashes, seed)
-        ]
+    aggs = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(
+            f"__m{i}"
+        )
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    ]
+    sigs = exploded.groupBy(id_col).agg(*aggs).select(
+        id_col,
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias(out_col),
     )
-    return staged.withColumn(
-        out_col, F.when(F.size("__mh_base") > 0, sig)
-    ).drop("__mh_base")
+    return df.select(id_col).join(sigs, id_col, "left")
 
 
 def minhash_lsh_candidates(
@@ -139,8 +147,13 @@ def minhash_lsh_candidates(
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
     r = num_hashes // bands
-    sigd = minhash_signatures(df, text_col, num_hashes, shingle_n, seed).filter(
-        F.col("minhash").isNotNull()
+    # Persist the signatures: the band bucket join is a SELF-join, and without
+    # materialization Spark recomputes the whole shingle→hash→agg pipeline for
+    # both sides. Signature storage is 8·num_hashes bytes/doc — always cheap.
+    sigd = (
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+        .filter(F.col("minhash").isNotNull())
+        .persist()
     )
     banded = sigd.select(
         F.col(id_col),
@@ -194,39 +207,40 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str, out_col: str = "simhash"
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sum ±1 of each token
-    hash's bit, sign → bit. One aggregate() fold per row, no UDF."""
-    toks = tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    """(id, text) → (id, 64-bit SimHash): per bit position, sum ±1 of each
+    token hash's bit over the token multiset; positive sum sets the bit.
 
-    def bits_of(h):
-        # ±1 per bit position; bit index is a Python literal (shiftright
-        # requires a constant shift), so the 64 positions are unrolled here.
-        return F.array(
-            *[
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
-                .cast("long")
-                for i in range(64)
-            ]
-        )
-
-    bitsums = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, h: F.zip_with(acc, bits_of(h), lambda x, y: x + y),
-    )
-    # Majority sign per bit → set bit i. Distinct powers of two, so OR == sum.
+    Plan shape mirrors minhash_signatures: explode tokens → hash once →
+    groupBy(id) with 64 ``sum(case)`` aggregates (map-side combined), then
+    fold the 64 signs into one long via OR of distinct powers of two.
+    Documents with no tokens get signature 0."""
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+        ).alias(f"__b{i}")
+        for i in range(64)
+    ]
+    bitsums = exploded.groupBy(id_col).agg(*aggs)
     sig = None
     for i in range(64):
         term = F.when(
-            F.element_at(bitsums, i + 1) > 0,
+            F.col(f"__b{i}") > 0,
             F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    return df.withColumn(out_col, sig)
+    sigs = bitsums.select(F.col(id_col), sig.alias(out_col))
+    return df.select(id_col).join(sigs, id_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -246,7 +260,11 @@ def ngram_jaccard_pairs(
     (quadratic within block — block on source/lang/LSH bucket to bound it).
     Returns (id_a, id_b, jaccard)."""
     base = df.select(
-        *block_cols, F.col(id_col), shingles(text_col, shingle_n).alias("__sh")
+        *block_cols, F.col(id_col), tokens(text_col).alias("__toks")
+    ).select(
+        *block_cols,
+        id_col,
+        shingles_of(F.col("__toks"), shingle_n).alias("__sh"),
     )
     a, b = base.alias("a"), base.alias("b")
     cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))

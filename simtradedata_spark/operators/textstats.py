@@ -30,11 +30,13 @@ def token_count(text_col: Column | str) -> Column:
 
 def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append n_tokens, n_chars_calc, avg_token_len, punct_ratio,
-    upper_ratio, digit_ratio — the standard cheap quality features."""
+    digit_ratio — the standard cheap quality features. Tokens are staged
+    once (see detect_language_from note)."""
     c = F.col(text_col)
     n_chars = F.length(c)
     strip = lambda pat: n_chars - F.length(F.regexp_replace(c, pat, ""))
-    toks = tokens(text_col)
+    df = df.withColumn("__cs_toks", tokens(text_col))
+    toks = F.col("__cs_toks")
     return (
         df.withColumn("n_tokens", F.size(toks))
         .withColumn("n_chars_calc", n_chars)
@@ -58,6 +60,7 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "digit_ratio",
             F.when(n_chars > 0, strip(r"[0-9]") / n_chars).otherwise(F.lit(0.0)),
         )
+        .drop("__cs_toks")
     )
 
 
@@ -68,10 +71,12 @@ def stopword_ratio(text_col: Column | str, lang: str = "en") -> Column:
     return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def detect_language(text_col: Column | str) -> Column:
-    """Stopword-vote language ID: the language whose stopword list hits the
-    most tokens; 'und' (undetermined) when no list hits."""
-    toks = tokens(text_col)
+def detect_language_from(toks: Column) -> Column:
+    """Stopword-vote language ID over a MATERIALIZED token-array column: the
+    language whose stopword list hits the most tokens; ties go to dict order;
+    'und' (undetermined) when no list hits. Keep tokenization staged in its
+    own projection — inlining it here evaluates the regex split once per
+    language per use (8×)."""
     best_lang, best_hits = F.lit("und"), F.lit(0)
     for lang, words in STOPWORDS.items():
         sw = F.array(*[F.lit(w) for w in words])
@@ -80,6 +85,13 @@ def detect_language(text_col: Column | str) -> Column:
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(cond, hits).otherwise(best_hits)
     return best_lang
+
+
+def detect_language(df: DataFrame, text_col: str, out_col: str = "lang_detected") -> DataFrame:
+    """DataFrame form of the stopword-vote language ID (stages tokens once)."""
+    return df.withColumn("__lv_toks", tokens(text_col)).withColumn(
+        out_col, detect_language_from(F.col("__lv_toks"))
+    ).drop("__lv_toks")
 
 
 def fingerprint(text_col: Column | str) -> Column:

@@ -716,7 +716,7 @@ def q_language_votes(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return (
-        docs.select(detect_language("text").alias("lang_detected"))
+        detect_language(docs, "text")
         .groupBy("lang_detected")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -815,6 +815,98 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
   JOIN embeddings c ON c.vec_id <> q.vec_id
 ) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quantiles, unpivot, lag growth
+# ---------------------------------------------------------------------------
+
+def q_price_quantiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+SQL_PRICE_QUANTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_unpivot_measures(spark, sf_dir):
+    """W5 reverse: wide→tall unpivot of the three lineitem rate measures."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, value)",
+    )
+
+
+SQL_UNPIVOT_MEASURES = """
+SELECT l_orderkey, l_linenumber, l_partkey, 'quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_partkey, 'tax', l_tax FROM lineitem
+"""
+
+
+def q_monthly_growth(spark, sf_dir):
+    """lag-based month-over-month revenue growth per region (pct_chg shape,
+    FIXTURES §2)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(
+            "r_name",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(F.sum(cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("r_name").orderBy("month")
+    return monthly.select(
+        "r_name",
+        "month",
+        (F.col("rev_cents") / 100.0).alias("revenue"),
+        F.round(
+            (F.col("rev_cents") - F.lag("rev_cents").over(w))
+            / F.lag("rev_cents").over(w),
+            6,
+        ).alias("mom_growth"),
+    )
+
+
+SQL_MONTHLY_GROWTH = """
+SELECT r_name, month, rev_cents/100.0 AS revenue,
+       round((rev_cents - lag(rev_cents) OVER w) /
+             CAST(lag(rev_cents) OVER w AS DOUBLE), 6) AS mom_growth
+FROM (
+  SELECT r_name, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2
+)
+WINDOW w AS (PARTITION BY r_name ORDER BY month)
 """
 
 
@@ -925,13 +1017,25 @@ def q_minhash_near_dups(spark, sf_dir):
 
 def q_simhash_signatures(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "text").select("doc_id", "simhash")
+    return simhash(docs, "doc_id", "text")
 
 
 def q_lsh_ann_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_top_k(emb, queries, dim=64, k=5, bits=4)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media column → Arrow-batched feature extraction (decode step
+    deterministic-fake; plumbing real — see operators/multimodal.py)."""
+    from simtradedata_spark.operators.multimodal import (
+        attach_blob_from_text,
+        extract_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(attach_blob_from_text(docs, "doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -1006,11 +1110,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
+    "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
+    "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
     "exrights_adjust": (q_exrights_adjust, SQL_EXRIGHTS_ADJUST),
     # Non-SQL-expressible (driver records rows-only checks):
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_signatures": (q_simhash_signatures, None),
     "lsh_ann_top5": (q_lsh_ann_top5, None),
+    "multimodal_features": (q_multimodal_features, None),
     "synthetic_bars": (q_synthetic_bars, None),
     "adjusted_bars_post": (q_adjusted_bars_post, None),
     "macd_indicators": (q_macd_indicators, None),

@@ -101,7 +101,7 @@ def test_minhash_estimates_jaccard(spark):
     df = spark.createDataFrame([(1, a), (2, b), (3, c)], "id long, text string")
     sigs = {
         r["id"]: r["minhash"]
-        for r in minhash_signatures(df, "text", num_hashes=128).collect()
+        for r in minhash_signatures(df, "id", "text", num_hashes=128).collect()
     }
 
     def est(x, y):
@@ -139,7 +139,7 @@ def test_simhash_near_duplicates_close(spark):
         ],
         "doc_id long, text string",
     )
-    sigs = simhash(df, "text")
+    sigs = simhash(df, "doc_id", "text")
     a, b = sigs.alias("a"), sigs.alias("b")
     dists = {
         (r["ia"], r["ib"]): r["d"]
