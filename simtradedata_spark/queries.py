@@ -380,7 +380,8 @@ def q_region_daily_ffill(spark, sf_dir):
     scaffold = _t(spark, sf_dir, "region").select("r_name").crossJoin(
         F.broadcast(days)
     )
-    joined = scaffold.join(daily, ["r_name", "day"], "left")
+    # daily is |regions × days| — broadcast keeps the scaffold join local.
+    joined = scaffold.join(F.broadcast(daily), ["r_name", "day"], "left")
     filled = forward_fill(joined, ["day_revenue"], ["r_name"], ["day"])
     return filled.select(
         "r_name", "day", F.coalesce("day_revenue", F.lit(0.0)).alias("revenue_ffill")
