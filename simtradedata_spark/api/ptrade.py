@@ -293,6 +293,8 @@ class PTradeDataAPI:
         'latest' → restatements supersede (keep max merge_seq per report).
         """
         stocks = [stocks] if isinstance(stocks, str) else list(stocks)
+        if table == "valuation":
+            return self._valuation_fundamentals(stocks, fields, date)
         f = self.wh.read("fundamentals").filter(F.col("symbol").isin(stocks))
         if report_types:
             rts = [int(r) for r in (
@@ -326,6 +328,20 @@ class PTradeDataAPI:
                 c for c in fields if c in pdf.columns
             ]
             pdf = pdf[[c for c in keep if c in pdf.columns]]
+        return pdf.set_index("symbol")
+
+    def _valuation_fundamentals(self, stocks, fields, date) -> pd.DataFrame:
+        """``get_fundamentals(table='valuation')`` — daily table, so the
+        as-of is the latest trade date <= query date (suspension-safe)."""
+        v = self.wh.read("valuation").filter(F.col("symbol").isin(stocks))
+        if date is not None:
+            v = v.filter(F.col("trade_date") <= _to_date_str(date))
+        w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
+        v = v.withColumn("__rn", F.row_number().over(w)).filter("__rn = 1").drop("__rn")
+        pdf = v.toPandas()
+        if fields:
+            keep = ["symbol", "trade_date"] + [c for c in fields if c in pdf.columns]
+            pdf = pdf[keep]
         return pdf.set_index("symbol")
 
     # -- constituents -------------------------------------------------------

@@ -38,6 +38,20 @@ def to_ptrade_code(col: Column | str) -> Column:
     return F.when(num == "", F.lit(None)).otherwise(F.concat_ws(".", num, market))
 
 
+def is_index_code(col: Column | str) -> Column:
+    """F3 stock-vs-index partition predicate: Shanghai ``000xxx.SS`` and
+    Shenzhen ``399xxx.SZ`` codes are indices (``ptrade_data_api.py:121-122``,
+    same rule ``baostock_fetcher.py:99-102``)."""
+    c = F.upper(F.trim(F.col(col) if isinstance(col, str) else col))
+    return (c.rlike(r"^000\d{3}\.SS$")) | (c.rlike(r"^399\d{3}\.SZ$"))
+
+
+def split_stock_index(df, code_col: str = "symbol"):
+    """F3 as a two-frame split: (stocks_df, indices_df)."""
+    pred = is_index_code(code_col)
+    return df.filter(~pred), df.filter(pred)
+
+
 def from_ptrade_code(col: Column | str) -> Column:
     """``600000.SS`` → ``sh.600000``; ``000001.SZ`` → ``sz.000001``."""
     c = F.upper(F.trim(F.col(col) if isinstance(col, str) else col))

@@ -143,3 +143,24 @@ def test_exrights_int_index(api):
     assert all(20220101 < d < 20240101 for d in ex.index)
     # A/B linear-form consistency: forward A = 1/backward A
     assert ((ex.exer_forward_a * ex.exer_backward_a - 1).abs() < 1e-9).all()
+
+
+def test_fundamentals_valuation_table(api):
+    got = api.get_fundamentals(
+        ["600000.SS", "000001.SZ"], table="valuation",
+        fields=["pe_ttm", "pb", "total_value"], date="2022-06-15",
+    )
+    assert len(got) == 2
+    assert str(got.loc["600000.SS", "trade_date"]) == "2022-06-15"
+    assert got.loc["600000.SS", "total_value"] > 0
+
+
+def test_split_stock_index(spark):
+    from simtradedata_spark.functions.codes import split_stock_index
+
+    df = spark.createDataFrame(
+        [("600000.SS",), ("000300.SS",), ("399001.SZ",), ("000001.SZ",)], ["symbol"]
+    )
+    stocks, indices = split_stock_index(df)
+    assert {r[0] for r in stocks.collect()} == {"600000.SS", "000001.SZ"}
+    assert {r[0] for r in indices.collect()} == {"000300.SS", "399001.SZ"}
