@@ -30,6 +30,7 @@ from simtradedata_spark.functions.codes import to_ptrade_code, from_ptrade_code
 from simtradedata_spark.operators.asof import asof_join
 from simtradedata_spark.operators.align import forward_fill
 from simtradedata_spark.operators.dedup import (
+    cosine_near_dups,
     dedup_exact,
     keep_last,
     minhash_lsh_candidates,
@@ -1005,6 +1006,25 @@ def q_macd_indicators(spark, sf_dir):
     return compute_indicators(_small_market(spark).bars())
 
 
+def q_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs variant (the
+    LSH-prefiltered scale path is exercised in tests/test_operators.py).
+    Threshold 0.45 is calibrated to the synthetic embeddings (max pairwise
+    cosine ~0.51) so the result is small but non-empty."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dups(emb, threshold=0.45)
+
+
+SQL_COSINE_NEAR_DUPS = """
+SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
+       list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                              CAST(e2.embedding AS DOUBLE[])) AS cos_sim
+FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                             CAST(e2.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -1111,6 +1131,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
     "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),

@@ -171,3 +171,25 @@ def test_cosine_top_k_matches_numpy(spark):
     sims[0] = -2
     expect = np.argsort(-sims)[:3]
     assert got.neighbor_id.tolist() == expect.tolist()
+
+
+def test_cosine_near_dups_exact_and_lsh(spark):
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+
+    rng = np.random.RandomState(11)
+    base = rng.rand(20, 8).astype("float32")
+    # plant 3 near-dup pairs: tiny perturbations of rows 0..2
+    near = base[:3] + rng.rand(3, 8).astype("float32") * 0.01
+    vecs = np.vstack([base, near])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = cosine_near_dups(df, threshold=0.999).toPandas()
+    planted = {(i, 20 + i) for i in range(3)}
+    assert set(zip(exact.id_a, exact.id_b)) == planted
+    assert (exact.cos_sim >= 0.999).all()
+    # LSH prefilter: near-identical vectors share every sign pattern, so the
+    # planted pairs survive any bucket count; result ⊆ exact.
+    lsh = cosine_near_dups(df, threshold=0.999, bits=6, dim=8).toPandas()
+    assert set(zip(lsh.id_a, lsh.id_b)) == planted
