@@ -1047,6 +1047,16 @@ def q_lsh_ann_top5(spark, sf_dir):
     return lsh_bucket_top_k(emb, queries, dim=64, k=5, bits=4)
 
 
+def q_ivf_ann_top5(spark, sf_dir):
+    """IVF ANN: k-means coarse quantizer + probed-cell equi-join (approximate;
+    exhaustive-probe exactness is pytest-verified vs brute force)."""
+    from simtradedata_spark.operators.similarity import ivf_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_top_k(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary media column → Arrow-batched feature extraction (decode step
     deterministic-fake; plumbing real — see operators/multimodal.py)."""
@@ -1140,6 +1150,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash_signatures": (q_simhash_signatures, None),
     "lsh_ann_top5": (q_lsh_ann_top5, None),
+    "ivf_ann_top5": (q_ivf_ann_top5, None),
     "multimodal_features": (q_multimodal_features, None),
     "synthetic_bars": (q_synthetic_bars, None),
     "adjusted_bars_post": (q_adjusted_bars_post, None),

@@ -193,3 +193,25 @@ def test_cosine_near_dups_exact_and_lsh(spark):
     # planted pairs survive any bucket count; result ⊆ exact.
     lsh = cosine_near_dups(df, threshold=0.999, bits=6, dim=8).toPandas()
     assert set(zip(lsh.id_a, lsh.id_b)) == planted
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    from simtradedata_spark.operators.similarity import ivf_top_k
+
+    rng = np.random.RandomState(3)
+    vecs = rng.rand(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") < 4)
+    exact = cosine_top_k(df, q, k=3).orderBy("query_id", "rank").toPandas()
+    # probing every cell makes IVF exhaustive — must equal brute force
+    full = ivf_top_k(df, q, k=3, n_lists=4, n_probe=4).orderBy(
+        "query_id", "rank"
+    ).toPandas()
+    assert full.equals(exact)
+    # partial probe returns well-formed top-k (recall<1 allowed)
+    part = ivf_top_k(df, q, k=3, n_lists=4, n_probe=1).toPandas()
+    assert set(part.columns) == {"query_id", "neighbor_id", "rank"}
+    assert (part.groupby("query_id")["rank"].max() <= 3).all()
