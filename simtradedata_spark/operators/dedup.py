@@ -361,3 +361,75 @@ def cosine_near_dups(
             )
 
     return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    block_cols: list[str],
+    threshold: float,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs >= threshold via prefix filtering
+    (PPJoin-style) — the scale path for exact verification.
+
+    For Jaccard(A,B) >= t the intersection must be >= ceil(t*|A|), so any
+    qualifying pair shares a token among the ``|A| - ceil(t*|A|) + 1`` rarest
+    tokens of A (pigeonhole). Candidate generation is therefore an equi-join
+    on *prefix* tokens only (rarest-first ordering by global document
+    frequency kills the stopword blow-up of a naive token join), followed by
+    exact array_intersect verification on the surviving pairs. Lossless:
+    output is identical to the quadratic all-pairs version (tested), but the
+    within-block O(n²) scan is gone — cost is driven by candidate count.
+
+    Crossover: prefix length is |A| - ceil(t*|A|) + 1, so selectivity scales
+    with the threshold. At near-dup thresholds (t >= ~0.5) this wins big; at
+    permissive thresholds (t ~ 0.2 keeps ~80% of tokens) the blocked
+    all-pairs scan of ``ngram_jaccard_pairs`` is cheaper — measured 4.5 s vs
+    7.7 s at sf0.1/t=0.2, reversed at higher t.
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 dp.
+    """
+    base = df.select(
+        *block_cols,
+        F.col(id_col).alias("__id"),
+        F.col(tok_col).alias("__tok"),
+        F.size(tok_col).alias("__sz"),
+    )
+    ex = base.select(
+        *block_cols, "__id", "__sz", F.explode("__tok").alias("__t")
+    )
+    dfreq = ex.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__t")
+    pref = (
+        ex.join(dfreq, "__t")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        )
+        .select(*block_cols, "__id", "__t")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cond = (F.col("a.__t") == F.col("b.__t")) & (
+        F.col("a.__id") < F.col("b.__id")
+    )
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    cand = (
+        a.join(b, cond)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("__id").alias("id_a"), F.col("__tok").alias("__ta"))
+    vb = base.select(F.col("__id").alias("id_b"), F.col("__tok").alias("__tb"))
+    inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
+    uni = F.size(F.array_union(F.col("__ta"), F.col("__tb")))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", F.round(inter / uni, 6).alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -215,3 +215,45 @@ def test_ivf_full_probe_equals_brute_force(spark):
     part = ivf_top_k(df, q, k=3, n_lists=4, n_probe=1).toPandas()
     assert set(part.columns) == {"query_id", "neighbor_id", "rank"}
     assert (part.groupby("query_id")["rank"].max() <= 3).all()
+
+
+def test_jaccard_prefix_equals_all_pairs(spark):
+    from simtradedata_spark.operators.dedup import jaccard_pairs_prefix, tokens
+
+    rng = np.random.RandomState(5)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        n = rng.randint(3, 15)
+        words = rng.choice(vocab, size=n, replace=True)
+        rows.append((i, "b%d" % (i % 2), " ".join(words)))
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+    base = df.select(
+        "blk", "doc_id", F.array_distinct(tokens("text")).alias("tok")
+    )
+    # quadratic all-pairs reference
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    uni = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    expect = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    got = (
+        jaccard_pairs_prefix(base, "doc_id", "tok", ["blk"], threshold=0.3)
+        .orderBy("id_a", "id_b")
+        .toPandas()
+    )
+    assert len(expect) > 0  # the data must actually exercise the operator
+    assert got.equals(expect)
