@@ -10,7 +10,8 @@ standard anti-join + union + window-dedup plan — identical semantics, one
 shuffle on the merge key. ``streaming_window_counts`` shows the same
 tumbling-window aggregation the batch query ``hourly_event_stats`` runs,
 executed as a Structured Streaming query with a watermark (late rows beyond
-the watermark are dropped, N4).
+the watermark are dropped, N4); ``streaming_dedup`` suppresses at-least-once
+redeliveries with watermark-bounded state (``dropDuplicatesWithinWatermark``).
 """
 
 from __future__ import annotations
@@ -84,6 +85,37 @@ def streaming_window_counts(
     )
     return (
         agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+def streaming_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    query_name: str = "stream_dedup",
+):
+    """N4 duplicate-delivery suppression: at-least-once sources redeliver
+    rows; keep the FIRST arrival per key. ``dropDuplicatesWithinWatermark``
+    bounds the dedup state by the watermark (keys older than it are evicted),
+    unlike plain ``dropDuplicates`` on a stream whose state grows forever —
+    the only posture that survives an unbounded 100 TB/day feed."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    deduped = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+    return (
+        deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(query_name)
         .start()

@@ -66,3 +66,24 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
     cutoff = maxts - datetime.timedelta(hours=2)
     closed = batch.filter(F.col("window.end") <= cutoff).agg(F.sum("n")).first()[0]
     assert got == closed
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    from simtradedata_spark.streaming.incremental import streaming_dedup
+
+    src = str(tmp_path / "dup_src")
+    from simtradedata_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # simulate at-least-once redelivery: the same rows written twice
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    q = streaming_dedup(spark, src, schema, ["event_id"], query_name="t_dedup")
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM t_dedup").first()
+    finally:
+        q.stop()
+    assert out["n"] == out["d"] == 200
