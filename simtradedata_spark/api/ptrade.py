@@ -192,6 +192,17 @@ class PTradeDataAPI:
             )
         return sorted(r[0] for r in meta.select("symbol").collect())
 
+    def get_Indeces(self, date=None) -> list[str]:
+        """Index codes known to the warehouse (``ptrade_data_api.py:154-156``
+        — the F3 split complement of ``get_Ashares``): distinct
+        ``index_constituents`` indices plus the benchmark."""
+        from simtradedata_spark.sources.synthetic import BENCHMARK
+
+        idx = self.wh.read("index_constituents").select("index_code").distinct()
+        codes = {r[0] for r in idx.collect()}
+        codes.add(BENCHMARK)
+        return sorted(codes)
+
     def get_stock_info(self, security, field=None) -> pd.DataFrame:
         """``ptrade_data_api.py:158-209``."""
         securities = [security] if isinstance(security, str) else list(security)

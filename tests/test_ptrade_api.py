@@ -164,3 +164,10 @@ def test_split_stock_index(spark):
     stocks, indices = split_stock_index(df)
     assert {r[0] for r in stocks.collect()} == {"600000.SS", "000001.SZ"}
     assert {r[0] for r in indices.collect()} == {"000300.SS", "399001.SZ"}
+
+
+def test_get_indeces(api):
+    idx = api.get_Indeces()
+    assert set(idx) == {"000016.SS", "000300.SS", "000905.SS"}
+    # disjoint from the stock universe (F3 split)
+    assert not set(idx) & set(api.get_Ashares())
