@@ -116,3 +116,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         "quality_score",
         F.round(len_score * punct_pen * digit_pen, 6),
     )
+
+
+# GPT-2-style pre-tokenizer segments: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Deliberately restricted to
+# syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle) — no
+# lookahead, so pure-whitespace runs are simply not counted as segments.
+BPE_PRETOKEN_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count(text_col: Column | str) -> Column:
+    """LLM token-budget proxy: count of GPT-2-style pre-tokenizer segments.
+    Real BPE merges operate within these segments, so the segment count is a
+    lower bound on (and strong correlate of) the actual BPE token count —
+    the standard cheap estimator when the tokenizer itself isn't shipped."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))

@@ -713,6 +713,32 @@ FROM documents
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Per-source LLM token budgeting: whitespace tokens + GPT-2-style
+    pre-tokenizer segment counts (BPE-ish lower bound on tokenizer cost).
+    The regex is restricted to Java-regex ∩ RE2 syntax so Spark and the
+    DuckDB oracle count identical segments."""
+    from simtradedata_spark.operators.textstats import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET = """
+SELECT source, count(*) AS n_docs,
+       sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> t <> ''))) AS ws_tokens,
+       sum(len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))
+           AS bpe_tokens
+FROM documents GROUP BY source
+"""
+
+
 def q_language_votes(spark, sf_dir):
     from simtradedata_spark.operators.textstats import detect_language
 
@@ -1142,6 +1168,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "code_conversion": (q_code_conversion, SQL_CODE_CONVERSION),
     "percent_roundtrip": (q_percent_roundtrip, SQL_PERCENT_ROUNDTRIP),
     "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
