@@ -94,3 +94,45 @@ def build_warehouse(spark: SparkSession, root: str, market=None) -> Warehouse:
     wh.write("index_constituents", market.index_constituents())
     wh.write("stock_status", market.stock_status())
     return wh
+
+
+class BucketedWarehouse(Warehouse):
+    """Warehouse variant whose fact tables are bucketed by symbol — the §6
+    checklist item realized. Bucketing pre-shuffles data ONCE at write time:
+    two tables bucketed by the same column into the same N join/aggregate on
+    that column with NO exchange at query time (verified by plan assertion in
+    tests). This is what turns the bars ⋈ adjust_factor / bars ⋈ valuation
+    hot joins into exchange-free sort-merge joins at 100 TB.
+
+    Bucketed writes go through ``saveAsTable`` (bucket metadata lives in the
+    metastore, which Spark requires for bucket-aware planning); the path
+    layout under ``spark.sql.warehouse.dir`` is ordinary parquet.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 8):
+        super().__init__(spark, root)
+        self.n_buckets = n_buckets
+
+    def _qualified(self, table: str) -> str:
+        return f"bucketed_{table}"
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+        if table in PARTITIONED and "symbol" in df.columns:
+            sort_cols = (
+                ["symbol", "trade_date"] if "trade_date" in df.columns else ["symbol"]
+            )
+            (
+                df.repartition(self.n_buckets, "symbol")
+                .write.mode(mode)
+                .bucketBy(self.n_buckets, "symbol")
+                .sortBy(*sort_cols)
+                .option("path", self.path(table))
+                .saveAsTable(self._qualified(table))
+            )
+        else:
+            super().write(table, df, mode)
+
+    def read(self, table: str) -> DataFrame:
+        if self.spark.catalog.tableExists(self._qualified(table)):
+            return self.spark.table(self._qualified(table))
+        return super().read(table)
