@@ -31,6 +31,17 @@ from simtradedata_spark.sources.tables import Warehouse
 
 BAR_FIELDS = ["open", "high", "low", "close", "volume", "money"]
 
+RESAMPLED_FIELDS = ["open", "high", "low", "close", "volume", "money", "n_bars"]
+
+# get_price frequency → resample_ohlc freq (None = native daily bars)
+_FREQUENCIES = {
+    "1d": None, "daily": None,
+    "1w": "W", "weekly": "W",
+    "1M": "M", "monthly": "M",
+    "1q": "Q", "quarterly": "Q",
+    "1y": "Y", "yearly": "Y",
+}
+
 VALUATION_FIELDS = [
     "pe_ttm", "pb", "ps_ttm", "pcf", "turnover_rate",
     "total_shares", "total_value", "float_value",
@@ -74,6 +85,16 @@ class PTradeDataAPI:
             bars = adjust_bars(bars, self.wh.read("adjust_factor"), fq)
         return bars
 
+    @staticmethod
+    def _resampled(bars: DataFrame, freq: str | None) -> DataFrame:
+        if freq is None:
+            return bars
+        from simtradedata_spark.operators.resample import resample_ohlc
+
+        return resample_ohlc(bars, freq).withColumnRenamed(
+            "period_start", "trade_date"
+        )
+
     def get_price(
         self,
         security,
@@ -88,16 +109,32 @@ class PTradeDataAPI:
 
         count mode returns the ``count`` bars strictly BEFORE ``end_date``
         (exclusive-of-today rule, spec ``:1977``); range mode is inclusive.
+
+        Beyond the reference (which warns and falls back to daily,
+        ``ptrade_data_api.py:58-61``): weekly/monthly/quarterly/yearly bars
+        are synthesized from adjusted daily bars via ``resample_ohlc`` (W4),
+        after the range filter so partially-covered edge periods aggregate
+        exactly the requested days. ``count`` then counts periods.
         """
-        if frequency not in ("1d", "daily"):
-            raise ValueError("only daily frequency is materialized; use resample_ohlc")
+        freq = _FREQUENCIES.get(frequency, KeyError)
+        if freq is KeyError:
+            raise ValueError(
+                f"frequency={frequency!r} not supported; one of {sorted(_FREQUENCIES)}"
+            )
         securities = [security] if isinstance(security, str) else list(security)
-        fields = fields or BAR_FIELDS
+        if freq is not None:
+            fields = fields or RESAMPLED_FIELDS
+            bad = set(fields) - set(RESAMPLED_FIELDS)
+            if bad:
+                raise ValueError(f"fields {sorted(bad)} unavailable at {frequency}")
+        else:
+            fields = fields or BAR_FIELDS
         bars = self._bars(securities, fq)
         if count is not None:
             end = _to_date_str(end_date) if end_date else None
             if end:
                 bars = bars.filter(F.col("trade_date") < end)
+            bars = self._resampled(bars, freq)
             w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
             bars = (
                 bars.withColumn("__rn", F.row_number().over(w))
@@ -109,6 +146,7 @@ class PTradeDataAPI:
                 bars = bars.filter(F.col("trade_date") >= _to_date_str(start_date))
             if end_date:
                 bars = bars.filter(F.col("trade_date") <= _to_date_str(end_date))
+            bars = self._resampled(bars, freq)
         pdf = (
             bars.select("symbol", "trade_date", *fields)
             .orderBy("trade_date", "symbol")

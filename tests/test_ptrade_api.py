@@ -171,3 +171,38 @@ def test_get_indeces(api):
     assert set(idx) == {"000016.SS", "000300.SS", "000905.SS"}
     # disjoint from the stock universe (F3 split)
     assert not set(idx) & set(api.get_Ashares())
+
+
+def test_get_price_weekly_resample(api):
+    daily = api.get_price("600000.SS", "2022-03-01", "2022-04-29")
+    weekly = api.get_price(
+        "600000.SS", "2022-03-01", "2022-04-29", frequency="1w"
+    )
+    # weekly bars must reproduce pandas' resample of the daily frame
+    import pandas as pd
+
+    d = daily.copy()
+    d.index = pd.to_datetime(d.index)
+    exp = pd.DataFrame(
+        {
+            "open": d.open.resample("W-SUN", label="left", closed="left").first(),
+            "high": d.high.resample("W-SUN", label="left", closed="left").max(),
+            "low": d.low.resample("W-SUN", label="left", closed="left").min(),
+            "close": d.close.resample("W-SUN", label="left", closed="left").last(),
+            "volume": d.volume.resample("W-SUN", label="left", closed="left").sum(),
+        }
+    ).dropna()
+    got = weekly[["open", "high", "low", "close", "volume"]].astype(float)
+    got.index = pd.to_datetime(got.index)
+    # spark's date_trunc('week') is Monday-anchored; pandas W-SUN label='left'
+    # labels the Sunday before — shift to align then compare values
+    exp.index = exp.index + pd.Timedelta(days=1)
+    pd.testing.assert_frame_equal(got.sort_index(), exp.sort_index(),
+                                  check_freq=False, check_names=False)
+
+
+def test_get_price_monthly_count_mode(api):
+    got = api.get_price("600000.SS", end_date="2022-12-30", frequency="1M", count=3)
+    assert len(got) == 3
+    # periods strictly before end_date, newest = December (bars before 12-30)
+    assert [str(i)[:7] for i in got.index] == ["2022-10", "2022-11", "2022-12"]
