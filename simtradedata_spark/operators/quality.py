@@ -1,0 +1,76 @@
+"""Data-quality gates for bar pipelines — the row-level complement to the
+reference's file-level integrity check (``h5_writer.py:511-537``, K6).
+
+Each check is a named boolean Column over a bar frame; ``validate_bars``
+evaluates them all in ONE aggregation pass (no per-check scans) and returns
+a tall (check, n_violations) frame. At 100 TB this is a single map-side
+combined groupBy-less agg — cost is one scan of the columns involved.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bar_checks(df: DataFrame | None = None) -> dict[str, Column]:
+    """OHLC + suspension invariants (BaoStock suspension semantics: flat OHLC
+    at preclose, zero volume — ``BaoStock_API_Reference.md:330``). Pass the
+    frame to adapt the suspension indicator to its schema (`suspended`
+    boolean or `trade_status` 0/1) and skip checks whose columns are absent."""
+    c = F.col
+    checks = {
+        "low_le_open": c("low") <= c("open"),
+        "low_le_close": c("low") <= c("close"),
+        "open_le_high": c("open") <= c("high"),
+        "close_le_high": c("close") <= c("high"),
+        "positive_prices": (c("low") > 0) & (c("high") > 0),
+        "nonneg_volume": c("volume") >= 0,
+        "nonneg_money": c("money") >= 0,
+    }
+    cols = set(df.columns) if df is not None else {"suspended", "preclose"}
+    susp = None
+    if "suspended" in cols:
+        susp = c("suspended")
+    elif "trade_status" in cols:
+        susp = c("trade_status") == 0
+    if susp is not None and "preclose" in cols:
+        checks["suspended_flat"] = ~susp | (
+            (c("open") == c("preclose"))
+            & (c("close") == c("preclose"))
+            & (c("volume") == 0)
+        )
+    return checks
+
+
+def validate_bars(
+    bars: DataFrame, checks: dict[str, Column] | None = None
+) -> DataFrame:
+    """(check, n_violations, n_rows) — all checks in one pass."""
+    checks = checks or bar_checks(bars)
+    aggs = [
+        F.sum(F.when(~expr, 1).otherwise(0)).alias(name)
+        for name, expr in checks.items()
+    ] + [F.count(F.lit(1)).alias("__n")]
+    row = bars.agg(*aggs)
+    stack_expr = ", ".join(f"'{name}', {name}" for name in checks)
+    return row.selectExpr(
+        f"stack({len(checks)}, {stack_expr}) AS (check, n_violations)",
+        "__n AS n_rows",
+    )
+
+
+def quarantine(
+    df: DataFrame, checks: dict[str, Column]
+) -> tuple[DataFrame, DataFrame]:
+    """Split (clean, quarantined) in one predicate: quarantined rows carry a
+    ``failed_checks`` array naming every violated invariant."""
+    failed = F.array_compact(
+        F.array(
+            *[F.when(~expr, F.lit(name)) for name, expr in checks.items()]
+        )
+    )
+    tagged = df.withColumn("failed_checks", failed)
+    clean = tagged.filter(F.size("failed_checks") == 0).drop("failed_checks")
+    bad = tagged.filter(F.size("failed_checks") > 0)
+    return clean, bad

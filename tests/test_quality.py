@@ -1,0 +1,39 @@
+"""Row-level data-quality gates over bars."""
+
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.quality import bar_checks, quarantine, validate_bars
+
+
+def test_synthetic_bars_pass_all_checks(spark, market):
+    bars = market.bars()
+    out = validate_bars(bars).collect()
+    assert all(r["n_violations"] == 0 for r in out), out
+    assert out[0]["n_rows"] == bars.count()
+
+
+def test_validate_and_quarantine_catch_violations(spark):
+    rows = [
+        # symbol, date, open, high, low, close, preclose, volume, money, susp
+        ("a", "2022-01-03", 10.0, 11.0, 9.0, 10.5, 10.0, 100.0, 1000.0, False),
+        ("a", "2022-01-04", 12.0, 11.0, 9.0, 10.5, 10.5, 100.0, 1000.0, False),  # open>high
+        ("a", "2022-01-05", 10.0, 11.0, 9.0, 10.5, 10.5, -5.0, 1000.0, False),   # volume<0
+        ("a", "2022-01-06", 10.0, 11.0, 9.0, 10.5, 10.0, 50.0, 500.0, True),     # susp not flat
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "symbol string, trade_date string, open double, high double, low double,"
+        " close double, preclose double, volume double, money double, suspended boolean",
+    )
+    got = {r["check"]: r["n_violations"] for r in validate_bars(df).collect()}
+    assert got["open_le_high"] == 1
+    assert got["nonneg_volume"] == 1
+    assert got["suspended_flat"] == 1
+    assert got["low_le_open"] == 0
+
+    clean, bad = quarantine(df, bar_checks(df))
+    assert clean.count() == 1
+    labels = {r["trade_date"]: set(r["failed_checks"]) for r in bad.collect()}
+    assert labels["2022-01-04"] == {"open_le_high"}
+    assert labels["2022-01-05"] == {"nonneg_volume"}
+    assert labels["2022-01-06"] == {"suspended_flat"}
