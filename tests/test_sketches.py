@@ -1,0 +1,36 @@
+"""Sketch aggregations stay within their advertised error of exact answers."""
+
+from pyspark.sql import functions as F
+
+from simtradedata_spark.catalog import load_table
+from simtradedata_spark.operators.sketches import approx_quantiles_by, hll_distinct_by
+
+
+def test_hll_within_rsd(spark):
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    approx = {
+        r["l_returnflag"]: r["approx_distinct"]
+        for r in hll_distinct_by(li, ["l_returnflag"], "l_orderkey").collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05 * 3  # 3 sigma of rsd=5%
+
+
+def test_approx_quantiles_near_exact(spark):
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem")
+    got = approx_quantiles_by(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+    ).collect()
+    for r in got:
+        flag, (p50, p90) = r["l_returnflag"], r["quantiles"]
+        exact = li.filter(F.col("l_returnflag") == flag).selectExpr(
+            "percentile(l_extendedprice, array(0.5, 0.9)) AS q"
+        ).first()["q"]
+        assert abs(p50 - exact[0]) / exact[0] < 0.01
+        assert abs(p90 - exact[1]) / exact[1] < 0.01
