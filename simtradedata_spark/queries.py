@@ -1036,6 +1036,48 @@ def q_macd_indicators(spark, sf_dir):
     return compute_indicators(_small_market(spark).bars())
 
 
+def q_purchases_within_7d(spark, sf_dir):
+    """Range join (bucketed-bin equi-join decomposition, no BNLJ): per
+    signup event, count/sum the same user's purchases in the next 7 days."""
+    from simtradedata_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    pairs = range_join(
+        signups, purchases, ["user_id"], "signup_ts", "purchase_ts",
+        lower=0.0, upper=7 * 86400.0,
+    )
+    agg = pairs.groupBy("signup_id").agg(
+        F.count(F.lit(1)).alias("n_purchases_7d"),
+        F.sum("value").alias("__val"),
+    )
+    return signups.join(agg, "signup_id", "left").select(
+        "signup_id",
+        F.coalesce("n_purchases_7d", F.lit(0)).alias("n_purchases_7d"),
+        F.round(F.coalesce("__val", F.lit(0.0)), 6).alias("purchase_value_7d"),
+    )
+
+
+SQL_PURCHASES_WITHIN_7D = """
+SELECT s.event_id AS signup_id,
+       count(p.event_id) AS n_purchases_7d,
+       round(coalesce(sum(p.value), 0.0), 6) AS purchase_value_7d
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = s.user_id
+ AND epoch(p.ts) - epoch(s.ts) >= 0
+ AND epoch(p.ts) - epoch(s.ts) <= 604800
+GROUP BY s.event_id
+"""
+
+
 def q_cosine_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs variant (the
     LSH-prefiltered scale path is exercised in tests/test_operators.py).
@@ -1173,6 +1215,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
+    "purchases_within_7d": (q_purchases_within_7d, SQL_PURCHASES_WITHIN_7D),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
     "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),

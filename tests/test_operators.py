@@ -257,3 +257,31 @@ def test_jaccard_prefix_equals_all_pairs(spark):
     )
     assert len(expect) > 0  # the data must actually exercise the operator
     assert got.equals(expect)
+
+
+def test_range_join_matches_naive(spark):
+    from simtradedata_spark.operators.rangejoin import range_join
+
+    rng = np.random.RandomState(9)
+    left = spark.createDataFrame(
+        [(int(i % 5), float(rng.randint(0, 1000)), i) for i in range(80)],
+        "k long, lval double, lid long",
+    )
+    right = spark.createDataFrame(
+        [(int(i % 5), float(rng.randint(0, 1000)), i) for i in range(80)],
+        "k long, rval double, rid long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, ["k"], "lval", "rval", -50.0, 120.0).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            (left.k == right.k)
+            & (right.rval - left.lval >= -50.0)
+            & (right.rval - left.lval <= 120.0),
+        ).collect()
+    )
+    assert got == naive and len(got) > 0
