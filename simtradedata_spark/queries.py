@@ -94,6 +94,38 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_brand_type_revenue(spark, sf_dir):
+    """Conditional aggregation over a broadcast fact⋈dim join (TPC-H Q14
+    shape): per part brand, discounted revenue plus the ECONOMY-type share."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    econ = F.when(F.col("p_type") == "ECONOMY", disc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(disc) / 100.0).alias("revenue"),
+            (F.sum(econ) / 100.0).alias("economy_revenue"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_BRAND_TYPE_REVENUE = """
+SELECT p_brand,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue,
+       sum(CASE WHEN p_type = 'ECONOMY'
+                THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                ELSE 0 END)/100.0 AS economy_revenue,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multi-way dimension join (J1/J3: broadcast dims)
 # ---------------------------------------------------------------------------
@@ -1180,6 +1212,7 @@ FROM events GROUP BY 1, 2
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
     "customers_without_orders": (
