@@ -285,3 +285,17 @@ def test_range_join_matches_naive(spark):
         ).collect()
     )
     assert got == naive and len(got) > 0
+
+
+def test_sql_surface_register_views(spark):
+    """SURVEY §7 design stance: every table reachable from SQL."""
+    from simtradedata_spark.catalog import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    out = spark.sql(
+        """SELECT r_name, count(*) AS n
+           FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r_name ORDER BY r_name"""
+    ).collect()
+    assert len(out) == 5 and all(r["n"] > 0 for r in out)
