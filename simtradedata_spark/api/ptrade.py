@@ -61,6 +61,7 @@ class PTradeDataAPI:
     def __init__(self, warehouse: Warehouse):
         self.wh = warehouse
         self.spark = warehouse.spark
+        self._table_cache: dict[str, bool] = {}
 
     # -- calendar ----------------------------------------------------------
 
@@ -80,10 +81,22 @@ class PTradeDataAPI:
     # -- bars --------------------------------------------------------------
 
     def _bars(self, securities: list[str], fq=None) -> DataFrame:
-        bars = self.wh.read("bars").filter(F.col("symbol").isin(securities))
         if fq in ("pre", "post"):
-            bars = adjust_bars(bars, self.wh.read("adjust_factor"), fq)
-        return bars
+            # materialized adjusted cache (sources/tables.py::
+            # materialize_adjusted): a pruned scan instead of a join
+            if self._has_table(f"bars_{fq}"):
+                return self.wh.read(f"bars_{fq}").filter(
+                    F.col("symbol").isin(securities)
+                )
+            bars = self.wh.read("bars").filter(F.col("symbol").isin(securities))
+            return adjust_bars(bars, self.wh.read("adjust_factor"), fq)
+        return self.wh.read("bars").filter(F.col("symbol").isin(securities))
+
+    def _has_table(self, name: str) -> bool:
+        cached = self._table_cache.get(name)
+        if cached is None:
+            cached = self._table_cache[name] = self.wh.exists(name)
+        return cached
 
     @staticmethod
     def _resampled(bars: DataFrame, freq: str | None) -> DataFrame:

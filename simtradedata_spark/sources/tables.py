@@ -136,3 +136,19 @@ class BucketedWarehouse(Warehouse):
         if self.spark.catalog.tableExists(self._qualified(table)):
             return self.spark.table(self._qualified(table))
         return super().read(table)
+
+
+def materialize_adjusted(wh: Warehouse) -> None:
+    """Persist pre/post-adjusted bars as first-class tables — the engine-side
+    analog of the reference's pre-adjusted HDF5 cache
+    (``utils/paths.py:46`` ADJ_PRE_CACHE_PATH). ``PTradeDataAPI`` uses these
+    transparently when present, turning every ``get_price(fq=...)`` from a
+    bars ⋈ adjust_factor join into a pruned scan. Refresh by re-running after
+    new exrights land (adjustment factors rewrite history by design, so the
+    materialization is a full rewrite of affected symbols, not an append)."""
+    from simtradedata_spark.operators.adjust import adjust_bars
+
+    bars = wh.read("bars")
+    af = wh.read("adjust_factor")
+    for fq in ("pre", "post"):
+        wh.write(f"bars_{fq}", adjust_bars(bars, af, fq))

@@ -206,3 +206,23 @@ def test_get_price_monthly_count_mode(api):
     assert len(got) == 3
     # periods strictly before end_date, newest = December (bars before 12-30)
     assert [str(i)[:7] for i in got.index] == ["2022-10", "2022-11", "2022-12"]
+
+
+def test_materialized_adjusted_cache(api, warehouse, spark):
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+    from simtradedata_spark.sources.tables import materialize_adjusted
+
+    on_the_fly = api.get_price("600000.SS", "2022-01-04", "2022-12-30", fq="post")
+    materialize_adjusted(warehouse)
+    try:
+        cached_api = PTradeDataAPI(warehouse)
+        assert cached_api._has_table("bars_post")
+        cached = cached_api.get_price(
+            "600000.SS", "2022-01-04", "2022-12-30", fq="post"
+        )
+        pd.testing.assert_frame_equal(cached, on_the_fly)
+    finally:
+        import shutil
+
+        for fq in ("pre", "post"):
+            shutil.rmtree(warehouse.path(f"bars_{fq}"), ignore_errors=True)
