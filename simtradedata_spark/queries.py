@@ -1210,11 +1210,137 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Fact-fact join shapes (J-family at scale: one unavoidable shuffle join,
+# dims broadcast; TPC-H Q3/Q4 shapes) + cohort analytics on the event stream
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: the filtered customer dim broadcasts into orders, so
+    the only shuffle is the unavoidable fact-fact orders⋈lineitem join on
+    l_orderkey; top-10 revenue with a total tie-break (l_orderkey)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-01-01"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue")
+        )
+    )
+    return top_k(rev, 10, F.col("revenue").desc(), F.col("l_orderkey")).select(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+        "revenue",
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, revenue
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '2000-01-01'
+    AND l_shipdate > TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3
+  ORDER BY revenue DESC, l_orderkey LIMIT 10
+)
+"""
+
+
+def q_order_priority_returns(spark, sf_dir):
+    """EXISTS as a left_semi join (the positive dual of F9's anti pattern):
+    orders with at least one returned lineitem, counted per priority. The
+    semi-join keeps the build side to one deduplicated key column — no
+    row multiplication, unlike an inner join + distinct."""
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+SQL_ORDER_PRIORITY_RETURNS = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_user_retention_cohorts(spark, sf_dir):
+    """Cohort retention on the event stream: cohort = user's first active
+    week (window min — one shuffle on user_id, no self-join), then distinct
+    users per (cohort_week, whole-week offset). Both engines truncate weeks
+    to Monday, so the day-difference is an exact multiple of 7."""
+    ev = _t(spark, sf_dir, "events")
+    wk = ev.select("user_id", F.date_trunc("week", "ts").alias("week"))
+    wk = wk.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return (
+        wk.select(
+            "user_id",
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_USER_RETENTION_COHORTS = """
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM (
+  SELECT user_id, date_trunc('week', ts) AS week,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_week
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "order_priority_returns": (
+        q_order_priority_returns,
+        SQL_ORDER_PRIORITY_RETURNS,
+    ),
+    "user_retention_cohorts": (
+        q_user_retention_cohorts,
+        SQL_USER_RETENTION_COHORTS,
+    ),
     "customers_without_orders": (
         q_customers_without_orders,
         SQL_CUSTOMERS_WITHOUT_ORDERS,
