@@ -47,6 +47,31 @@ VALUATION_FIELDS = [
     "total_shares", "total_value", "float_value",
 ]
 
+# get_fundamentals table → indicator-column group. The reference dispatches
+# these table names to four (deleted) per-domain fetchers
+# (``ptrade_data_api.py:484-590``); the grouping of the 23 canonical PTrade
+# indicators (``data_converter.py:247-271``) follows the BaoStock per-domain
+# query split (profit / growth / operation / balance,
+# ``docs/reference/baostock_api/BaoStock_API_Reference.md``).
+FUNDAMENTAL_TABLES = {
+    "profit_ability": [
+        "roe", "roe_ttm", "roa", "roa_ttm", "roa_ebit_ttm", "roic",
+        "net_profit_ratio", "net_profit_ratio_ttm",
+        "gross_income_ratio", "gross_income_ratio_ttm",
+    ],
+    "growth_ability": [
+        "operating_revenue_grow_rate", "net_profit_grow_rate",
+        "total_asset_grow_rate", "basic_eps_yoy", "np_parent_company_yoy",
+    ],
+    "operating_ability": [
+        "accounts_receivables_turnover_rate", "inventory_turnover_rate",
+        "total_asset_turnover_rate", "current_assets_turnover_rate",
+    ],
+    "debt_paying_ability": [
+        "current_ratio", "quick_ratio", "debt_equity_ratio", "interest_cover",
+    ],
+}
+
 
 def _to_date_str(d) -> str:
     if isinstance(d, _date):
@@ -357,6 +382,15 @@ class PTradeDataAPI:
         stocks = [stocks] if isinstance(stocks, str) else list(stocks)
         if table == "valuation":
             return self._valuation_fundamentals(stocks, fields, date)
+        if table not in FUNDAMENTAL_TABLES:
+            raise ValueError(
+                f"table={table!r} not supported; one of "
+                f"{['valuation', *sorted(FUNDAMENTAL_TABLES)]}"
+            )
+        # each ability table is a projection of the one tall quarterly table
+        # (the reference's four per-domain fetchers, ptrade_data_api.py:484-590)
+        if fields is None:
+            fields = FUNDAMENTAL_TABLES[table]
         f = self.wh.read("fundamentals").filter(F.col("symbol").isin(stocks))
         if report_types:
             rts = [int(r) for r in (
@@ -386,7 +420,7 @@ class PTradeDataAPI:
                 f = f.filter(F.year("end_date") <= int(end_year))
             pdf = f.orderBy("symbol", "end_date").toPandas()
         if fields:
-            keep = ["symbol", "end_date", "publ_date"] + [
+            keep = ["symbol", "end_date", "publ_date", "report_type", "merge_seq"] + [
                 c for c in fields if c in pdf.columns
             ]
             pdf = pdf[[c for c in keep if c in pdf.columns]]

@@ -88,3 +88,43 @@ def compute_indicators(bars: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .applyInPandas(_compute_group, OUT_SCHEMA)
     )
+
+
+def macd_series(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_col: str,
+    spans: tuple[int, int, int] = (12, 26, 9),
+) -> DataFrame:
+    """MACD over any keyed series (not just bars): appends dif/dea/macd to
+    the input columns. Same grouped-map shape as compute_indicators — the
+    EMA recursion runs sequentially inside each key's Arrow batch, parallel
+    across keys. SQL-checkable: the adjust=False recurrence has the closed
+    form e_i = Σ_j w_ij·x_j with w = α(1−α)^(i−j) (j>1) and (1−α)^(i−1)
+    for j=1, which a DuckDB self-join computes exactly (see
+    queries.py::SQL_MACD_ORDERS)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    s_fast, s_slow, s_sig = spans
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("dif", DoubleType()),
+            StructField("dea", DoubleType()),
+            StructField("macd", DoubleType()),
+        ]
+    )
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col]
+        dif = (
+            x.ewm(span=s_fast, adjust=False).mean()
+            - x.ewm(span=s_slow, adjust=False).mean()
+        )
+        dea = dif.ewm(span=s_sig, adjust=False).mean()
+        pdf["dif"], pdf["dea"], pdf["macd"] = dif, dea, 2 * (dif - dea)
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(_grp, out_schema)

@@ -1374,6 +1374,67 @@ GROUP BY 1, 2
 """
 
 
+def q_macd_orders(spark, sf_dir):
+    """W7's EMA recursion, oracle-CHECKED: MACD of the daily mean order
+    value per priority. Spark runs the production operator (sequential ewm
+    inside per-key Arrow batches); DuckDB verifies via the closed form
+    e_i = Σ w_ij x_j of the adjust=False recurrence (an O(n²) self-join the
+    oracle can afford at test scale). The series value is built from exact
+    integer cents so both engines feed bit-identical doubles into the EMA;
+    outputs are rounded to 2dp (≈7 significant digits here) so the ~1e-9
+    closed-form-vs-recursion float drift cannot flip the comparison."""
+    from simtradedata_spark.operators.indicators import macd_series
+
+    orders = _t(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        (F.sum(cents("o_totalprice")) / (100.0 * F.count(F.lit(1)))).alias("x")
+    )
+    out = macd_series(series, "x", ["priority"], "d")
+    return out.select(
+        "priority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.round("dif", 2).alias("dif"),
+        F.round("dea", 2).alias("dea"),
+        F.round("macd", 2).alias("macd"),
+    )
+
+
+SQL_MACD_ORDERS = """
+WITH s AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / (100.0 * count(*)) AS x
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT priority, d, x,
+         row_number() OVER (PARTITION BY priority ORDER BY d) AS rn
+  FROM s
+), dif_t AS (
+  -- closed form of ewm(adjust=False): weight a(1-a)^(i-j), except the
+  -- seed row j=1 keeps weight (1-a)^(i-1)
+  SELECT a.priority, a.d, a.rn,
+         sum((CASE WHEN b.rn = 1 THEN power(11.0/13, a.rn-1)
+              ELSE (2.0/13)*power(11.0/13, a.rn-b.rn) END) * b.x)
+       - sum((CASE WHEN b.rn = 1 THEN power(25.0/27, a.rn-1)
+              ELSE (2.0/27)*power(25.0/27, a.rn-b.rn) END) * b.x) AS dif
+  FROM r a JOIN r b ON a.priority = b.priority AND b.rn <= a.rn
+  GROUP BY 1, 2, 3
+), dea_t AS (
+  SELECT a.priority, a.d, a.dif,
+         sum((CASE WHEN b.rn = 1 THEN power(0.8, a.rn-1)
+              ELSE 0.2*power(0.8, a.rn-b.rn) END) * b.dif) AS dea
+  FROM dif_t a JOIN dif_t b ON a.priority = b.priority AND b.rn <= a.rn
+  GROUP BY 1, 2, 3, a.rn
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d,
+       round(dif, 2) AS dif, round(dea, 2) AS dea,
+       round(2*(dif - dea), 2) AS macd
+FROM dea_t
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -1435,4 +1496,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "synthetic_bars": (q_synthetic_bars, None),
     "adjusted_bars_post": (q_adjusted_bars_post, None),
     "macd_indicators": (q_macd_indicators, None),
+    "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
 }

@@ -107,13 +107,34 @@ def test_fundamentals_no_lookahead(api, warehouse):
 def test_fundamentals_merge_type(api):
     """'latest' must pick the restated 2022Q4 row, 'first' the original."""
     sym = "600000.SS"
-    first = api.get_fundamentals(sym, start_year=2022, end_year=2022, merge_type="first")
-    latest = api.get_fundamentals(sym, start_year=2022, end_year=2022, merge_type="latest")
+    first = api.get_fundamentals(sym, table="profit_ability",
+                                 start_year=2022, end_year=2022, merge_type="first")
+    latest = api.get_fundamentals(sym, table="profit_ability",
+                                  start_year=2022, end_year=2022, merge_type="latest")
     q4f = first[first.end_date.astype(str) == "2022-12-31"]
     q4l = latest[latest.end_date.astype(str) == "2022-12-31"]
     assert len(q4f) == 1 and len(q4l) == 1
     assert q4f.iloc[0].merge_seq == 0 and q4l.iloc[0].merge_seq == 1
     assert q4f.iloc[0].roe != q4l.iloc[0].roe
+
+
+def test_fundamentals_table_dispatch(api):
+    """Each ability table projects its own indicator group
+    (ptrade_data_api.py:484-590 dispatch; BaoStock per-domain query split)."""
+    import pytest
+
+    from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
+
+    sym = "600000.SS"
+    for table, cols in FUNDAMENTAL_TABLES.items():
+        got = api.get_fundamentals(sym, table=table, start_year=2022, end_year=2022)
+        assert set(cols) <= set(got.columns), table
+        other = {
+            c for t, cs in FUNDAMENTAL_TABLES.items() if t != table for c in cs
+        } - set(cols)
+        assert not other & set(got.columns), table
+    with pytest.raises(ValueError, match="not supported"):
+        api.get_fundamentals(sym, table="income_statement")
 
 
 def test_index_stocks_point_in_time(api, warehouse):
