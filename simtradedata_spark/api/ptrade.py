@@ -105,17 +105,23 @@ class PTradeDataAPI:
 
     # -- bars --------------------------------------------------------------
 
-    def _bars(self, securities: list[str], fq=None) -> DataFrame:
+    def _bars(self, securities: list[str], fq=None, start=None, end=None) -> DataFrame:
+        """start/end (inclusive date strings) flow into read_range so the
+        trade_year partition predicates prune directories at the scan."""
         if fq in ("pre", "post"):
             # materialized adjusted cache (sources/tables.py::
             # materialize_adjusted): a pruned scan instead of a join
             if self._has_table(f"bars_{fq}"):
-                return self.wh.read(f"bars_{fq}").filter(
+                return self.wh.read_range(f"bars_{fq}", start, end).filter(
                     F.col("symbol").isin(securities)
                 )
-            bars = self.wh.read("bars").filter(F.col("symbol").isin(securities))
+            bars = self.wh.read_range("bars", start, end).filter(
+                F.col("symbol").isin(securities)
+            )
             return adjust_bars(bars, self.wh.read("adjust_factor"), fq)
-        return self.wh.read("bars").filter(F.col("symbol").isin(securities))
+        return self.wh.read_range("bars", start, end).filter(
+            F.col("symbol").isin(securities)
+        )
 
     def _has_table(self, name: str) -> bool:
         cached = self._table_cache.get(name)
@@ -167,10 +173,13 @@ class PTradeDataAPI:
                 raise ValueError(f"fields {sorted(bad)} unavailable at {frequency}")
         else:
             fields = fields or BAR_FIELDS
-        bars = self._bars(securities, fq)
+        start = _to_date_str(start_date) if (start_date and count is None) else None
+        end = _to_date_str(end_date) if end_date else None
+        bars = self._bars(securities, fq, start, end)
         if count is not None:
-            end = _to_date_str(end_date) if end_date else None
             if end:
+                # read_range bounded <= end; the exclusive-of-today rule
+                # (spec :1977) still needs the strict inequality
                 bars = bars.filter(F.col("trade_date") < end)
             bars = self._resampled(bars, freq)
             w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
@@ -180,10 +189,6 @@ class PTradeDataAPI:
                 .drop("__rn")
             )
         else:
-            if start_date:
-                bars = bars.filter(F.col("trade_date") >= _to_date_str(start_date))
-            if end_date:
-                bars = bars.filter(F.col("trade_date") <= _to_date_str(end_date))
             bars = self._resampled(bars, freq)
         pdf = (
             bars.select("symbol", "trade_date", *fields)
@@ -211,9 +216,9 @@ class PTradeDataAPI:
             [security_list] if isinstance(security_list, str) else list(security_list)
         )
         fields = [field] if isinstance(field, str) else list(field)
-        bars = self._bars(securities, fq)
-        if current_date:
-            cur = _to_date_str(current_date)
+        cur = _to_date_str(current_date) if current_date else None
+        bars = self._bars(securities, fq, end=cur)
+        if cur:
             bars = bars.filter(
                 F.col("trade_date") <= cur if include else F.col("trade_date") < cur
             )
@@ -464,7 +469,10 @@ class PTradeDataAPI:
 
     def get_indicators(self, security, start_date=None, end_date=None) -> pd.DataFrame:
         securities = [security] if isinstance(security, str) else list(security)
-        bars = self._bars(securities, fq="post")
+        # only the END bound is safe to push to the scan: EMA state at
+        # start_date depends on all earlier bars (warmup), later ones never
+        end = _to_date_str(end_date) if end_date else None
+        bars = self._bars(securities, fq="post", end=end)
         ind = compute_indicators(bars)
         if start_date:
             ind = ind.filter(F.col("trade_date") >= _to_date_str(start_date))

@@ -57,6 +57,31 @@ class Warehouse:
         df = self.spark.read.parquet(self.path(table))
         return df.drop("trade_year") if "trade_year" in df.columns else df
 
+    def read_range(
+        self,
+        table: str,
+        start: str | None = None,
+        end: str | None = None,
+        date_col: str = "trade_date",
+    ) -> DataFrame:
+        """Date-bounded read that actually PRUNES partitions: a predicate on
+        ``date_col`` alone never prunes a ``trade_year``-partitioned table
+        (pruning needs partition-column predicates), so the year bounds are
+        derived here before the partition column is dropped. At 100 TB this
+        is the difference between scanning one year's directory and all of
+        them for a backtest-day slice."""
+        df = self.spark.read.parquet(self.path(table))
+        pruned = "trade_year" in df.columns
+        if start:
+            df = df.filter(F.col(date_col) >= start)
+            if pruned:
+                df = df.filter(F.col("trade_year") >= int(start[:4]))
+        if end:
+            df = df.filter(F.col(date_col) <= end)
+            if pruned:
+                df = df.filter(F.col("trade_year") <= int(end[:4]))
+        return df.drop("trade_year") if pruned else df
+
     def exists(self, table: str) -> bool:
         """K6 integrity: the parquet footer read doubles as an openability
         check (h5_writer.py:511-537 analog)."""

@@ -1,0 +1,78 @@
+"""Physical-plan audits: SCALE.md §2's plan-shape claims, asserted.
+
+These tests pin the *shape* of the plans Catalyst produces — broadcast vs
+sort-merge, partition pruning, filter/column pushdown, TakeOrdered — so a
+refactor that silently degrades a plan (e.g. loses a broadcast and shuffles
+the fact table) fails CI, not the 100 TB run."""
+
+from pyspark.sql import functions as F
+
+from simtradedata_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_read_range_prunes_partitions(warehouse):
+    bounded = warehouse.read_range("bars", "2022-03-01", "2022-03-31")
+    p = plan(bounded)
+    assert "PartitionFilters" in p
+    assert "trade_year" in p.split("PartitionFilters")[1][:200]
+    # unbounded read keeps an empty partition-filter list
+    p_all = plan(warehouse.read("bars"))
+    assert "PartitionFilters: []" in p_all
+
+
+def test_region_revenue_all_dims_broadcast(spark):
+    p = plan(QUERIES["region_revenue"][0](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan(QUERIES["pricing_summary"][0](spark, SF))
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read join keys the query never uses
+    read_schema = p.split("ReadSchema")[1]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+
+
+def test_top_customers_uses_take_ordered(spark):
+    p = plan(QUERIES["top_customers"][0](spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_order_priority_returns_semi_join(spark):
+    p = plan(QUERIES["order_priority_returns"][0](spark, SF))
+    assert "LeftSemi" in p
+
+
+def test_shipping_priority_single_shuffle_join(spark):
+    """The filtered customer dim must broadcast; only the fact-fact
+    orders⋈lineitem join may shuffle."""
+    p = plan(QUERIES["shipping_priority"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_moving_avg_single_exchange(spark):
+    """Window over (key, time): exactly one hash-partitioning exchange."""
+    from simtradedata_spark.operators.windows import moving_avg
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    ma = moving_avg(li, "l_extendedprice", 3, ["l_suppkey"], ["l_shipdate"])
+    assert plan(ma).count("Exchange hashpartitioning") == 1
+
+
+def test_get_price_prunes_partitions(api):
+    """The §3.2 point: a backtest-day slice is a partition-pruned scan."""
+    df = api._bars(["600000.SS"], start="2022-02-01", end="2022-02-28")
+    p = plan(df)
+    assert "PartitionFilters" in p
+    pf = p.split("PartitionFilters")[1][:250]
+    assert "2022" in pf
+    # the symbol predicate reaches the parquet row groups too
+    assert "PushedFilters" in p and "symbol" in p.split("PushedFilters")[1][:250]
