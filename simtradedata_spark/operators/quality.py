@@ -60,6 +60,40 @@ def validate_bars(
     )
 
 
+def anomaly_flags(
+    df: DataFrame,
+    by: list[str],
+    order_col: str,
+    price_col: str = "close",
+    vol_col: str = "volume",
+    jump_threshold: float = 0.20,
+    vol_multiple: float = 5.0,
+) -> DataFrame:
+    """The reference's §5.3 anomaly rules (``DATA_MAPPING.md:643-647``) as
+    window flags: ``is_price_jump`` — |day-over-day change| beyond ±20%;
+    ``is_zero_volume``; ``is_extreme_volume`` — volume above ``vol_multiple``
+    × the per-key median. One shuffle on the key serves both the lag and the
+    median (exact ``percentile``; swap for ``approx_percentile`` at 100 TB
+    where exact per-key sort is not worth it)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*by).orderBy(order_col)
+    whole = Window.partitionBy(*by)
+    prev = F.lag(price_col).over(w)
+    med = F.expr(f"percentile({vol_col}, 0.5)").over(whole)
+    return (
+        df.withColumn(
+            "is_price_jump",
+            F.when(
+                prev.isNotNull(),
+                F.abs(F.col(price_col) / prev - 1) > jump_threshold,
+            ).otherwise(F.lit(False)),
+        )
+        .withColumn("is_zero_volume", F.col(vol_col) == 0)
+        .withColumn("is_extreme_volume", F.col(vol_col) > vol_multiple * med)
+    )
+
+
 def quarantine(
     df: DataFrame, checks: dict[str, Column]
 ) -> tuple[DataFrame, DataFrame]:

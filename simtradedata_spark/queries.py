@@ -1435,6 +1435,61 @@ FROM dea_t
 """
 
 
+def q_anomaly_days(spark, sf_dir):
+    """Reference §5.3 anomaly rules (DATA_MAPPING.md:643-647) on the daily
+    order series: days whose revenue jumps ±20% day-over-day or whose order
+    count exceeds 1.5× the per-priority median. Revenue is exact cents so
+    the ratio comparison is bit-identical across engines."""
+    from simtradedata_spark.operators.quality import anomaly_flags
+
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        (F.sum(cents("o_totalprice")) / 100.0).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    flagged = anomaly_flags(
+        daily,
+        by=["priority"],
+        order_col="d",
+        price_col="rev",
+        vol_col="n_orders",
+        jump_threshold=0.20,
+        vol_multiple=1.5,
+    )
+    return flagged.filter(
+        F.col("is_price_jump") | F.col("is_extreme_volume")
+    ).select(
+        "priority",
+        F.date_format("d", "yyyy-MM-dd").alias("d"),
+        F.col("is_price_jump").cast("int").alias("is_jump"),
+        F.col("is_extreme_volume").cast("int").alias("is_extreme"),
+    )
+
+
+SQL_ANOMALY_DAYS = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS rev,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT priority, d,
+         CASE WHEN lag(rev) OVER w IS NOT NULL
+              AND abs(rev / lag(rev) OVER w - 1) > 0.20
+              THEN 1 ELSE 0 END AS is_jump,
+         CASE WHEN n_orders > 1.5 * median(n_orders) OVER (PARTITION BY priority)
+              THEN 1 ELSE 0 END AS is_extreme
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY d)
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d, is_jump, is_extreme
+FROM flagged WHERE is_jump = 1 OR is_extreme = 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -1497,4 +1552,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "adjusted_bars_post": (q_adjusted_bars_post, None),
     "macd_indicators": (q_macd_indicators, None),
     "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
+    "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
 }

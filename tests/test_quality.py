@@ -37,3 +37,30 @@ def test_validate_and_quarantine_catch_violations(spark):
     assert labels["2022-01-04"] == {"open_le_high"}
     assert labels["2022-01-05"] == {"nonneg_volume"}
     assert labels["2022-01-06"] == {"suspended_flat"}
+
+
+def test_anomaly_flags_planted(spark):
+    """§5.3 anomaly rules (DATA_MAPPING.md:643-647) on planted cases."""
+    from simtradedata_spark.operators.quality import anomaly_flags
+
+    rows = [
+        ("a", "2022-01-03", 10.0, 100.0),
+        ("a", "2022-01-04", 10.5, 100.0),   # +5% — normal
+        ("a", "2022-01-05", 13.0, 100.0),   # +23.8% — jump
+        ("a", "2022-01-06", 13.0, 0.0),     # zero volume
+        ("a", "2022-01-07", 13.0, 900.0),   # 9x median — extreme
+        ("b", "2022-01-03", 50.0, 100.0),   # first row of key: never a jump
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date string, close double, volume double"
+    )
+    got = {
+        (r["symbol"], r["trade_date"]): r
+        for r in anomaly_flags(df, ["symbol"], "trade_date").collect()
+    }
+    assert got[("a", "2022-01-05")]["is_price_jump"]
+    assert not got[("a", "2022-01-04")]["is_price_jump"]
+    assert not got[("b", "2022-01-03")]["is_price_jump"]  # lag is null
+    assert got[("a", "2022-01-06")]["is_zero_volume"]
+    assert got[("a", "2022-01-07")]["is_extreme_volume"]
+    assert not got[("a", "2022-01-03")]["is_extreme_volume"]
