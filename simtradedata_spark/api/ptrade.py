@@ -316,6 +316,84 @@ class PTradeDataAPI:
             ).select("symbol").collect()
         )
 
+    _SORT_FIELDS = (
+        "px_change_rate", "business_amount", "business_balance",
+        "rise_count", "fall_count", "wavg_px",
+    )
+
+    def get_sort_msg(
+        self,
+        sort_type_grp="industry",
+        sort_field_name="px_change_rate",
+        sort_type=1,
+        data_count=100,
+        date=None,
+    ) -> list[dict]:
+        """Industry/sector ranking (spec ``PTrade_API_mini_Reference.md:2320``;
+        not implemented by the reference). Groups stocks by
+        ``blocks[sort_type_grp]`` and ranks groups at ``date`` (default: the
+        last trading day) by: px_change_rate (equal-weighted mean of member
+        day-over-day changes), business_amount (Σ volume), business_balance
+        (Σ money), rise_count / fall_count, or wavg_px (Σmoney / Σvolume).
+        One partition-pruned two-day scan + a broadcast metadata join."""
+        if sort_field_name not in self._SORT_FIELDS:
+            raise ValueError(
+                f"sort_field_name={sort_field_name!r}; one of {self._SORT_FIELDS}"
+            )
+        days = self.get_trade_days(end_date=date)
+        if len(days) < 2:
+            return []
+        prev_d, d = days[-2], days[-1]
+        bars = self.wh.read_range("bars", prev_d, d).select(
+            "symbol", "trade_date", "close", "volume", "money"
+        )
+        meta = self.wh.read("stock_metadata").select(
+            "symbol", F.col("blocks")[sort_type_grp].alias("grp")
+        ).filter(F.col("grp").isNotNull())
+        on_day = lambda day, c: F.max(
+            F.when(F.col("trade_date") == day, F.col(c))
+        )
+        per_stock = (
+            bars.join(F.broadcast(meta), "symbol")
+            .groupBy("symbol", "grp")
+            .agg(
+                on_day(d, "close").alias("close"),
+                on_day(prev_d, "close").alias("preclose"),
+                on_day(d, "volume").alias("volume"),
+                on_day(d, "money").alias("money"),
+            )
+            .filter(F.col("close").isNotNull() & F.col("preclose").isNotNull())
+        )
+        pct = F.col("close") / F.col("preclose") - 1
+        grp = per_stock.groupBy("grp").agg(
+            F.avg(pct).alias("px_change_rate"),
+            F.sum("volume").alias("business_amount"),
+            F.sum("money").alias("business_balance"),
+            F.sum(F.when(pct > 0, 1).otherwise(0)).alias("rise_count"),
+            F.sum(F.when(pct < 0, 1).otherwise(0)).alias("fall_count"),
+            (F.sum("money") / F.sum("volume")).alias("wavg_px"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        order = F.col(sort_field_name)
+        ranked = grp.orderBy(
+            order.asc() if sort_type == 0 else order.desc(), F.col("grp")
+        ).limit(int(data_count))
+        return [
+            {
+                "prod_code": r["grp"],
+                "prod_name": r["grp"],
+                "hq_type_code": sort_type_grp,
+                "px_change_rate": r["px_change_rate"],
+                "business_amount": r["business_amount"],
+                "business_balance": r["business_balance"],
+                "rise_count": r["rise_count"],
+                "fall_count": r["fall_count"],
+                "wavg_px": r["wavg_px"],
+                "n_members": r["n_members"],
+            }
+            for r in ranked.collect()
+        ]
+
     def get_stock_exrights(self, security: str, date=None) -> pd.DataFrame | None:
         """``ptrade_data_api.py:246-271``: ex-rights rows, int yyyymmdd index
         (``data_converter.py:356``)."""

@@ -2,6 +2,7 @@
 
 import os
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from simtradedata_spark.streaming.incremental import (
@@ -87,3 +88,65 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     finally:
         q.stop()
     assert out["n"] == out["d"] == 200
+
+
+def test_streaming_minute_bars_match_batch(spark, tmp_path):
+    """The N3 minute-bar aggregator: stream result == batch result on every
+    window closed by the final watermark."""
+    import datetime
+
+    import numpy as np
+
+    from simtradedata_spark.streaming.incremental import (
+        minute_bar_agg,
+        streaming_minute_bars,
+    )
+
+    rng = np.random.RandomState(7)
+    base = datetime.datetime(2024, 1, 2, 9, 30)
+    rows = [
+        (
+            sym,
+            base + datetime.timedelta(seconds=int(i * 2.7 + k)),
+            float(100 + rng.randn()),
+            float(rng.randint(1, 10) * 100),
+        )
+        for k, sym in enumerate(["600000.SS", "000001.SZ"])
+        for i in range(400)
+    ]
+    ticks = spark.createDataFrame(
+        rows, "symbol string, ts timestamp, price double, qty double"
+    )
+    src = str(tmp_path / "ticks")
+    # the real ticks span ~18 min; a 30-min watermark means no arrival order
+    # of these files can make any of them late. The flush file (written
+    # later, so a later mod-time ⇒ a later micro-batch) advances the
+    # watermark far past the real data and closes every real window.
+    ticks.coalesce(3).write.mode("overwrite").parquet(src)
+    import time
+
+    time.sleep(1.1)  # distinct mtime so the source orders it after the data
+    flush = spark.createDataFrame(
+        [("FLUSH", base + datetime.timedelta(hours=10), 1.0, 1.0)],
+        ticks.schema,
+    )
+    flush.coalesce(1).write.mode("append").parquet(src)
+
+    q = streaming_minute_bars(
+        spark, src, ticks.schema, watermark="30 minutes", query_name="t_bars"
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_bars WHERE symbol != 'FLUSH'").toPandas()
+    finally:
+        q.stop()
+
+    # every real window is closed by the flush ⇒ stream ≡ batch exactly
+    batch = minute_bar_agg(ticks).toPandas()
+    key = ["symbol", "minute_start"]
+    got = got.sort_values(key).reset_index(drop=True)
+    batch = batch.sort_values(key).reset_index(drop=True)
+    assert len(batch) > 10
+    pd.testing.assert_frame_equal(
+        got[batch.columns], batch, check_exact=False, rtol=1e-12
+    )

@@ -247,3 +247,33 @@ def test_materialized_adjusted_cache(api, warehouse, spark):
 
         for fq in ("pre", "post"):
             shutil.rmtree(warehouse.path(f"bars_{fq}"), ignore_errors=True)
+
+
+def test_get_sort_msg_industry_ranking(api, warehouse):
+    """Ranking must agree with a pandas recompute from raw tables."""
+    out = api.get_sort_msg(sort_field_name="business_balance", data_count=5)
+    assert out and len(out) <= 5
+    balances = [r["business_balance"] for r in out]
+    assert balances == sorted(balances, reverse=True)
+
+    days = api.get_trade_days()
+    prev_d, d = days[-2], days[-1]
+    bars = warehouse.read("bars").toPandas()
+    bars["trade_date"] = bars["trade_date"].astype(str)
+    meta = warehouse.read("stock_metadata").toPandas()
+    ind = {r.symbol: r.blocks.get("industry") for r in meta.itertuples()}
+    day = bars[bars.trade_date == d].copy()
+    day["grp"] = day.symbol.map(ind)
+    expect = day.groupby("grp").money.sum().sort_values(ascending=False)
+    got_top = out[0]
+    assert got_top["prod_code"] == expect.index[0]
+    assert abs(got_top["business_balance"] - expect.iloc[0]) < 1e-6
+
+    # ascending mode + field validation
+    asc = api.get_sort_msg(sort_field_name="px_change_rate", sort_type=0, data_count=3)
+    rates = [r["px_change_rate"] for r in asc]
+    assert rates == sorted(rates)
+    import pytest
+
+    with pytest.raises(ValueError, match="sort_field_name"):
+        api.get_sort_msg(sort_field_name="nope")
