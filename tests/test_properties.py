@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) for the invariant-heavy operators.
+
+Each example ships a whole LIST of generated cases as one DataFrame, so a
+property costs a handful of Spark jobs, not one per case. Deadlines are
+disabled — Spark job latency is not the code under test."""
+
+import datetime
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from simtradedata_spark.functions.codes import from_ptrade_code, to_ptrade_code
+from simtradedata_spark.operators.asof import asof_join
+from simtradedata_spark.operators.resample import resample_ohlc
+
+RELAXED = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+digits = st.text("0123456789", min_size=6, max_size=6)
+markets = st.sampled_from(["bare", "sh.", "sz.", ".SS", ".SH", ".SZ"])
+
+
+@st.composite
+def raw_codes(draw):
+    num, form = draw(digits), draw(markets)
+    if form == "bare":
+        return num
+    if form in ("sh.", "sz."):
+        return form + num
+    return num + form
+
+
+@given(st.lists(raw_codes(), min_size=1, max_size=40))
+@RELAXED
+def test_code_conversion_roundtrip(spark, codes):
+    """to_ptrade is idempotent-normalizing; from∘to keeps the digits and
+    maps markets consistently (C1 round-trip, code_utils.py:9-94)."""
+    df = spark.createDataFrame([(c,) for c in codes], "raw string")
+    out = df.select(
+        "raw",
+        to_ptrade_code("raw").alias("pt"),
+        from_ptrade_code(to_ptrade_code("raw")).alias("bs"),
+        to_ptrade_code(from_ptrade_code(to_ptrade_code("raw"))).alias("pt2"),
+    ).collect()
+    for r in out:
+        num = r["raw"].lstrip("shz.")[:6] if not r["raw"][0].isdigit() else r["raw"][:6]
+        assert r["pt"].startswith(num)
+        assert r["pt"].endswith((".SS", ".SZ"))
+        # .SH alias normalizes to .SS, so a second round-trip is a fixpoint
+        assert r["pt2"] == r["pt"]
+        assert r["bs"] == ("sh." if r["pt"].endswith(".SS") else "sz.") + num
+
+
+bar_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B"]),
+        st.integers(min_value=0, max_value=400),  # day offset
+        st.floats(min_value=1, max_value=1000, allow_nan=False, width=32),
+        st.floats(min_value=0, max_value=1e6, allow_nan=False, width=32),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@given(bar_rows)
+@RELAXED
+def test_resample_conserves_and_bounds(spark, rows):
+    """W4 invariants for any daily series: per-period volume/money conserve,
+    high/low bound all member closes, open/close are the first/last bars."""
+    base = datetime.date(2022, 1, 1)
+    data = [
+        (
+            sym,
+            base + datetime.timedelta(days=off),
+            float(px) * 1.01,
+            float(px) * 1.02,
+            float(px),
+            float(px) * 1.005,
+            float(vol),
+            float(vol) * px,
+        )
+        for sym, off, px, vol in rows
+    ]
+    df = spark.createDataFrame(
+        data,
+        "symbol string, trade_date date, open double, high double,"
+        " low double, close double, volume double, money double",
+    )
+    out = resample_ohlc(df, "M").toPandas()
+    pdf = df.toPandas()
+    pdf["period_start"] = pd.to_datetime(pdf["trade_date"]).dt.to_period("M").dt.start_time.dt.date
+    g = pdf.sort_values("trade_date").groupby(["symbol", "period_start"])
+    expect = g.agg(
+        open=("open", "first"), high=("high", "max"), low=("low", "min"),
+        close=("close", "last"), volume=("volume", "sum"), money=("money", "sum"),
+        n_bars=("close", "size"),
+    ).reset_index()
+    got = out.sort_values(["symbol", "period_start"]).reset_index(drop=True)
+    expect = expect.sort_values(["symbol", "period_start"]).reset_index(drop=True)
+    assert len(got) == len(expect)
+    for col in ["open", "high", "low", "close", "volume", "money", "n_bars"]:
+        pd.testing.assert_series_equal(
+            got[col].astype(float), expect[col].astype(float),
+            check_names=False, rtol=1e-9,
+        )
+
+
+asof_case = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=30,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=30,
+             unique=True),
+)
+
+
+@given(asof_case)
+@RELAXED
+def test_asof_join_matches_merge_asof(spark, case):
+    """J5 for arbitrary probe/build time sets: result ≡ pandas merge_asof
+    (backward), i.e. most-recent-at-or-before with no lookahead."""
+    left_ts, right_ts = case
+    base = datetime.date(2022, 1, 1)
+    d = lambda off: base + datetime.timedelta(days=off)
+    left = spark.createDataFrame(
+        [("k", d(o)) for o in left_ts], "symbol string, t date"
+    )
+    right = spark.createDataFrame(
+        [("k", d(o), float(o)) for o in right_ts],
+        "symbol string, t date, val double",
+    )
+    got = (
+        asof_join(left, right, on="t", by=["symbol"], right_cols=["val"])
+        .toPandas()
+        .sort_values("t")
+        .reset_index(drop=True)
+    )
+    lp = pd.DataFrame({"symbol": "k", "t": pd.to_datetime([d(o) for o in left_ts])}).sort_values("t")
+    rp = pd.DataFrame(
+        {"symbol": "k", "t": pd.to_datetime([d(o) for o in right_ts]),
+         "val": [float(o) for o in right_ts]}
+    ).sort_values("t")
+    expect = pd.merge_asof(lp, rp, on="t", by="symbol").reset_index(drop=True)
+    assert list(got["val"].fillna(-1)) == list(expect["val"].fillna(-1))
