@@ -83,16 +83,44 @@ def _to_date_str(d) -> str:
 
 
 class PTradeDataAPI:
-    def __init__(self, warehouse: Warehouse):
+    """``cache_tables=True`` pins each table in executor memory on first
+    use — the right posture for a backtest loop issuing thousands of point
+    queries over a working set that fits cluster memory (the reference
+    v1.0's LRU query cache, done Spark-style). Partition pruning stops
+    mattering because the scan is already in memory; leave it off for
+    one-shot analytical queries over cold data."""
+
+    def __init__(self, warehouse: Warehouse, cache_tables: bool = False):
         self.wh = warehouse
         self.spark = warehouse.spark
         self._table_cache: dict[str, bool] = {}
+        self._cache_tables = cache_tables
+        self._cached: dict[str, DataFrame] = {}
+
+    def _table(self, name: str) -> DataFrame:
+        if not self._cache_tables:
+            return self.wh.read(name)
+        if name not in self._cached:
+            self._cached[name] = self.wh.read(name).persist()
+        return self._cached[name]
+
+    def _table_range(self, name: str, start=None, end=None) -> DataFrame:
+        """read_range when cold (partition pruning), in-memory filter when
+        cached (pruning is irrelevant once the table is pinned)."""
+        if not self._cache_tables:
+            return self.wh.read_range(name, start, end)
+        df = self._table(name)
+        if start:
+            df = df.filter(F.col("trade_date") >= start)
+        if end:
+            df = df.filter(F.col("trade_date") <= end)
+        return df
 
     # -- calendar ----------------------------------------------------------
 
     def get_trade_days(self, start_date=None, end_date=None) -> list[str]:
         """F1: trading days in range (``ptrade_data_api.py:274-305``)."""
-        cal = self.wh.read("trade_calendar").filter("is_trading_day")
+        cal = self._table("trade_calendar").filter("is_trading_day")
         if start_date:
             cal = cal.filter(F.col("calendar_date") >= _to_date_str(start_date))
         if end_date:
@@ -112,14 +140,14 @@ class PTradeDataAPI:
             # materialized adjusted cache (sources/tables.py::
             # materialize_adjusted): a pruned scan instead of a join
             if self._has_table(f"bars_{fq}"):
-                return self.wh.read_range(f"bars_{fq}", start, end).filter(
+                return self._table_range(f"bars_{fq}", start, end).filter(
                     F.col("symbol").isin(securities)
                 )
-            bars = self.wh.read_range("bars", start, end).filter(
+            bars = self._table_range("bars", start, end).filter(
                 F.col("symbol").isin(securities)
             )
-            return adjust_bars(bars, self.wh.read("adjust_factor"), fq)
-        return self.wh.read_range("bars", start, end).filter(
+            return adjust_bars(bars, self._table("adjust_factor"), fq)
+        return self._table_range("bars", start, end).filter(
             F.col("symbol").isin(securities)
         )
 
@@ -261,7 +289,7 @@ class PTradeDataAPI:
     def get_Ashares(self, date=None) -> list[str]:
         """Point-in-time universe (``ptrade_data_api.py:109-141``): listed on
         or before ``date``, not yet delisted, excluding the benchmark index."""
-        meta = self.wh.read("stock_metadata")
+        meta = self._table("stock_metadata")
         if date:
             d = _to_date_str(date)
             meta = meta.filter(
@@ -279,7 +307,7 @@ class PTradeDataAPI:
         ``index_constituents`` indices plus the benchmark."""
         from simtradedata_spark.sources.synthetic import BENCHMARK
 
-        idx = self.wh.read("index_constituents").select("index_code").distinct()
+        idx = self._table("index_constituents").select("index_code").distinct()
         codes = {r[0] for r in idx.collect()}
         codes.add(BENCHMARK)
         return sorted(codes)
@@ -292,13 +320,13 @@ class PTradeDataAPI:
             if isinstance(field, str)
             else list(field or ["stock_name", "listed_date", "de_listed_date"])
         )
-        meta = self.wh.read("stock_metadata").filter(F.col("symbol").isin(securities))
+        meta = self._table("stock_metadata").filter(F.col("symbol").isin(securities))
         return meta.select("symbol", *fields).toPandas().set_index("symbol")
 
     def get_stock_blocks(self, security) -> dict:
         """``ptrade_data_api.py:212-243``: blocks map for one stock."""
         row = (
-            self.wh.read("stock_metadata")
+            self._table("stock_metadata")
             .filter(F.col("symbol") == security)
             .select("blocks")
             .first()
@@ -308,7 +336,7 @@ class PTradeDataAPI:
     def get_industry_stocks(self, industry: str) -> list[str]:
         """Implemented (stub in the reference — ``ptrade_data_api.py:648-657``):
         symbols whose blocks.industry matches."""
-        meta = self.wh.read("stock_metadata")
+        meta = self._table("stock_metadata")
         return sorted(
             r[0]
             for r in meta.filter(
@@ -344,10 +372,10 @@ class PTradeDataAPI:
         if len(days) < 2:
             return []
         prev_d, d = days[-2], days[-1]
-        bars = self.wh.read_range("bars", prev_d, d).select(
+        bars = self._table_range("bars", prev_d, d).select(
             "symbol", "trade_date", "close", "volume", "money"
         )
-        meta = self.wh.read("stock_metadata").select(
+        meta = self._table("stock_metadata").select(
             "symbol", F.col("blocks")[sort_type_grp].alias("grp")
         ).filter(F.col("grp").isNotNull())
         on_day = lambda day, c: F.max(
@@ -397,7 +425,7 @@ class PTradeDataAPI:
     def get_stock_exrights(self, security: str, date=None) -> pd.DataFrame | None:
         """``ptrade_data_api.py:246-271``: ex-rights rows, int yyyymmdd index
         (``data_converter.py:356``)."""
-        ex = self.wh.read("exrights").filter(F.col("symbol") == security)
+        ex = self._table("exrights").filter(F.col("symbol") == security)
         if date:
             ex = ex.filter(F.col("ex_date") == _to_date_str(date))
         pdf = (
@@ -420,7 +448,7 @@ class PTradeDataAPI:
         if query_type not in ("ST", "HALT", "DELISTING"):
             raise ValueError(query_type)
         if query_type == "DELISTING":
-            meta = self.wh.read("stock_metadata").filter(F.col("symbol").isin(stocks))
+            meta = self._table("stock_metadata").filter(F.col("symbol").isin(stocks))
             d = _to_date_str(query_date) if query_date else None
             rows = meta.select("symbol", "de_listed_date").collect()
             return {
@@ -430,7 +458,7 @@ class PTradeDataAPI:
                 )
                 for r in rows
             }
-        st = self.wh.read("stock_status").filter(F.col("symbol").isin(stocks))
+        st = self._table("stock_status").filter(F.col("symbol").isin(stocks))
         if query_date:
             st = st.filter(F.col("trade_date") == _to_date_str(query_date))
         else:
@@ -474,7 +502,7 @@ class PTradeDataAPI:
         # (the reference's four per-domain fetchers, ptrade_data_api.py:484-590)
         if fields is None:
             fields = FUNDAMENTAL_TABLES[table]
-        f = self.wh.read("fundamentals").filter(F.col("symbol").isin(stocks))
+        f = self._table("fundamentals").filter(F.col("symbol").isin(stocks))
         if report_types:
             rts = [int(r) for r in (
                 report_types if isinstance(report_types, (list, tuple)) else [report_types]
@@ -512,7 +540,7 @@ class PTradeDataAPI:
     def _valuation_fundamentals(self, stocks, fields, date) -> pd.DataFrame:
         """``get_fundamentals(table='valuation')`` — daily table, so the
         as-of is the latest trade date <= query date (suspension-safe)."""
-        v = self.wh.read("valuation").filter(F.col("symbol").isin(stocks))
+        v = self._table("valuation").filter(F.col("symbol").isin(stocks))
         if date is not None:
             v = v.filter(F.col("trade_date") <= _to_date_str(date))
         w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
@@ -528,7 +556,7 @@ class PTradeDataAPI:
     def get_index_stocks(self, index_code: str, date=None) -> list[str]:
         """``ptrade_data_api.py:601-645``: membership at the latest sample on
         or before ``date`` (point-in-time, not latest-overall)."""
-        ic = self.wh.read("index_constituents").filter(
+        ic = self._table("index_constituents").filter(
             F.col("index_code") == index_code
         )
         if date:

@@ -277,3 +277,20 @@ def test_get_sort_msg_industry_ranking(api, warehouse):
 
     with pytest.raises(ValueError, match="sort_field_name"):
         api.get_sort_msg(sort_field_name="nope")
+
+
+def test_cached_api_results_identical(warehouse):
+    """cache_tables=True must change latency only, never results."""
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+
+    cold = PTradeDataAPI(warehouse)
+    hot = PTradeDataAPI(warehouse, cache_tables=True)
+    a = cold.get_price("600000.SS", "2022-02-01", "2022-03-31", fq="post")
+    b = hot.get_price("600000.SS", "2022-02-01", "2022-03-31", fq="post")
+    pd.testing.assert_frame_equal(a, b)
+    assert cold.get_trade_days("2022-03-01", "2022-03-31") == hot.get_trade_days(
+        "2022-03-01", "2022-03-31"
+    )
+    h1 = cold.get_history(5, security_list=["000001.SZ"], current_date="2022-06-01")
+    h2 = hot.get_history(5, security_list=["000001.SZ"], current_date="2022-06-01")
+    pd.testing.assert_frame_equal(h1, h2)
