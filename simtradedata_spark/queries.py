@@ -1490,6 +1490,71 @@ FROM flagged WHERE is_jump = 1 OR is_extreme = 1
 """
 
 
+def q_customer_spend_deciles(spark, sf_dir):
+    """NTILE decile segmentation of customers by revenue — rank-based, so
+    cross-engine-stable given a total order (revenue is exact cents; custkey
+    breaks ties)."""
+    orders = _t(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        (F.sum(cents("o_totalprice")) / 100.0).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    return (
+        rev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(cents("revenue")) / 100.0).alias("decile_revenue"),
+            F.min("revenue").alias("min_revenue"),
+            F.max("revenue").alias("max_revenue"),
+        )
+    )
+
+
+SQL_CUSTOMER_SPEND_DECILES = """
+SELECT decile, count(*) AS n_customers,
+       sum(CAST(round(revenue*100) AS BIGINT))/100.0 AS decile_revenue,
+       min(revenue) AS min_revenue, max(revenue) AS max_revenue
+FROM (
+  SELECT o_custkey, revenue,
+         ntile(10) OVER (ORDER BY revenue DESC, o_custkey) AS decile
+  FROM (
+    SELECT o_custkey,
+           sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue
+    FROM orders GROUP BY o_custkey)
+) GROUP BY decile
+"""
+
+
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape — per-group scalar subquery: lineitems whose quantity
+    is below 20% of their part's average. In Spark the correlated subquery
+    becomes an explicit per-part aggregate joined back to the fact (one
+    shuffle on l_partkey serves both sides); Catalyst plans DuckDB's
+    correlated form the same way."""
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(cents("l_extendedprice")) / 100.0).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS total_price,
+       count(*) AS n_items
+FROM lineitem l
+WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem
+                          WHERE l_partkey = l.l_partkey)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -1553,4 +1618,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "macd_indicators": (q_macd_indicators, None),
     "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
+    "customer_spend_deciles": (
+        q_customer_spend_deciles,
+        SQL_CUSTOMER_SPEND_DECILES,
+    ),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
+    ),
 }
