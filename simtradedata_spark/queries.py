@@ -1555,6 +1555,41 @@ WHERE l_quantity < 0.2 * (SELECT avg(l_quantity) FROM lineitem
 """
 
 
+def q_dedup_docs_exact(spark, sf_dir):
+    """Canonical LLM exact-dedup pass: normalize → fingerprint (md5 of
+    whitespace-collapsed lowercase text) → keep the lowest doc_id per
+    fingerprint. One shuffle on the fingerprint; reports kept/removed per
+    source. (sf0.1 plants 8 duplicate pairs; sf0.01 has none — the summary
+    shape is the check either way.)"""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("source", "doc_id", fingerprint("text").alias("fp"))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
+    return (
+        fp.withColumn("removed", F.col("doc_id") != keeper)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(~F.col("removed"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("removed"), 1).otherwise(0)).alias("n_removed"),
+        )
+    )
+
+
+SQL_DEDUP_DOCS_EXACT = """
+SELECT source,
+       sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_removed
+FROM (
+  SELECT source, doc_id,
+         min(doc_id) OVER (PARTITION BY fp) AS keeper
+  FROM (
+    SELECT source, doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents)
+)
+GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -1626,4 +1661,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_small_quantity_revenue,
         SQL_SMALL_QUANTITY_REVENUE,
     ),
+    "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
 }
