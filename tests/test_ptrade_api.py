@@ -294,3 +294,40 @@ def test_cached_api_results_identical(warehouse):
     h1 = cold.get_history(5, security_list=["000001.SZ"], current_date="2022-06-01")
     h2 = hot.get_history(5, security_list=["000001.SZ"], current_date="2022-06-01")
     pd.testing.assert_frame_equal(h1, h2)
+
+
+def test_get_history_fill_pre_forward_fills(spark, tmp_path):
+    """W2: fill='pre' forward-fills suspension nulls; fill='nan' keeps them."""
+    import datetime
+
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+    from simtradedata_spark.sources.tables import Warehouse
+
+    base = datetime.date(2022, 3, 1)
+    rows = []
+    for i in range(8):
+        close = None if i in (3, 4) else 10.0 + i
+        rows.append(
+            ("600009.SS", base + datetime.timedelta(days=i),
+             close, close, close, close, 100.0, 1000.0)
+        )
+    bars = spark.createDataFrame(
+        rows,
+        "symbol string, trade_date date, open double, high double,"
+        " low double, close double, volume double, money double",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write("bars", bars)
+    api = PTradeDataAPI(wh)
+
+    cur = str(base + datetime.timedelta(days=8))
+    raw = api.get_history(8, field="close", security_list=["600009.SS"],
+                          fill="nan", current_date=cur)
+    assert raw["close"].isna().sum() == 2
+    filled = api.get_history(8, field="close", security_list=["600009.SS"],
+                             fill="pre", current_date=cur)
+    assert filled["close"].isna().sum() == 0
+    # the gap days carry the last pre-gap close (12.0 at offset 2)
+    assert (filled["close"].iloc[3:5] == 12.0).all()
+    # non-gap values untouched
+    assert filled["close"].iloc[0] == 10.0 and filled["close"].iloc[-1] == 17.0
