@@ -39,7 +39,15 @@ def adjust_bars(
 ) -> DataFrame:
     """Return bars with price columns adjusted per ``fq``; rows without a
     factor row (index series — ``baostock_fetcher.py:98-104``) pass through
-    unadjusted (factor defaults to 1)."""
+    unadjusted (factor defaults to 1).
+
+    ``preclose`` deliberately uses the SAME-day factor, not the previous
+    day's: BaoStock's 涨跌幅复权 (pct-change linking,
+    ``BaoStock_API_Reference.md:334-340``) defines factors so that
+    adjusted_close(t)/adjusted_preclose(t) reproduces the raw pctChg, which
+    requires preclose scaled by factor(t) — on an ex-date this equals the
+    exchange's event-adjusted reference price, not the prior adjusted
+    close."""
     if fq in (None, "none"):
         return bars
     if fq not in ("pre", "post"):
