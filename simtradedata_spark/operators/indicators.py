@@ -128,3 +128,42 @@ def macd_series(
         return pdf
 
     return df.groupBy(*partition_cols).applyInPandas(_grp, out_schema)
+
+
+def kdj_series(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_col: str,
+    n: int = 9,
+) -> DataFrame:
+    """KDJ(n,3,3) over a single-value keyed series (llv/hhv of the value
+    itself): RSV = 100(x−LLVn)/(HHVn−LLVn) (50 when flat), K = EMA(RSV,
+    α=1/3), D = EMA(K, α=1/3), J = 3K−2D. Same grouped-map shape as
+    macd_series; SQL-checkable the same way (rolling extremes are plain
+    window frames, both EMAs get the closed-form self-join —
+    queries.py::SQL_KDJ_ORDERS)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("k", DoubleType()),
+            StructField("d", DoubleType()),
+            StructField("j", DoubleType()),
+        ]
+    )
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        x = pdf[value_col]
+        llv = x.rolling(n, min_periods=1).min()
+        hhv = x.rolling(n, min_periods=1).max()
+        rng = (hhv - llv).replace(0, np.nan)
+        rsv = (100 * (x - llv) / rng).fillna(50.0).astype(float)
+        k = rsv.ewm(alpha=1 / 3, adjust=False).mean()
+        d = k.ewm(alpha=1 / 3, adjust=False).mean()
+        pdf["k"], pdf["d"], pdf["j"] = k, d, 3 * k - 2 * d
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(_grp, out_schema)

@@ -1435,6 +1435,69 @@ FROM dea_t
 """
 
 
+def q_kdj_orders(spark, sf_dir):
+    """W7's KDJ composition, oracle-CHECKED like macd_orders: rolling
+    min/max frames + two chained EMA recursions + the 3K−2D combination,
+    on the daily mean order value per priority. Exact-cents inputs; 2dp
+    outputs (values live in [−100, 200], so 2dp ≈ 5 significant digits and
+    the ~1e-12 closed-form drift cannot flip the rounding)."""
+    from simtradedata_spark.operators.indicators import kdj_series
+
+    orders = _t(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(
+        (F.sum(cents("o_totalprice")) / (100.0 * F.count(F.lit(1)))).alias("x")
+    )
+    out = kdj_series(series, "x", ["priority"], "dt")
+    return out.select(
+        "priority",
+        F.date_format("dt", "yyyy-MM-dd").alias("d"),
+        F.round("k", 2).alias("k"),
+        F.round(F.col("d"), 2).alias("d_line"),
+        F.round("j", 2).alias("j"),
+    )
+
+
+SQL_KDJ_ORDERS = """
+WITH s AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / (100.0 * count(*)) AS x
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT priority, d, x,
+         row_number() OVER (PARTITION BY priority ORDER BY d) AS rn
+  FROM s
+), rsv_t AS (
+  SELECT priority, d, rn,
+         CASE WHEN hhv = llv THEN 50.0
+              ELSE 100.0 * (x - llv) / (hhv - llv) END AS rsv
+  FROM (
+    SELECT *, min(x) OVER w9 AS llv, max(x) OVER w9 AS hhv
+    FROM r
+    WINDOW w9 AS (PARTITION BY priority ORDER BY rn
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+), k_t AS (
+  SELECT a.priority, a.d, a.rn,
+         sum((CASE WHEN b.rn = 1 THEN power(2.0/3, a.rn-1)
+              ELSE (1.0/3)*power(2.0/3, a.rn-b.rn) END) * b.rsv) AS k
+  FROM rsv_t a JOIN rsv_t b ON a.priority = b.priority AND b.rn <= a.rn
+  GROUP BY 1, 2, 3
+), d_t AS (
+  SELECT a.priority, a.d, a.k,
+         sum((CASE WHEN b.rn = 1 THEN power(2.0/3, a.rn-1)
+              ELSE (1.0/3)*power(2.0/3, a.rn-b.rn) END) * b.k) AS dv
+  FROM k_t a JOIN k_t b ON a.priority = b.priority AND b.rn <= a.rn
+  GROUP BY 1, 2, 3, a.rn
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d,
+       round(k, 2) AS k, round(dv, 2) AS d_line,
+       round(3*k - 2*dv, 2) AS j
+FROM d_t
+"""
+
+
 def q_anomaly_days(spark, sf_dir):
     """Reference §5.3 anomaly rules (DATA_MAPPING.md:643-647) on the daily
     order series: days whose revenue jumps ±20% day-over-day or whose order
@@ -1652,6 +1715,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "adjusted_bars_post": (q_adjusted_bars_post, None),
     "macd_indicators": (q_macd_indicators, None),
     "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
+    "kdj_orders": (q_kdj_orders, SQL_KDJ_ORDERS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "customer_spend_deciles": (
         q_customer_spend_deciles,
