@@ -26,3 +26,110 @@ def top_k_per_group(
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def _bucketed_rank(
+    df: DataFrame, key_cols: list[str], rank_col: str, num_buckets: int, seed: int
+) -> tuple[DataFrame, int]:
+    """Shared core of global_rank/global_ntile: (df + exact global rank, N).
+
+    ``Window.orderBy(...)`` with no partition funnels every row through ONE
+    task (Spark's "No Partition Defined" warning) — fine for dimension-sized
+    input, fatal at 100 TB. The scalable dual is the classic two-pass scheme:
+
+      1. pick split points of the key space from a seeded sample (driver-side,
+         bounded — the same idea as Spark's own RangePartitioner, but with
+         explicit literal boundaries so every pass sees identical buckets);
+      2. count rows per bucket exactly (one shuffle-free aggregate), prefix-sum
+         the tiny per-bucket counts on the driver;
+      3. rank = row_number within bucket (hash shuffle on bucket id, each
+         bucket sorted in parallel) + its bucket's offset.
+
+    Keys must be ascending and total (include a unique tie-breaker); callers
+    with a descending numeric key pass its negation. Sample-skewed split
+    points cost balance, never correctness — counts are exact per bucket.
+    """
+    key = F.struct(*[F.col(c) for c in key_cols])
+    # Deterministic bounded sample: hash-order + limit executes as
+    # TakeOrdered (per-partition heap, driver merge) — no full sort, no
+    # dependence on row count, identical across reruns.
+    sample = (
+        df.select(*key_cols)
+        .orderBy(F.xxhash64(F.lit(seed), *key_cols))
+        .limit(num_buckets * 20)
+    )
+    rows = sorted(tuple(r) for r in sample.collect())
+    if not rows:
+        return df.withColumn(rank_col, F.lit(None).cast("long")), 0
+    step = max(1, len(rows) // num_buckets)
+    bounds = sorted({rows[i] for i in range(step, len(rows), step)})[: num_buckets - 1]
+    fields = [df.schema[c] for c in key_cols]
+    bucket = F.lit(0)
+    for b in bounds:
+        blit = F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(fields, b)
+            ]
+        )
+        bucket = bucket + (key >= blit).cast("int")
+    bucketed = df.withColumn("_bkt", bucket)
+    counts = dict(
+        (r["_bkt"], r["cnt"])
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for b in range(len(bounds) + 1):
+        offsets[b] = acc
+        acc += counts.get(b, 0)
+    off_expr = F.lit(0)
+    for b, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("_bkt").orderBy(*key_cols)
+    ranked = bucketed.withColumn(
+        rank_col, (F.row_number().over(w) + off_expr).cast("long")
+    ).drop("_bkt")
+    return ranked, acc
+
+
+def global_rank(
+    df: DataFrame,
+    key_cols: list[str],
+    rank_col: str = "rank",
+    num_buckets: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Exact global row_number over an ascending composite key without a
+    single-partition window — see _bucketed_rank for the plan shape."""
+    ranked, _ = _bucketed_rank(df, key_cols, rank_col, num_buckets, seed)
+    return ranked
+
+
+def global_ntile(
+    df: DataFrame,
+    n: int,
+    key_cols: list[str],
+    ntile_col: str = "ntile",
+    num_buckets: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Exact NTILE(n) over an ascending composite key, distributed.
+
+    Reproduces SQL NTILE semantics exactly: with N rows, the first N mod n
+    tiles hold ceil(N/n) rows, the rest floor(N/n) — derived from the global
+    rank of _bucketed_rank, so no stage sees more than one bucket of data.
+    """
+    ranked, total = _bucketed_rank(df, key_cols, "_grank", num_buckets, seed)
+    if total == 0:
+        return ranked.withColumnRenamed("_grank", ntile_col)
+    q, rem = divmod(total, n)
+    big = q + 1
+    boundary = rem * big
+    r = F.col("_grank")
+    tile = (
+        F.when(r <= boundary, F.floor((r - 1) / big) + 1)
+        .otherwise(rem + F.floor((r - 1 - boundary) / max(q, 1)) + 1)
+        .cast("int")
+    )
+    return ranked.withColumn(ntile_col, tile).drop("_grank")

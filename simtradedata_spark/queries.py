@@ -1556,14 +1556,19 @@ FROM flagged WHERE is_jump = 1 OR is_extreme = 1
 def q_customer_spend_deciles(spark, sf_dir):
     """NTILE decile segmentation of customers by revenue — rank-based, so
     cross-engine-stable given a total order (revenue is exact cents; custkey
-    breaks ties)."""
+    breaks ties). Uses the distributed two-pass NTILE (operators/topk.py::
+    global_ntile) instead of ``F.ntile`` over an unpartitioned window, which
+    would funnel every customer through a single task; semantics are
+    identical (equivalence-tested in tests/test_operators.py)."""
+    from simtradedata_spark.operators.topk import global_ntile
+
     orders = _t(spark, sf_dir, "orders")
     rev = orders.groupBy("o_custkey").agg(
         (F.sum(cents("o_totalprice")) / 100.0).alias("revenue")
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+    keyed = rev.withColumn("_negrev", -F.col("revenue"))
     return (
-        rev.withColumn("decile", F.ntile(10).over(w))
+        global_ntile(keyed, 10, ["_negrev", "o_custkey"], ntile_col="decile")
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),

@@ -299,3 +299,57 @@ def test_sql_surface_register_views(spark):
            GROUP BY r_name ORDER BY r_name"""
     ).collect()
     assert len(out) == 5 and all(r["n"] > 0 for r in out)
+
+
+def test_global_rank_and_ntile_match_window(spark):
+    """Distributed two-pass rank/ntile ≡ the single-partition window
+    versions, including ties on the first key and N % n != 0."""
+    from pyspark.sql.window import Window
+
+    from simtradedata_spark.operators.topk import global_ntile, global_rank
+
+    rng = np.random.RandomState(11)
+    n = 237  # not divisible by 10
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            # coarse values force ties -> the unique tie-breaker must decide
+            "v": rng.randint(0, 40, n).astype(float),
+        }
+    )
+    sdf = spark.createDataFrame(pdf).withColumn("negv", -F.col("v"))
+
+    w = Window.orderBy(F.col("v").desc(), F.col("id"))
+    expect = (
+        sdf.select("id", F.row_number().over(w).alias("rank"), F.ntile(10).over(w).alias("decile"))
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    got_rank = (
+        global_rank(sdf, ["negv", "id"], rank_col="rank", num_buckets=8)
+        .select("id", "rank")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    got_tile = (
+        global_ntile(sdf, 10, ["negv", "id"], ntile_col="decile", num_buckets=8)
+        .select("id", "decile")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert (got_rank["rank"] == expect["rank"]).all()
+    assert (got_tile["decile"] == expect["decile"]).all()
+
+
+def test_global_rank_small_inputs(spark):
+    from simtradedata_spark.operators.topk import global_ntile, global_rank
+
+    one = spark.createDataFrame([(5.0, 1)], "v double, id int")
+    assert global_rank(one, ["v", "id"]).collect()[0]["rank"] == 1
+    # fewer rows than tiles: ntile(i) = i
+    few = spark.createDataFrame([(float(i), i) for i in range(3)], "v double, id int")
+    got = {r["id"]: r["ntile"] for r in global_ntile(few, 10, ["v", "id"]).collect()}
+    assert got == {0: 1, 1: 2, 2: 3}
