@@ -167,3 +167,75 @@ def kdj_series(
         return pdf
 
     return df.groupBy(*partition_cols).applyInPandas(_grp, out_schema)
+
+
+def rsi_series(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_col: str,
+    n: int = 6,
+) -> DataFrame:
+    """RSI(n) over a keyed series (``get_RSI(close, 6)``,
+    ``PTrade_API_mini_Reference.md:5135-5170``): gains/losses from the
+    first difference, each Wilder-smoothed with EMA(α=1/n, adjust=False),
+    RSI = 100·ag/(ag+al) (50 when the series is flat — ag=al=0). Same
+    grouped-map shape and closed-form SQL checkability as macd_series
+    (queries.py::SQL_RSI_ORDERS)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("rsi", DoubleType())]
+    )
+
+    def _grp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        delta = pdf[value_col].diff()
+        gain = delta.clip(lower=0).fillna(0.0)
+        loss = (-delta).clip(lower=0).fillna(0.0)
+        ag = gain.ewm(alpha=1 / n, adjust=False).mean()
+        al = loss.ewm(alpha=1 / n, adjust=False).mean()
+        denom = (ag + al).replace(0, np.nan)
+        pdf["rsi"] = (100 * ag / denom).fillna(50.0).astype(float)
+        return pdf
+
+    return df.groupBy(*partition_cols).applyInPandas(_grp, out_schema)
+
+
+def cci_series(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """CCI(n) over a keyed series (``get_CCI(close, 14)``,
+    ``PTrade_API_mini_Reference.md:5174-5213``): CCI = (x − SMAₙ(x)) /
+    (0.015 · MDₙ), MD = rolling mean of |x − SMA|. Unlike the EMA
+    indicators this has NO recursion — it is pure bounded-frame window
+    aggregates, so it stays entirely JVM-side (whole-stage codegen, no
+    Python), one shuffle on the partition key. Null where MD = 0 (flat
+    window)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(n - 1), 0)
+    )
+    x = F.col(value_col)
+    with_sma = df.withColumn("_sma", F.avg(value_col).over(w)).withColumn(
+        "_dev", F.abs(x - F.col("_sma"))
+    )
+    md = F.avg("_dev").over(w)
+    return (
+        with_sma.withColumn("_md", md)
+        .withColumn(
+            "cci",
+            F.when(
+                F.col("_md") != 0, (x - F.col("_sma")) / (0.015 * F.col("_md"))
+            ),
+        )
+        .drop("_sma", "_dev", "_md")
+    )

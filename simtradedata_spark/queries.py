@@ -1498,6 +1498,110 @@ FROM d_t
 """
 
 
+def q_rsi_orders(spark, sf_dir):
+    """W7's RSI recursion, oracle-CHECKED like macd_orders: first-difference
+    gains/losses each Wilder-EMA-smoothed (α=1/6), on the daily mean order
+    value per priority. The seed row of the adjust=False recurrence is
+    gain₁=loss₁=0, so DuckDB's closed-form self-join needs only the
+    α(1−α)^(i−j) weights. Exact-cents inputs; RSI ∈ [0,100] rounded to 2dp."""
+    from simtradedata_spark.operators.indicators import rsi_series
+
+    orders = _t(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(
+        (F.sum(cents("o_totalprice")) / (100.0 * F.count(F.lit(1)))).alias("x")
+    )
+    out = rsi_series(series, "x", ["priority"], "dt", n=6)
+    return out.select(
+        "priority",
+        F.date_format("dt", "yyyy-MM-dd").alias("d"),
+        F.round("rsi", 2).alias("rsi"),
+    )
+
+
+SQL_RSI_ORDERS = """
+WITH s AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / (100.0 * count(*)) AS x
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT priority, d, x,
+         row_number() OVER (PARTITION BY priority ORDER BY d) AS rn,
+         lag(x) OVER (PARTITION BY priority ORDER BY d) AS lx
+  FROM s
+), g AS (
+  SELECT priority, d, rn,
+         CASE WHEN lx IS NULL THEN 0.0 ELSE greatest(x - lx, 0) END AS gain,
+         CASE WHEN lx IS NULL THEN 0.0 ELSE greatest(lx - x, 0) END AS loss
+  FROM r
+), sm AS (
+  -- closed form of ewm(alpha=1/6, adjust=False); the j=1 seed term is 0
+  -- (gain1 = loss1 = 0) so only the a(1-a)^(i-j) weights contribute
+  SELECT a.priority, a.d,
+         sum((CASE WHEN b.rn = 1 THEN power(5.0/6, a.rn-1)
+              ELSE (1.0/6)*power(5.0/6, a.rn-b.rn) END) * b.gain) AS ag,
+         sum((CASE WHEN b.rn = 1 THEN power(5.0/6, a.rn-1)
+              ELSE (1.0/6)*power(5.0/6, a.rn-b.rn) END) * b.loss) AS al
+  FROM g a JOIN g b ON a.priority = b.priority AND b.rn <= a.rn
+  GROUP BY 1, 2, a.rn
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d,
+       round(CASE WHEN ag + al = 0 THEN 50.0
+                  ELSE 100.0 * ag / (ag + al) END, 2) AS rsi
+FROM sm
+"""
+
+
+def q_cci_orders(spark, sf_dir):
+    """W7's CCI — the one indicator with no recursion: bounded-frame window
+    aggregates only, so the Spark side is pure JVM whole-stage codegen
+    (operators/indicators.py::cci_series) and the oracle is the same two
+    chained window averages in DuckDB. Null CCI (flat 14-day window) rows
+    agree by both engines producing NULL."""
+    from simtradedata_spark.operators.indicators import cci_series
+
+    orders = _t(spark, sf_dir, "orders")
+    series = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("dt"),
+    ).agg(
+        (F.sum(cents("o_totalprice")) / (100.0 * F.count(F.lit(1)))).alias("x")
+    )
+    out = cci_series(series, "x", ["priority"], "dt", n=14)
+    return out.select(
+        "priority",
+        F.date_format("dt", "yyyy-MM-dd").alias("d"),
+        F.round("cci", 2).alias("cci"),
+    )
+
+
+SQL_CCI_ORDERS = """
+WITH s AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / (100.0 * count(*)) AS x
+  FROM orders GROUP BY 1, 2
+), m AS (
+  SELECT priority, d, x,
+         avg(x) OVER w14 AS sma
+  FROM s
+  WINDOW w14 AS (PARTITION BY priority ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+), md_t AS (
+  SELECT priority, d, x, sma,
+         avg(abs(x - sma)) OVER w14 AS md
+  FROM m
+  WINDOW w14 AS (PARTITION BY priority ORDER BY d
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT priority, strftime(d, '%Y-%m-%d') AS d,
+       round(CASE WHEN md = 0 THEN NULL
+                  ELSE (x - sma) / (0.015 * md) END, 2) AS cci
+FROM md_t
+"""
+
+
 def q_anomaly_days(spark, sf_dir):
     """Reference §5.3 anomaly rules (DATA_MAPPING.md:643-647) on the daily
     order series: days whose revenue jumps ±20% day-over-day or whose order
@@ -1721,6 +1825,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "macd_indicators": (q_macd_indicators, None),
     "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
     "kdj_orders": (q_kdj_orders, SQL_KDJ_ORDERS),
+    "rsi_orders": (q_rsi_orders, SQL_RSI_ORDERS),
+    "cci_orders": (q_cci_orders, SQL_CCI_ORDERS),
     "anomaly_days": (q_anomaly_days, SQL_ANOMALY_DAYS),
     "customer_spend_deciles": (
         q_customer_spend_deciles,

@@ -37,3 +37,58 @@ def test_indicators_parallel_groups_consistent(spark, market):
     a = compute_indicators(bars).orderBy("trade_date").toPandas()
     b = compute_indicators(bars.repartition(13)).orderBy("trade_date").toPandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_rsi_series_matches_pandas(spark):
+    from simtradedata_spark.operators.indicators import rsi_series
+
+    rng = np.random.RandomState(9)
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 60 + ["b"] * 60, "t": list(range(60)) * 2,
+         "x": rng.rand(120).round(4) * 100}
+    )
+    got = (
+        rsi_series(spark.createDataFrame(pdf), "x", ["k"], "t", n=6)
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    for k, grp in pdf.groupby("k"):
+        delta = grp.sort_values("t")["x"].diff()
+        gain = delta.clip(lower=0).fillna(0.0)
+        loss = (-delta).clip(lower=0).fillna(0.0)
+        ag = gain.ewm(alpha=1 / 6, adjust=False).mean()
+        al = loss.ewm(alpha=1 / 6, adjust=False).mean()
+        expect = (100 * ag / (ag + al).replace(0, np.nan)).fillna(50.0)
+        np.testing.assert_allclose(
+            got[got.k == k].rsi.values, expect.values, rtol=1e-9
+        )
+
+
+def test_rsi_flat_series_is_50(spark):
+    from simtradedata_spark.operators.indicators import rsi_series
+
+    df = spark.createDataFrame(
+        [("a", t, 7.5) for t in range(10)], "k string, t int, x double"
+    )
+    vals = rsi_series(df, "x", ["k"], "t").select("rsi").toPandas()["rsi"]
+    assert (vals == 50.0).all()
+
+
+def test_cci_series_matches_pandas_and_stays_jvm(spark):
+    from simtradedata_spark.operators.indicators import cci_series
+
+    rng = np.random.RandomState(10)
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 50, "t": range(50), "x": rng.rand(50).round(4) * 10}
+    )
+    sdf = spark.createDataFrame(pdf)
+    out = cci_series(sdf, "x", ["k"], "t", n=14)
+    # no Python in the plan: pure window aggregates
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    got = out.orderBy("t").toPandas()["cci"]
+    tp = pdf["x"]
+    sma = tp.rolling(14, min_periods=1).mean()
+    md = (tp - sma).abs().rolling(14, min_periods=1).mean().replace(0, np.nan)
+    expect = (tp - sma) / (0.015 * md)
+    np.testing.assert_allclose(got.values, expect.values, rtol=1e-9)
