@@ -1,0 +1,48 @@
+"""Deterministic, engine-independent sampling (LLM-pipeline extension).
+
+``DataFrame.sample`` is Bernoulli per task attempt: the selected set changes
+with partitioning, retries, and engine version — unacceptable for training
+mixes that must be reproducible and auditable. Hash-mod sampling fixes the
+selection as a pure function of the row KEY:
+
+    keep  ⇔  md5(key) mod buckets < rate·buckets
+
+Properties the random sampler lacks:
+  - reproducible across runs, partitionings, engines (md5 is universal —
+    the DuckDB oracle computes the identical set, see queries.py);
+  - stable under re-ingest: a re-downloaded row lands on the same side;
+  - join-compatible: every table sampled on the same key keeps the same
+    entities, so a sampled fact still finds its sampled dimensions;
+  - monotone in rate: the 5% sample is a subset of the 10% sample.
+
+Pure column expressions — whole-stage codegen, no shuffle, pushes through
+scans like any filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(cols: list[Column | str], buckets: int = 100, salt: str = "") -> Column:
+    """Uniform bucket in [0, buckets) from md5 of the '|'-joined key columns
+    (first 8 hex chars → 32-bit int; exact in a long). ``salt`` derives
+    independent bucketings from the same key."""
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    if salt:
+        cs = [F.lit(salt)] + cs
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *cs)), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).cast("int")
+
+
+def hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    rate_pct: int,
+    buckets: int = 100,
+    salt: str = "",
+) -> DataFrame:
+    """Keep rows whose key hashes below ``rate_pct`` of ``buckets`` —
+    a deterministic ~rate_pct% sample."""
+    return df.filter(hash_bucket(key_cols, buckets, salt) < rate_pct)

@@ -905,6 +905,102 @@ WHERE len(list_intersect(a.tok, b.tok)) /
 """
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    """Training-data decontamination: treat source 'src0' as the held-out
+    benchmark and flag every other document sharing ≥1 distinct word 5-gram
+    with it. Inverted-index plan (operators/decontam.py::ngram_overlap):
+    benchmark grams broadcast, corpus exploded once, one shuffle — no
+    doc×doc comparison. DuckDB recomputes the same overlap via list
+    comprehension n-grams."""
+    from simtradedata_spark.operators.decontam import ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return ngram_overlap(corpus, bench, "text", "doc_id", n=5).orderBy("doc_id")
+
+
+SQL_BENCHMARK_CONTAMINATION = """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 5
+              THEN list_distinct([array_to_string(list_slice(ws, i, i+4), ' ')
+                                  FOR i IN range(1, len(ws)-3)])
+              ELSE list_distinct(ws) END AS gs
+  FROM words
+), corp AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+  FROM grams WHERE source <> 'src0'
+), bench AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
+)
+SELECT corp.doc_id, count(*) AS n_hits, min(n_grams) AS n_grams,
+       round(count(*) / CAST(min(n_grams) AS DOUBLE), 6) AS hit_ratio
+FROM corp JOIN bench USING (gram)
+GROUP BY corp.doc_id
+"""
+
+
+def q_hash_sample_docs(spark, sf_dir):
+    """Deterministic 10% document sample (operators/sampling.py): selection
+    is md5(doc_id) mod 100 < 10 — a pure function of the key, so the DuckDB
+    oracle derives the IDENTICAL row set independently (Bernoulli sample()
+    could never be cross-engine-checked). Aggregated per source to also
+    verify the rate lands near 10%."""
+    from simtradedata_spark.operators.sampling import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_sample(docs, ["doc_id"], rate_pct=10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+SQL_HASH_SAMPLE_DOCS = """
+SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+GROUP BY source
+"""
+
+
+def q_domain_capped_sample(spark, sf_dir):
+    """Per-domain quota capping (training-mix balancing): keep at most 12
+    documents per source, chosen by hash order — unbiased w.r.t. document
+    content, deterministic, and cross-engine-identical. The per-group rank
+    is one shuffle on source (top_k_per_group); the hash order key makes
+    the 'which 12' decision reproducible."""
+    from simtradedata_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.withColumn("hk", hash_bucket(["doc_id"], buckets=1_000_000))
+    capped = top_k_per_group(
+        keyed, ["source"], 12, F.col("hk").asc(), F.col("doc_id").asc()
+    )
+    return capped.select("source", "doc_id", F.col("rk").alias("pick_rank"))
+
+
+SQL_DOMAIN_CAPPED_SAMPLE = """
+SELECT source, doc_id, pick_rank FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000,
+                    doc_id) AS pick_rank
+  FROM documents
+) WHERE pick_rank <= 12
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (LLM-pipeline extension)
 # ---------------------------------------------------------------------------
@@ -1807,6 +1903,12 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+    "benchmark_contamination": (
+        q_benchmark_contamination,
+        SQL_BENCHMARK_CONTAMINATION,
+    ),
+    "hash_sample_docs": (q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS),
+    "domain_capped_sample": (q_domain_capped_sample, SQL_DOMAIN_CAPPED_SAMPLE),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "purchases_within_7d": (q_purchases_within_7d, SQL_PURCHASES_WITHIN_7D),
