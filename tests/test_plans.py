@@ -76,3 +76,35 @@ def test_get_price_prunes_partitions(api):
     assert "2022" in pf
     # the symbol predicate reaches the parquet row groups too
     assert "PushedFilters" in p and "symbol" in p.split("PushedFilters")[1][:250]
+
+
+def test_benchmark_contamination_broadcasts_gram_set(spark):
+    """The benchmark n-gram side must ride broadcast — the corpus is the
+    only relation allowed to shuffle (operators/decontam.py plan claim)."""
+    p = plan(QUERIES["benchmark_contamination"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_hash_sample_is_shuffle_free_scan_filter(spark):
+    """Deterministic sampling is a pure scan+filter+partial-agg pipeline:
+    the only exchange allowed is the final groupBy on source."""
+    p = plan(QUERIES["hash_sample_docs"][0](spark, SF))
+    assert p.count("Exchange") <= 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_global_ntile_no_single_partition_window(spark):
+    """customer_spend_deciles must not contain an unpartitioned window —
+    the distributed two-pass rank replaces it."""
+    df = QUERIES["customer_spend_deciles"][0](spark, SF)
+    p = plan(df)
+    # a global window shows up as 'Window [...] Sort [... global=true' with
+    # an Exchange SinglePartition feeding it
+    assert "SinglePartition" not in p
+
+
+def test_cci_orders_no_python_eval(spark):
+    p = plan(QUERIES["cci_orders"][0](spark, SF))
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
