@@ -47,3 +47,89 @@ def test_streaming_vwap_matches_batch(spark, market, tmp_path):
         assert g["n_rows"] == e["n"]
         assert abs(g["cum_volume"] - e["v"]) < 1e-6
         assert abs(g["vwap"] - e["vwap"]) < 1e-9
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream trade⋈quote interval join == the same interval_join on
+    batch frames, for all pairs whose event times are closed by the final
+    watermark."""
+    import datetime
+    import time
+
+    import numpy as np
+
+    from simtradedata_spark.streaming.joins import (
+        interval_join,
+        streaming_interval_join,
+    )
+
+    rng = np.random.RandomState(5)
+    base = datetime.datetime(2024, 1, 2, 9, 30)
+    trades = spark.createDataFrame(
+        [
+            (
+                sym,
+                base + datetime.timedelta(seconds=int(i * 7 + k)),
+                float(100 + rng.randn()),
+            )
+            for k, sym in enumerate(["600000.SS", "000001.SZ"])
+            for i in range(80)
+        ],
+        "symbol string, t_ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (
+                sym,
+                base + datetime.timedelta(seconds=int(i * 3 + k)),
+                float(99.5 + rng.randn()),
+                float(100.5 + rng.randn()),
+            )
+            for k, sym in enumerate(["600000.SS", "000001.SZ"])
+            for i in range(180)
+        ],
+        "symbol string, q_ts timestamp, bid double, ask double",
+    )
+
+    expect = interval_join(
+        trades, quotes, ["symbol"], "t_ts", "q_ts", lookback="30 seconds"
+    )
+    expect_set = {
+        (r["symbol"], r["t_ts"], r["q_ts"]) for r in expect.collect()
+    }
+    assert expect_set  # the generated streams genuinely overlap
+
+    tdir, qdir = str(tmp_path / "trades"), str(tmp_path / "quotes")
+    trades.coalesce(2).write.mode("overwrite").parquet(tdir)
+    quotes.coalesce(2).write.mode("overwrite").parquet(qdir)
+    time.sleep(1.1)  # later mtime => flush files arrive in a later batch
+    far = base + datetime.timedelta(hours=10)
+    spark.createDataFrame(
+        [("FLUSH", far, 0.0)], trades.schema
+    ).coalesce(1).write.mode("append").parquet(tdir)
+    spark.createDataFrame(
+        [("FLUSH", far, 0.0, 0.0)], quotes.schema
+    ).coalesce(1).write.mode("append").parquet(qdir)
+
+    q = streaming_interval_join(
+        spark,
+        tdir,
+        qdir,
+        trades.schema,
+        quotes.schema,
+        ["symbol"],
+        "t_ts",
+        "q_ts",
+        lookback="30 seconds",
+        watermark="2 minutes",
+        query_name="t_ijoin",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_ijoin WHERE symbol != 'FLUSH'")
+        got_set = {
+            (r["symbol"], r["t_ts"], r["q_ts"]) for r in got.collect()
+        }
+    finally:
+        q.stop()
+    assert got_set == expect_set
