@@ -131,6 +131,32 @@ class PTradeDataAPI:
     def get_all_trades_days(self) -> list[str]:
         return self.get_trade_days()
 
+    def get_trading_day(self, day: int = 0, date=None) -> _date:
+        """Spec ``:1438-1483``: the trading day ``day`` trading days after
+        (positive) / before (negative) the current date; ``day=0`` on a
+        non-trading date returns the PREVIOUS trading day. ``date`` stands
+        in for context.blotter.current_dt (research mode: today). The trade
+        calendar is a bounded dimension — collected once per API instance."""
+        import bisect
+
+        days = self._trading_days_cached()
+        anchor = _to_date_str(date) if date else days[-1]
+        # index of the last trading day <= anchor (the day=0 answer)
+        i = bisect.bisect_right(days, anchor) - 1
+        if i < 0:
+            raise ValueError(f"no trading day on or before {anchor}")
+        j = i + day
+        if not 0 <= j < len(days):
+            raise ValueError(
+                f"offset {day} from {anchor} leaves the known calendar"
+            )
+        return _date.fromisoformat(days[j])
+
+    def _trading_days_cached(self) -> list[str]:
+        if not hasattr(self, "_td_cache"):
+            self._td_cache = self.get_trade_days()
+        return self._td_cache
+
     # -- bars --------------------------------------------------------------
 
     def _bars(self, securities: list[str], fq=None, start=None, end=None) -> DataFrame:
@@ -343,6 +369,207 @@ class PTradeDataAPI:
                 F.col("blocks")["industry"] == industry
             ).select("symbol").collect()
         )
+
+    def get_stock_name(self, stocks) -> dict:
+        """Spec ``:2775-2820``: {code: name}, None for unknown codes."""
+        stocks = [stocks] if isinstance(stocks, str) else list(stocks)
+        rows = (
+            self._table("stock_metadata")
+            .filter(F.col("symbol").isin(stocks))
+            .select("symbol", "stock_name")
+            .collect()
+        )
+        found = {r["symbol"]: r["stock_name"] for r in rows}
+        return {s: found.get(s) for s in stocks}
+
+    # Markets this warehouse models (spec ``:1607-1661`` lists the venue
+    # catalog of a full terminal; the data layer carries the two A-share
+    # exchanges plus the index/fund pseudo-markets its tables reference).
+    _MARKETS = [
+        ("XSHG", "上海证券交易所"),
+        ("XSHE", "深圳证券交易所"),
+        ("MRI", "指数"),
+        ("XFUND", "基金"),
+    ]
+
+    def get_market_list(self) -> pd.DataFrame:
+        """Spec ``:1607-1661``: (finance_mic, finance_name) catalog."""
+        return pd.DataFrame(self._MARKETS, columns=["finance_mic", "finance_name"])
+
+    def get_market_detail(self, finance_mic: str) -> pd.DataFrame:
+        """Spec ``:1662-1716``: products of one market —
+        (hq_type_code, prod_code, prod_name, trade_time_rule). Equities come
+        from stock_metadata split by code suffix (F3); 'MRI' returns the
+        index codes the warehouse knows."""
+        from simtradedata_spark.sources.synthetic import BENCHMARK
+
+        mic = {"SS": "XSHG", "SZ": "XSHE", "XSHG": "XSHG", "XSHE": "XSHE"}.get(
+            finance_mic, finance_mic
+        )
+        if mic == "MRI":
+            codes = self.get_Indeces()
+            pdf = pd.DataFrame(
+                {
+                    "hq_type_code": "MRI",
+                    "prod_code": [c.split(".")[0] for c in codes],
+                    "prod_name": codes,
+                    "trade_time_rule": 0,
+                }
+            )
+            return pdf
+        suffix = {"XSHG": ".SS", "XSHE": ".SZ"}.get(mic)
+        if suffix is None:
+            return pd.DataFrame(
+                columns=["hq_type_code", "prod_code", "prod_name", "trade_time_rule"]
+            )
+        meta = (
+            self._table("stock_metadata")
+            .filter(F.col("symbol").endswith(suffix))
+            .filter(F.col("symbol") != BENCHMARK)
+            .select(
+                F.lit("ESA").alias("hq_type_code"),
+                F.split(F.col("symbol"), r"\.").getItem(0).alias("prod_code"),
+                F.col("stock_name").alias("prod_name"),
+                F.lit(0).alias("trade_time_rule"),
+            )
+            .orderBy("prod_code")
+        )
+        return meta.toPandas()
+
+    def get_ipo_stocks(self, date=None) -> dict:
+        """Spec ``:3505-3551``: the day's IPO subscription lists, keyed by
+        market class. Served point-in-time from stock_metadata.listed_date
+        (the data layer has no subscription-code feed, so codes are the
+        listing codes; the 可转债 class is empty until a CB dimension
+        exists)."""
+        d = self.get_trading_day(0, date).isoformat()
+        meta = (
+            self._table("stock_metadata")
+            .filter(F.col("listed_date") == d)
+            .select("symbol")
+            .collect()
+        )
+        out = {
+            "上证普通代码": [],
+            "上证科创板代码": [],
+            "深证普通代码": [],
+            "深证创业板代码": [],
+            "可转债代码": [],
+        }
+        for r in meta:
+            sym = r["symbol"]
+            code = sym.split(".")[0]
+            if sym.endswith(".SS"):
+                key = "上证科创板代码" if code.startswith("688") else "上证普通代码"
+            else:
+                key = "深证创业板代码" if code.startswith("300") else "深证普通代码"
+            out[key].append(sym)
+        return {k: sorted(v) for k, v in out.items()}
+
+    # -- snapshot / gears ---------------------------------------------------
+
+    _LIMIT_RATES = (0.05, 0.10)  # (ST, normal) A-share daily price bands
+
+    def get_snapshot(self, security, date=None) -> dict:
+        """Spec ``:2610-2720``: per-symbol quote snapshot dict. The data
+        layer serves it from the latest bar ≤ ``date`` joined to valuation
+        (pe/pb/turnover/float shares) — one partition-pruned two-table read.
+        Level-2 book fields (bid_grp/offer_grp) have NO source table, so the
+        five gears are synthesized deterministically around last_px at the
+        0.01 tick (documented synthetic, like the multimodal decode stubs);
+        entrust counts are 0 per the no-L2 rule (spec ``:2576``)."""
+        securities = [security] if isinstance(security, str) else list(security)
+        d = self.get_trading_day(0, date).isoformat()
+        bars = (
+            self._table_range("bars", d, d)
+            .filter(F.col("symbol").isin(securities))
+        )
+        val = (
+            self._table("valuation")
+            .filter(F.col("symbol").isin(securities))
+            .filter(F.col("trade_date") == d)
+            .select(
+                "symbol", "pe_ttm", "pb", "turnover_rate",
+                "total_shares", "float_value",
+            )
+        )
+        meta = self._table("stock_metadata").select(
+            "symbol", "de_listed_date"
+        )
+        rows = (
+            bars.join(val, "symbol", "left")
+            .join(F.broadcast(meta), "symbol", "left")
+            .collect()
+        )
+        out = {}
+        for r in rows:
+            last, pre = r["close"], r["preclose"]
+            is_st = bool(r["is_st"])
+            limit = self._LIMIT_RATES[0] if is_st else self._LIMIT_RATES[1]
+            delisted = (
+                r["de_listed_date"] is not None
+                and r["de_listed_date"].isoformat() <= d
+            )
+            status = (
+                "DELISTED" if delisted
+                else ("SUSP" if r["trade_status"] == 0 else "TRADE")
+            )
+            float_shares = (
+                int(r["float_value"] / last)
+                if r["float_value"] and last
+                else 0
+            )
+            snap = {
+                "last_px": last,
+                "open_px": r["open"],
+                "high_px": r["high"],
+                "low_px": r["low"],
+                "preclose_px": pre,
+                "px_change_rate": round((last / pre - 1) * 100, 2) if pre else None,
+                "business_amount": int(r["volume"]),
+                "business_balance": r["money"],
+                "wavg_px": round(r["money"] / r["volume"], 4) if r["volume"] else last,
+                "up_px": round(pre * (1 + limit), 2),
+                "down_px": round(pre * (1 - limit), 2),
+                "pe_rate": r["pe_ttm"],
+                "pb_rate": r["pb"],
+                "turnover_ratio": r["turnover_rate"],
+                "circulation_amount": float_shares,
+                "trade_status": status,
+                "hsTimeStamp": int(d.replace("-", "")) * 10**9 + 150000000,
+            }
+            snap.update(self._synthetic_book(last, int(r["volume"])))
+            out[r["symbol"]] = snap
+        return out
+
+    @staticmethod
+    def _synthetic_book(last_px: float, volume: int) -> dict:
+        """Deterministic 5-level book around last_px (tick=0.01): volumes
+        derive from the day's volume so repeated calls agree."""
+        base_qty = max(100, (volume // 1000) // 100 * 100)
+        bid = {
+            i: [round(last_px - 0.01 * i, 2), base_qty * (6 - i), 0]
+            for i in range(1, 6)
+        }
+        offer = {
+            i: [round(last_px + 0.01 * i, 2), base_qty * (6 - i), 0]
+            for i in range(1, 6)
+        }
+        bid[1] = bid[1] + [{}]
+        offer[1] = offer[1] + [{}]
+        return {"bid_grp": bid, "offer_grp": offer}
+
+    def get_gear_price(self, sids, date=None) -> dict:
+        """Spec ``:2553-2609``: five bid/offer gears per code — the book
+        subset of get_snapshot; single code returns the inner dict."""
+        snaps = self.get_snapshot(sids, date)
+        gears = {
+            s: {"bid_grp": v["bid_grp"], "offer_grp": v["offer_grp"]}
+            for s, v in snaps.items()
+        }
+        if isinstance(sids, str):
+            return gears.get(sids, {"bid_grp": {}, "offer_grp": {}})
+        return gears
 
     _SORT_FIELDS = (
         "px_change_rate", "business_amount", "business_balance",

@@ -331,3 +331,86 @@ def test_get_history_fill_pre_forward_fills(spark, tmp_path):
     assert (filled["close"].iloc[3:5] == 12.0).all()
     # non-gap values untouched
     assert filled["close"].iloc[0] == 10.0 and filled["close"].iloc[-1] == 17.0
+
+
+def test_get_trading_day_offsets(api):
+    days = api.get_trade_days()
+    # day=0 anchored on a trading day returns it; on a weekend, the previous
+    assert api.get_trading_day(0, days[10]).isoformat() == days[10]
+    assert api.get_trading_day(1, days[10]).isoformat() == days[11]
+    assert api.get_trading_day(-3, days[10]).isoformat() == days[7]
+    import datetime
+
+    sat = datetime.date.fromisoformat(days[10])
+    while sat.isoformat() in days:
+        sat += datetime.timedelta(days=1)
+    prev = api.get_trading_day(0, sat.isoformat()).isoformat()
+    assert prev in days and prev < sat.isoformat()
+
+
+def test_get_stock_name(api):
+    syms = api.get_Ashares()[:3]
+    names = api.get_stock_name(syms + ["999999.SS"])
+    assert all(names[s] for s in syms)
+    assert names["999999.SS"] is None
+    one = api.get_stock_name(syms[0])
+    assert one[syms[0]] == names[syms[0]]
+
+
+def test_get_market_list_and_detail(api):
+    ml = api.get_market_list()
+    assert set(ml.columns) == {"finance_mic", "finance_name"}
+    assert "XSHG" in set(ml.finance_mic)
+    det = api.get_market_detail("XSHG")
+    assert list(det.columns) == [
+        "hq_type_code", "prod_code", "prod_name", "trade_time_rule"
+    ]
+    assert len(det) > 0 and (det.hq_type_code == "ESA").all()
+    # 'SS' alias resolves like XSHG; indices come back under MRI
+    assert len(api.get_market_detail("SS")) == len(det)
+    mri = api.get_market_detail("MRI")
+    assert "000300" in set(mri.prod_code)
+
+
+def test_get_ipo_stocks_finds_the_synthetic_ipo(api, market):
+    # the generator lists sym_idx 5 (odd -> 000005.SZ) one third into range
+    meta = {r["symbol"]: r for r in market.stock_metadata().collect()}
+    ipo_sym = "000005.SZ"
+    assert ipo_sym in meta and meta[ipo_sym]["listed_date"] is not None
+    d = meta[ipo_sym]["listed_date"].isoformat()
+    got = api.get_ipo_stocks(d)
+    assert ipo_sym in got["深证普通代码"]
+    assert set(got) == {
+        "上证普通代码", "上证科创板代码", "深证普通代码", "深证创业板代码", "可转债代码"
+    }
+    # a non-IPO day returns the empty classification
+    later = api.get_trading_day(5, d).isoformat()
+    assert all(not v for v in api.get_ipo_stocks(later).values())
+
+
+def test_get_snapshot_and_gears(api):
+    days = api.get_trade_days()
+    d = days[20]
+    syms = api.get_Ashares(d)[:2]
+    snaps = api.get_snapshot(syms, d)
+    assert set(snaps) == set(syms)
+    for s, v in snaps.items():
+        assert v["trade_status"] in ("TRADE", "SUSP", "DELISTED")
+        assert v["low_px"] <= v["last_px"] <= v["high_px"]
+        assert v["down_px"] < v["preclose_px"] < v["up_px"]
+        assert set(v["bid_grp"]) == {1, 2, 3, 4, 5}
+        assert v["bid_grp"][1][0] > v["bid_grp"][5][0]  # bids descend
+        assert v["offer_grp"][1][0] < v["offer_grp"][5][0]  # offers ascend
+        assert v["bid_grp"][5][0] < v["last_px"] < v["offer_grp"][1][0]
+    g = api.get_gear_price(syms[0], d)
+    assert set(g) == {"bid_grp", "offer_grp"}
+    assert g["bid_grp"] == snaps[syms[0]]["bid_grp"]
+
+
+def test_snapshot_suspended_day_reports_susp(api, market):
+    # generator suspends sym_idx 3 for day_idx in [100, 110)
+    days = api.get_trade_days()
+    d = days[105]
+    snap = api.get_snapshot("000003.SZ", d)["000003.SZ"]
+    assert snap["trade_status"] == "SUSP"
+    assert snap["business_amount"] == 0
