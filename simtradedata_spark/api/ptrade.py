@@ -16,6 +16,7 @@ Return shapes (``PTrade_API_mini_Reference.md:1826-1875,2015-2073``):
 
 from __future__ import annotations
 
+import hashlib
 from datetime import date as _date
 
 import pandas as pd
@@ -465,6 +466,217 @@ class PTradeDataAPI:
                 key = "深证创业板代码" if code.startswith("300") else "深证普通代码"
             out[key].append(sym)
         return {k: sorted(v) for k, v in out.items()}
+
+    # -- ETF / convertible bonds -------------------------------------------
+
+    def get_etf_list(self) -> list[str]:
+        """Spec ``:3464-3504``: all ETF codes."""
+        return sorted(
+            r[0] for r in self._table("etf_metadata").select("etf_code").collect()
+        )
+
+    _ETF_INFO_FIELDS = (
+        "etf_redemption_code", "publish", "report_unit", "cash_balance",
+        "max_cash_ratio", "pre_cash_component", "nav_percu", "nav_pre",
+        "allot_max", "redeem_max",
+    )
+
+    def get_etf_info(self, etf_code) -> dict:
+        """Spec ``:2424-2488``: {etf_code: info dict}; unknown codes omitted
+        (异常返回空dict semantics)."""
+        codes = [etf_code] if isinstance(etf_code, str) else list(etf_code)
+        rows = (
+            self._table("etf_metadata")
+            .filter(F.col("etf_code").isin(codes))
+            .collect()
+        )
+        return {
+            r["etf_code"]: {f: r[f] for f in self._ETF_INFO_FIELDS} for r in rows
+        }
+
+    def _etf_index(self, etf_code: str) -> str | None:
+        row = (
+            self._table("etf_metadata")
+            .filter(F.col("etf_code") == etf_code)
+            .select("index_code")
+            .first()
+        )
+        return row[0] if row else None
+
+    def get_etf_stock_list(self, etf_code: str, date=None) -> list[str]:
+        """Spec ``:3180-3225``: constituents of the ETF's tracked index
+        (point-in-time via get_index_stocks)."""
+        idx = self._etf_index(etf_code)
+        return self.get_index_stocks(idx, date) if idx else []
+
+    def get_etf_stock_info(self, etf_code: str, security, date=None) -> dict:
+        """Spec ``:2489-2552``: per-constituent creation-basket terms. The
+        basket size (code_num) is a deterministic function of (etf, stock) —
+        no basket feed exists; is_open is the real halt status (F6)."""
+        securities = [security] if isinstance(security, str) else list(security)
+        members = set(self.get_etf_stock_list(etf_code, date))
+        halts = self.get_stock_status(securities, "HALT", date)
+        out = {}
+        for s in securities:
+            if s not in members:
+                continue
+            h = int.from_bytes(
+                hashlib.md5(f"{etf_code}|{s}".encode()).digest()[:4], "big"
+            )
+            out[s] = {
+                "code_num": float((h % 95 + 5) * 100),
+                "cash_replace_flag": "1",
+                "replace_ratio": 0.1,
+                "replace_balance": 0.0,
+                "is_open": 0 if halts.get(s) else 1,
+            }
+        return out
+
+    def get_cb_list(self) -> list[str]:
+        """Spec ``:1717-1776``: all convertible-bond codes."""
+        return sorted(
+            r[0] for r in self._table("cb_metadata").select("bond_code").collect()
+        )
+
+    def get_cb_info(self, date=None) -> pd.DataFrame:
+        """Spec ``:2721-2774``: CB基础信息 DataFrame. convert_value =
+        convert_rate × the underlying's latest close ≤ date (one broadcast
+        join against the pruned bar slice)."""
+        cb = self._table("cb_metadata")
+        d = self.get_trading_day(0, date).isoformat()
+        bars = (
+            self._table_range("bars", d, d)
+            .select(F.col("symbol").alias("stock_code"), "close")
+        )
+        out = (
+            cb.join(F.broadcast(bars), "stock_code", "left")
+            .select(
+                "bond_code", "bond_name", "stock_code", "stock_name",
+                "list_date", "premium_rate", "convert_date", "maturity_date",
+                "convert_rate", "convert_price",
+                F.round(F.col("convert_rate") * F.col("close"), 2).alias(
+                    "convert_value"
+                ),
+            )
+            .orderBy("bond_code")
+        )
+        return out.toPandas()
+
+    # -- tick-level surface (L2) -------------------------------------------
+
+    def _tick_slice(
+        self, stocks, date, data_count, start_pos, search_direction
+    ) -> pd.DataFrame:
+        """Shared pager for the three tick APIs: per-symbol window of
+        ``data_count`` ticks from ``start_pos``, direction 1 = forward from
+        the start, 2 = backward from the end; partition-pruned single-day
+        scan."""
+        stocks = [stocks] if isinstance(stocks, str) else list(stocks)
+        d = self.get_trading_day(0, date).isoformat()
+        data_count = min(int(data_count), 200)
+        t = (
+            self._table_range("ticks", d, d)
+            .filter(F.col("symbol").isin(stocks))
+        )
+        if search_direction == 2:
+            w = Window.partitionBy("symbol").orderBy(F.col("seq").desc())
+        else:
+            w = Window.partitionBy("symbol").orderBy("seq")
+        t = (
+            t.withColumn("__rn", F.row_number().over(w))
+            .filter(
+                (F.col("__rn") > start_pos)
+                & (F.col("__rn") <= start_pos + data_count)
+            )
+            .drop("__rn")
+        )
+        return t.orderBy("symbol", "seq").toPandas()
+
+    def get_individual_transaction(
+        self, stocks, data_count=50, start_pos=0, search_direction=1, date=None
+    ) -> dict | None:
+        """Spec ``:2179-2251``: 逐笔成交 per code. Panel is dead — returns
+        dict[code → DataFrame] with the spec's minor-axis fields (W5
+        convention)."""
+        pdf = self._tick_slice(stocks, date, data_count, start_pos, search_direction)
+        if pdf.empty:
+            return None
+        cols = {
+            "business_time": pdf.ts_ms,
+            "hq_px": pdf.price,
+            "business_amount": pdf.qty,
+            "trade_index": pdf.seq,
+            "business_direction": pdf.direction.clip(upper=1),
+            "buy_no": pdf.buy_no,
+            "sell_no": pdf.sell_no,
+            "trans_flag": 0,
+            "trans_identify_am": 0,
+            "channel_num": 0,
+        }
+        frame = pd.DataFrame(cols)
+        frame["symbol"] = pdf.symbol.values
+        return {
+            s: g.drop(columns="symbol").reset_index(drop=True)
+            for s, g in frame.groupby("symbol")
+        }
+
+    def get_individual_entrust(
+        self, stocks, data_count=50, start_pos=0, search_direction=1, date=None
+    ) -> dict | None:
+        """Spec ``:2110-2178``: 逐笔委托 per code; trans_kind 2 (SZ limit
+        order) / 4 (SS add order) per the market split."""
+        pdf = self._tick_slice(stocks, date, data_count, start_pos, search_direction)
+        if pdf.empty:
+            return None
+        frame = pd.DataFrame(
+            {
+                "business_time": pdf.ts_ms,
+                "hq_px": pdf.price,
+                "business_amount": pdf.qty,
+                "order_no": pdf.order_no,
+                "business_direction": pdf.direction.clip(upper=1),
+                "trans_kind": pdf.symbol.str.endswith(".SS").map({True: 4, False: 2}),
+            }
+        )
+        frame["symbol"] = pdf.symbol.values
+        return {
+            s: g.drop(columns="symbol").reset_index(drop=True)
+            for s, g in frame.groupby("symbol")
+        }
+
+    def get_tick_direction(
+        self, symbols, query_date=0, start_pos=0, search_direction=1, data_count=50
+    ):
+        """Spec ``:2252-2319``: 分时成交 OrderedDict[code → DataFrame];
+        query_date int YYYYMMDD (0 = latest trading day)."""
+        from collections import OrderedDict
+
+        date = str(query_date) if query_date else None
+        pdf = self._tick_slice(symbols, date, data_count, start_pos, search_direction)
+        out = OrderedDict()
+        if pdf.empty:
+            return out
+        frame = pd.DataFrame(
+            {
+                "time_stamp": pdf.ts_ms,
+                "hq_px": pdf.price,
+                "hq_px64": 0,
+                "business_amount": pdf.qty,
+                "business_balance": (pdf.price * pdf.qty).round(0).astype("int64"),
+                "business_count": 1,
+                "business_direction": pdf.direction,
+                "amount": 0,
+                "start_index": 0,
+                "end_index": 0,
+            }
+        )
+        frame["symbol"] = pdf.symbol.values
+        syms = [symbols] if isinstance(symbols, str) else list(symbols)
+        for s in syms:
+            g = frame[frame.symbol == s]
+            if len(g):
+                out[s] = g.drop(columns="symbol").reset_index(drop=True)
+        return out
 
     # -- snapshot / gears ---------------------------------------------------
 

@@ -22,6 +22,7 @@ deterministically:
 
 from __future__ import annotations
 
+import datetime as _dt
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -442,3 +443,124 @@ class SyntheticMarket:
             (F.col("is_st") == 1).alias("is_st"),
             (F.col("trade_status") == 0).alias("is_halt"),
         )
+
+    def etf_metadata(self) -> DataFrame:
+        """ETF dimension (spec ``PTrade_API_mini_Reference.md:2424-2552,
+        3464-3504``): one ETF per index the warehouse tracks, field set of
+        ``get_etf_info``."""
+        rows = [
+            ("510050.SS", "上证50ETF", "000016.SS", "510051"),
+            ("510300.SS", "沪深300ETF", "000300.SS", "510301"),
+            ("510500.SS", "中证500ETF", "000905.SS", "510501"),
+        ]
+        df = self.spark.createDataFrame(
+            rows, "etf_code string, etf_name string, index_code string,"
+            " etf_redemption_code string"
+        )
+        u = lambda salt: _u01(F.col("etf_code"), salt=f"{salt}{self.seed}")
+        return df.select(
+            "*",
+            F.lit(1).alias("publish"),
+            F.lit(1_000_000).alias("report_unit"),
+            F.lit(0.4).alias("max_cash_ratio"),
+            F.round((u("cash") - 0.5) * 2000, 2).alias("cash_balance"),
+            F.round(u("pcc") * 1000, 2).alias("pre_cash_component"),
+            F.round(1e5 + u("navpc") * 2e5, 2).alias("nav_percu"),
+            F.round(0.1 + u("nav") * 5, 3).alias("nav_pre"),
+            F.lit(0.0).alias("allot_max"),
+            F.lit(0.0).alias("redeem_max"),
+        )
+
+    def cb_metadata(self) -> DataFrame:
+        """Convertible-bond dimension (spec ``:1717-1776,2721-2774``): one
+        CB for every sym_idx % 4 == 1 stock. convert_rate = 100 face value /
+        convert_price; convert_value needs the live close, so it is derived
+        at query time (api.get_cb_info)."""
+        days = self.trading_days()
+        d30 = days.filter(F.col("day_idx") == 30).select("trade_date")
+        list_d = d30.first()[0]
+        base = self.symbols().filter(F.col("sym_idx") % 4 == 1)
+        meta = self.stock_metadata().select("symbol", "stock_name")
+        base = base.join(meta, "symbol")
+        code = F.when(
+            F.col("symbol").endswith(".SS"),
+            F.concat(F.lit("110"), F.lpad(F.col("sym_idx").cast("string"), 3, "0"), F.lit(".SS")),
+        ).otherwise(
+            F.concat(F.lit("123"), F.lpad(F.col("sym_idx").cast("string"), 3, "0"), F.lit(".SZ"))
+        )
+        base_price = 5.0 + 95.0 * _u01(F.col("sym_idx"), salt=f"base{self.seed}")
+        cprice = F.round(base_price * (1.0 + 0.2 * _u01(F.col("sym_idx"), salt="cbp")), 2)
+        return base.select(
+            code.alias("bond_code"),
+            F.concat(F.col("stock_name"), F.lit("转债")).alias("bond_name"),
+            F.col("symbol").alias("stock_code"),
+            "stock_name",
+            F.lit(list_d.isoformat()).alias("list_date"),
+            F.round(5 + 30 * _u01(F.col("sym_idx"), salt="cbprem"), 2).alias("premium_rate"),
+            F.lit((list_d + _dt.timedelta(days=183)).isoformat()).alias(
+                "convert_date"
+            ),
+            F.lit(list_d.replace(year=list_d.year + 6).isoformat()).alias(
+                "maturity_date"
+            ),
+            F.round(F.lit(100.0) / cprice, 4).alias("convert_rate"),
+            cprice.alias("convert_price"),
+        )
+
+    def ticks(self, n_per_day: int = 40) -> DataFrame:
+        """Deterministic intraday tick stream (spec ``:2110-2319`` — the L2
+        tick surface the reference never implements): ``n_per_day`` trades
+        per non-suspended (symbol, day), prices interpolating open→close
+        inside the [low, high] envelope with hash noise, last tick exactly
+        the close. Per-tick volumes are samples, NOT constrained to sum to
+        the daily volume. Session clock: 09:30-11:30, 13:00-15:00."""
+        bars = self.bars().filter(F.col("volume") > 0)
+        t = bars.select(
+            "symbol", "trade_date", "open", "high", "low", "close",
+            "sym_idx", "day_idx",
+            F.explode(F.sequence(F.lit(1), F.lit(n_per_day))).alias("seq"),
+        )
+        frac = F.col("seq") / n_per_day
+        noise = (
+            _u01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickpx")
+            - 0.5
+        ) * (F.col("high") - F.col("low")) * 0.5
+        raw = F.col("open") + (F.col("close") - F.col("open")) * frac + noise
+        price = F.when(F.col("seq") == n_per_day, F.col("close")).otherwise(
+            F.least(F.greatest(F.round(raw, 2), F.col("low")), F.col("high"))
+        )
+        minute = F.floor((F.col("seq") - 1) * 240 / n_per_day).cast("int")
+        hh = F.when(minute < 120, 9 + F.floor((minute + 30) / 60)).otherwise(
+            13 + F.floor((minute - 120) / 60)
+        )
+        mm = F.when(minute < 120, (minute + 30) % 60).otherwise((minute - 120) % 60)
+        ts_ms = (
+            F.date_format("trade_date", "yyyyMMdd").cast("long") * F.lit(10**9)
+            + (hh * 10000 + mm * 100) * 1000
+        )
+        qty = (
+            100 * (1 + F.floor(
+                50 * _u01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickq")
+            ))
+        ).cast("long")
+        rid = lambda salt: F.pmod(
+            F.xxhash64(F.lit(salt), F.col("sym_idx"), F.col("day_idx"), F.col("seq")),
+            F.lit(10**9),
+        )
+        out = t.select(
+            "symbol", "trade_date", "seq",
+            ts_ms.alias("ts_ms"),
+            price.alias("price"),
+            qty.alias("qty"),
+            rid("ord").alias("order_no"),
+            rid("buy").alias("buy_no"),
+            rid("sell").alias("sell_no"),
+        )
+        wlag = Window.partitionBy("symbol", "trade_date").orderBy("seq")
+        prev = F.lag("price").over(wlag)
+        direction = (
+            F.when(prev.isNull() | (F.col("price") == prev), F.lit(2))
+            .when(F.col("price") > prev, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return out.withColumn("direction", direction.cast("int"))

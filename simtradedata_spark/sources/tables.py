@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PARTITIONED = {"bars", "valuation", "adjust_factor", "stock_status"}
+PARTITIONED = {"bars", "valuation", "adjust_factor", "stock_status", "ticks"}
 DIMENSION = {
     "trade_calendar",
     "exrights",
@@ -118,6 +118,9 @@ def build_warehouse(spark: SparkSession, root: str, market=None) -> Warehouse:
     wh.write("stock_metadata", market.stock_metadata().drop("sym_idx"))
     wh.write("index_constituents", market.index_constituents())
     wh.write("stock_status", market.stock_status())
+    wh.write("etf_metadata", market.etf_metadata())
+    wh.write("cb_metadata", market.cb_metadata())
+    wh.write("ticks", market.ticks())
     return wh
 
 

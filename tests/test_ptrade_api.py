@@ -414,3 +414,84 @@ def test_snapshot_suspended_day_reports_susp(api, market):
     snap = api.get_snapshot("000003.SZ", d)["000003.SZ"]
     assert snap["trade_status"] == "SUSP"
     assert snap["business_amount"] == 0
+
+
+def test_etf_surface(api):
+    etfs = api.get_etf_list()
+    assert "510300.SS" in etfs
+    info = api.get_etf_info(etfs)
+    assert set(info) == set(etfs)
+    assert info["510300.SS"]["report_unit"] == 1_000_000
+    assert api.get_etf_info("999999.SS") == {}
+    members = api.get_etf_stock_list("510300.SS")
+    assert members == api.get_index_stocks("000300.SS")
+    assert members
+    si = api.get_etf_stock_info("510300.SS", members[:3] + ["999999.SS"])
+    assert set(si) == set(members[:3])
+    for v in si.values():
+        assert v["cash_replace_flag"] == "1" and v["is_open"] in (0, 1)
+    # deterministic basket sizes
+    si2 = api.get_etf_stock_info("510300.SS", members[:3])
+    assert {k: v["code_num"] for k, v in si.items()} == {
+        k: v["code_num"] for k, v in si2.items()
+    }
+
+
+def test_cb_surface(api):
+    cbs = api.get_cb_list()
+    assert cbs and all(c.split(".")[0][:3] in ("110", "123") for c in cbs)
+    info = api.get_cb_info()
+    assert set(info.columns) >= {
+        "bond_code", "bond_name", "stock_code", "stock_name", "list_date",
+        "premium_rate", "convert_date", "maturity_date", "convert_rate",
+        "convert_price", "convert_value",
+    }
+    assert sorted(info.bond_code) == cbs
+    row = info.iloc[0]
+    # convert_value consistency: rate x latest close; rate = 100 / price
+    assert abs(row.convert_rate * row.convert_price - 100.0) < 0.05
+    assert row.convert_value > 0
+
+
+def test_tick_surface(api):
+    days = api.get_trade_days()
+    d = days[40]
+    syms = api.get_Ashares(d)[:2]
+    tx = api.get_individual_transaction(syms, data_count=10, date=d)
+    assert set(tx) == set(syms)
+    f = tx[syms[0]]
+    assert len(f) == 10
+    assert list(f.trade_index) == list(range(1, 11))
+    assert (f.business_direction.isin([0, 1])).all()
+    # backward pager returns the END of the day: last tick == close
+    back = api.get_individual_transaction(syms[0], data_count=5,
+                                          search_direction=2, date=d)
+    close = api.get_price(syms[0], start_date=d, end_date=d)["close"].iloc[0]
+    assert back[syms[0]].hq_px.iloc[-1] == close
+    ent = api.get_individual_entrust(syms, data_count=5, date=d)
+    kinds = {s: set(ent[s].trans_kind) for s in syms}
+    for s in syms:
+        assert kinds[s] == ({4} if s.endswith(".SS") else {2})
+    td = api.get_tick_direction(syms[0], data_count=8,
+                                query_date=int(d.replace("-", "")))
+    frame = td[syms[0]]
+    assert (frame.business_direction.isin([0, 1, 2])).all()
+    assert (frame.business_balance ==
+            (frame.hq_px * frame.business_amount).round(0).astype("int64")).all()
+
+
+def test_ticks_respect_bar_envelope(api, market):
+    days = api.get_trade_days()
+    d = days[40]
+    sym = "600000.SS"
+    bars = api.get_price(sym, start_date=d, end_date=d,
+                         fields=["open", "high", "low", "close"])
+    t = api.get_tick_direction(sym, data_count=200,
+                               query_date=int(d.replace("-", "")))[sym]
+    assert t.hq_px.max() <= bars["high"].iloc[0] + 1e-9
+    assert t.hq_px.min() >= bars["low"].iloc[0] - 1e-9
+    assert t.hq_px.iloc[-1] == bars["close"].iloc[0]
+    # suspended day -> no ticks
+    susp = api.get_tick_direction(
+        "000003.SZ", data_count=10, query_date=int(days[105].replace("-", "")))
+    assert susp == {} or "000003.SZ" not in susp
