@@ -51,6 +51,9 @@ def get_spark(
         # timestamp — read as long and convert in the catalog (micros trunc,
         # matching DuckDB's internal micros precision).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Python Data Source connectors (sources/pyds.py) push symbol/date
+        # predicates into the provider scan.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,169 @@
+"""Spark 4 Python Data Source packaging of the provider scan — S1/S2 as a
+first-class ``spark.read.format("simtrade_provider")`` (the "custom batch
+DataSource" column of SURVEY §2.1).
+
+The mapInPandas fan-out in ``provider.py`` stays the workhorse for arbitrary
+callables; this connector is the catalog-friendly face of the same scan:
+symbols come in as an option, each ``InputPartition`` carries one symbol
+batch (reads parallel across executors), rows are the unified 14-field wide
+row (``unified_fetcher.py:20-34``). Two pushdowns make it scan-efficient:
+
+  - ``symbol = 'x'`` / ``symbol IN (...)`` prunes PARTITIONS — unselected
+    symbols are never fetched (the provider analog of partition pruning);
+  - ``trade_date`` bounds narrow the per-call fetch range — the provider is
+    asked for fewer days (predicate pushdown to the RPC).
+
+The bundled row generator is the deterministic synthetic provider (pure
+python — executors only need this module), seeded per (symbol, day): the
+same (symbol, date) always yields the same row, on any partitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+UNIFIED_SCHEMA = (
+    "symbol string, trade_date date, open double, high double, low double, "
+    "close double, volume double, money double, pe_ttm double, pb double, "
+    "ps_ttm double, pcf double, turnover_rate double, is_st int, "
+    "trade_status int"
+)
+
+
+def _u01(key: str) -> float:
+    """Deterministic uniform [0,1) — md5-based, engine/partition invariant."""
+    h = int.from_bytes(hashlib.md5(key.encode()).digest()[:8], "big")
+    return h / 2**64
+
+
+def _close_on(seed: int, symbol: str, d: _dt.date) -> float:
+    """Close as a PURE function of (seed, symbol, date) — never of the
+    requested range. A provider must return identical rows for (symbol,
+    date) whatever window is asked for, or pushing date bounds into the
+    scan would change the data (tested)."""
+    base = 5.0 + 95.0 * _u01(f"{seed}|{symbol}|base")
+    swing = (_u01(f"{seed}|{symbol}|{d.isoformat()}|lvl") - 0.5) * 0.3
+    return round(base * (1 + swing), 4)
+
+
+def _prev_weekday(d: _dt.date) -> _dt.date:
+    d -= _dt.timedelta(days=1)
+    while d.weekday() >= 5:
+        d -= _dt.timedelta(days=1)
+    return d
+
+
+def synthetic_provider_rows(
+    symbol: str, start: str, end: str, seed: int = 42
+) -> Iterator[tuple]:
+    """The fake-BaoStock unified daily scan: weekday rows in [start, end],
+    per-day deterministic close, OHLC envelope — range-invariant by
+    construction (see _close_on)."""
+    d0 = _dt.date.fromisoformat(start)
+    d1 = _dt.date.fromisoformat(end)
+    d = d0
+    while d <= d1:
+        if d.weekday() < 5:
+            k = f"{seed}|{symbol}|{d.isoformat()}"
+            close = _close_on(seed, symbol, d)
+            prev = _close_on(seed, symbol, _prev_weekday(d))
+            op = round(prev * (1 + (_u01(k + "|op") - 0.5) * 0.02), 4)
+            hi = round(max(op, close) * (1 + _u01(k + "|hi") * 0.02), 4)
+            lo = round(min(op, close) * (1 - _u01(k + "|lo") * 0.02), 4)
+            vol = round(1e5 + 1e6 * _u01(k + "|vol"), 0)
+            money = round(vol * (hi + lo) / 2, 2)
+            yield (
+                symbol, d, op, hi, lo, close, vol, money,
+                round(10 + 40 * _u01(k + "|pe"), 4),
+                round(1 + 5 * _u01(k + "|pb"), 4),
+                round(1 + 10 * _u01(k + "|ps"), 4),
+                round(2 + 20 * _u01(k + "|pcf"), 4),
+                round(_u01(k + "|turn"), 6),
+                0, 1,
+            )
+        d += _dt.timedelta(days=1)
+
+
+class _SymbolBatch(InputPartition):
+    def __init__(self, symbols: list[str]):
+        self.symbols = symbols
+
+
+class ProviderReader(DataSourceReader):
+    def __init__(self, options):
+        self.symbols = [
+            s for s in options.get("symbols", "").split(",") if s
+        ]
+        if not self.symbols:
+            raise ValueError("option 'symbols' (comma-separated) is required")
+        self.start = options.get("start", "2022-01-03")
+        self.end = options.get("end", "2022-12-30")
+        self.seed = int(options.get("seed", "42"))
+        self.batch_size = int(options.get("batch_size", "4"))
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            col = f.attribute[0] if getattr(f, "attribute", None) else None
+            if col == "symbol" and isinstance(f, EqualTo):
+                self.symbols = [s for s in self.symbols if s == f.value]
+            elif col == "symbol" and isinstance(f, In):
+                keep = set(f.values)
+                self.symbols = [s for s in self.symbols if s in keep]
+            elif col == "trade_date" and isinstance(
+                f, (GreaterThan, GreaterThanOrEqual)
+            ):
+                self.start = max(self.start, str(f.value))
+            elif col == "trade_date" and isinstance(
+                f, (LessThan, LessThanOrEqual)
+            ):
+                self.end = min(self.end, str(f.value))
+            else:
+                yield f  # unsupported → Spark evaluates it post-scan
+                continue
+            # pushed filters are also re-checked by Spark only if yielded;
+            # equality/range pushes here are exact, so they are consumed
+
+    def partitions(self) -> Sequence[InputPartition]:
+        b = self.batch_size
+        return [
+            _SymbolBatch(self.symbols[i : i + b])
+            for i in range(0, len(self.symbols), b)
+        ] or [_SymbolBatch([])]
+
+    def read(self, partition: _SymbolBatch) -> Iterator[tuple]:
+        for sym in partition.symbols:
+            yield from synthetic_provider_rows(
+                sym, self.start, self.end, self.seed
+            )
+
+
+class ProviderDataSource(DataSource):
+    """``spark.dataSource.register(ProviderDataSource)`` then
+    ``spark.read.format("simtrade_provider").option("symbols", "a,b").load()``.
+    Options: symbols (required, comma-separated), start, end, seed,
+    batch_size (symbols per input partition)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "simtrade_provider"
+
+    def schema(self) -> str:
+        return UNIFIED_SCHEMA
+
+    def reader(self, schema) -> ProviderReader:
+        return ProviderReader(self.options)

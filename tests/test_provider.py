@@ -81,3 +81,68 @@ def test_paginated_stops_at_start_and_filters():
     out = fetch("x", "2024-01-18", "2024-01-25")
     assert sorted(out.trade_date) == [f"2024-01-{d:02d}" for d in range(18, 26)]
     assert len(pages_fetched) == 2  # stopped once oldest <= start
+
+
+def test_python_datasource_reads_and_partitions(spark):
+    """Spark 4 Python Data Source: registered format reads the unified
+    wide rows, one input partition per symbol batch."""
+    from simtradedata_spark.sources.pyds import ProviderDataSource
+
+    spark.dataSource.register(ProviderDataSource)
+    df = (
+        spark.read.format("simtrade_provider")
+        .option("symbols", "600000.SS,000001.SZ,600002.SS")
+        .option("start", "2022-03-01")
+        .option("end", "2022-03-31")
+        .option("batch_size", "1")
+        .load()
+    )
+    pdf = df.toPandas()
+    assert set(pdf.symbol) == {"600000.SS", "000001.SZ", "600002.SS"}
+    assert len(pdf.columns) == 15
+    # weekdays only, inside bounds
+    assert pdf.trade_date.min().isoformat() >= "2022-03-01"
+    assert pdf.trade_date.max().isoformat() <= "2022-03-31"
+    assert (pdf.low <= pdf[["open", "close"]].min(axis=1) + 1e-9).all()
+    assert (pdf.high >= pdf[["open", "close"]].max(axis=1) - 1e-9).all()
+    # deterministic: a re-read yields identical rows
+    pdf2 = (
+        spark.read.format("simtrade_provider")
+        .option("symbols", "600000.SS,000001.SZ,600002.SS")
+        .option("start", "2022-03-01").option("end", "2022-03-31")
+        .load().toPandas()
+    )
+    a = pdf.sort_values(["symbol", "trade_date"]).reset_index(drop=True)
+    b = pdf2.sort_values(["symbol", "trade_date"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_python_datasource_filter_pushdown_prunes(spark):
+    """symbol equality prunes fetch partitions; trade_date bounds narrow the
+    per-call range — both consumed by pushFilters, so results stay correct
+    AND the unselected symbol is never fetched."""
+    from simtradedata_spark.sources.pyds import ProviderDataSource
+
+    spark.dataSource.register(ProviderDataSource)
+    base = (
+        spark.read.format("simtrade_provider")
+        .option("symbols", "600000.SS,000001.SZ")
+        .option("start", "2022-03-01")
+        .option("end", "2022-06-30")
+        .option("batch_size", "1")
+    )
+    got = (
+        base.load()
+        .filter("symbol = '600000.SS'")
+        .filter("trade_date >= date'2022-04-01'")
+        .toPandas()
+    )
+    assert set(got.symbol) == {"600000.SS"}
+    assert got.trade_date.min().isoformat() >= "2022-04-01"
+    # unpushed rows match the unfiltered read filtered in Spark
+    full = base.load().toPandas()
+    expect = full[
+        (full.symbol == "600000.SS")
+        & (full.trade_date.astype(str) >= "2022-04-01")
+    ].reset_index(drop=True)
+    assert got.reset_index(drop=True).equals(expect)
