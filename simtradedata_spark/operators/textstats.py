@@ -118,6 +118,104 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition features per document (Rae et al. 2021 §A1.1,
+    adapted to word level because our corpus is single-line):
+
+      - ``frac_dup_tokens``  = 1 − distinct/total tokens — bulk repetition.
+      - ``top_gram`` / ``top_count`` — the most frequent word ``n``-gram
+        (ties broken by count desc, gram asc — deterministic cross-engine).
+      - ``top_gram_char_frac`` = chars covered by occurrences of the top
+        n-gram / total chars — the "top n-gram fraction" filter signal.
+
+    Scale: single scan, no self-join — explode_outer carries the per-doc
+    scalars alongside each gram, then two stacked aggregations (groupBy
+    (key, gram) count → groupBy(key) min(struct(-count, gram))) produce the
+    mode. Both shuffles are keyed by document; nothing is bounded by
+    document count, and the text is tokenized exactly once.
+    """
+    toks = F.col("__rs_toks")
+    toked = df.select(
+        key_col,
+        F.length(text_col).alias("__n_chars"),
+        tokens(text_col).alias("__rs_toks"),
+    )
+    # sequence() DESCENDS when stop < start, so guard short docs explicitly.
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    exploded = toked.select(
+        key_col,
+        "__n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("__n_distinct"),
+        F.explode_outer(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        ).alias("gram"),
+    )
+    gram_counts = exploded.groupBy(key_col, "gram").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.first("__n_chars").alias("__n_chars"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("__n_distinct").alias("__n_distinct"),
+    )
+    top = gram_counts.groupBy(key_col).agg(
+        F.min(
+            # explode_outer emits gram=NULL for gram-less docs; min(struct)
+            # ignores null grams only if we push the null to the far end.
+            F.when(
+                F.col("gram").isNotNull(),
+                F.struct((-F.col("c")).alias("nc"), F.col("gram")),
+            )
+        ).alias("__top"),
+        F.first("__n_chars").alias("__n_chars"),
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("__n_distinct").alias("__n_distinct"),
+    )
+    top_gram = F.coalesce(F.col("__top.gram"), F.lit(""))
+    top_count = F.coalesce(-F.col("__top.nc"), F.lit(0)).cast("long")
+    return top.select(
+        key_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            1.0 - F.col("__n_distinct") / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("frac_dup_tokens"),
+        top_gram.alias("top_gram"),
+        top_count.alias("top_count"),
+        F.when(
+            F.col("__n_chars") > 0,
+            top_count * F.length(top_gram) / F.col("__n_chars"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_gram_char_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    max_frac_dup_tokens: float = 0.95,
+    max_top_gram_char_frac: float = 0.20,
+) -> DataFrame:
+    """Drop documents failing the repetition thresholds (the filtering form
+    of ``repetition_stats`` — keeps the original columns)."""
+    stats = repetition_stats(df, key_col, text_col, n).filter(
+        (F.col("frac_dup_tokens") <= max_frac_dup_tokens)
+        & (F.col("top_gram_char_frac") <= max_top_gram_char_frac)
+    )
+    return df.join(stats.select(key_col), key_col, "left_semi")
+
+
 # GPT-2-style pre-tokenizer segments: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs. Deliberately restricted to
 # syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle) — no

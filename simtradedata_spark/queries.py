@@ -1858,6 +1858,165 @@ GROUP BY source
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality features (word-level, since the corpus
+    is single-line): duplicate-token fraction plus the most frequent word
+    bigram and the char fraction it covers. The n-gram mode is distributed —
+    explode → count → min(struct(-count, gram)) keyed by doc — no
+    per-document collect anywhere."""
+    from simtradedata_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    s = repetition_stats(docs, "doc_id", "text", n=2)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round("frac_dup_tokens", 6).alias("frac_dup_tokens"),
+        "top_gram",
+        "top_count",
+        F.round("top_gram_char_frac", 6).alias("top_gram_char_frac"),
+    )
+
+
+SQL_DOC_REPETITION = """
+WITH toked AS (
+  SELECT doc_id, length(text) AS n_chars_text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, n_chars_text, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1]) AS grams
+  FROM toked
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM base)
+  GROUP BY doc_id, gram
+), top AS (
+  SELECT doc_id, gram AS top_gram, c AS top_count FROM (
+    SELECT doc_id, gram, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, gram) AS rn
+    FROM gc) WHERE rn = 1
+)
+SELECT b.doc_id, b.n_tokens,
+       round(CASE WHEN b.n_tokens > 0
+             THEN 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
+             ELSE 0.0 END, 6) AS frac_dup_tokens,
+       coalesce(t.top_gram, '') AS top_gram,
+       CAST(coalesce(t.top_count, 0) AS BIGINT) AS top_count,
+       round(CASE WHEN b.n_chars_text > 0
+             THEN coalesce(t.top_count, 0) * length(coalesce(t.top_gram, ''))
+                  / CAST(b.n_chars_text AS DOUBLE)
+             ELSE 0.0 END, 6) AS top_gram_char_frac
+FROM base b LEFT JOIN top t USING (doc_id)
+"""
+
+
+def q_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (the reduce step of k-means / class
+    prototypes), emitted tall as (label, dim, centroid). posexplode keeps the
+    whole computation in JVM window-free aggregates — one shuffle on
+    (label, dim), partial map-side sums; at 100 TB this beats a Pandas-UDF
+    vector mean because the combine happens before the exchange."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(i - 1 AS INT) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS centroid,
+       count(*) AS n_vecs
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
+def q_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape — scalar-subquery max over a derived aggregate: the
+    supplier(s) whose 1996-Q1 discounted revenue equals the global max.
+    Spark: the per-supplier aggregate is computed once, its max broadcast
+    back as a 1-row cross join (Catalyst's ReuseExchange shares the scan);
+    no second pass over the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+
+def q_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape — HAVING against a global scalar derived from the same
+    aggregate: parts whose revenue exceeds 1.5× the average per-part revenue
+    (scale-invariant, unlike Q11's literal fraction — part count grows with
+    SF). One aggregate feeds both the per-part rows and (via a reduced pass
+    broadcast as a 1-row scalar) the threshold — the fact is scanned once."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        (F.sum(cents("l_extendedprice")) / 100.0).alias("part_revenue")
+    )
+    total = per_part.agg((F.avg("part_revenue") * 1.5).alias("threshold"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_revenue") > F.col("threshold"))
+        .select("l_partkey", "part_revenue")
+    )
+
+
+SQL_IMPORTANT_PARTS = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS part_revenue
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_revenue FROM per_part
+WHERE part_revenue > (SELECT avg(part_revenue) * 1.5 FROM per_part)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -1939,4 +2098,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_SMALL_QUANTITY_REVENUE,
     ),
     "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
+    "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
+    "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
 }

@@ -71,3 +71,65 @@ def test_hash_bucket_range_and_partition_invariance(spark):
         for r in df.repartition(16).select("k", hash_bucket(["k"]).alias("b")).collect()
     }
     assert one == many
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality filters (Gopher-style, word level)
+# ---------------------------------------------------------------------------
+
+def _rep_docs(spark):
+    rows = [
+        # "ab ab ab" repeated: 6 tokens, 2 distinct, top bigram "ab ab" x5
+        (0, "ab ab ab ab ab ab"),
+        # all distinct tokens, every bigram unique
+        (1, "one two three four five"),
+        # mixed: "x y" appears twice (positions 1-2 and 4-5)
+        (2, "x y z x y"),
+        (3, ""),          # empty doc
+        (4, "solo"),      # single token: no bigram
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_hand_oracle(spark):
+    from simtradedata_spark.operators.textstats import repetition_stats
+
+    out = {
+        r["doc_id"]: r
+        for r in repetition_stats(_rep_docs(spark), "doc_id", "text").collect()
+    }
+    r0 = out[0]
+    assert r0["n_tokens"] == 6 and r0["top_gram"] == "ab ab" and r0["top_count"] == 5
+    assert abs(r0["frac_dup_tokens"] - (1 - 1 / 6)) < 1e-12
+    # "ab ab ab ab ab ab" = 17 chars; top bigram "ab ab" (5 chars) x5 = 25
+    assert abs(r0["top_gram_char_frac"] - 25 / 17) < 1e-12
+
+    r1 = out[1]
+    assert r1["frac_dup_tokens"] == 0.0 and r1["top_count"] == 1
+    # tie on count=1 broken by gram asc
+    assert r1["top_gram"] == "four five"
+
+    r2 = out[2]
+    assert r2["top_gram"] == "x y" and r2["top_count"] == 2
+    assert abs(r2["frac_dup_tokens"] - (1 - 3 / 5)) < 1e-12
+
+    assert out[3]["n_tokens"] == 0 and out[3]["top_gram"] == ""
+    assert out[3]["frac_dup_tokens"] == 0.0 and out[3]["top_gram_char_frac"] == 0.0
+    assert out[4]["n_tokens"] == 1 and out[4]["top_count"] == 0
+
+
+def test_repetition_filter_drops_spam(spark):
+    from simtradedata_spark.operators.textstats import repetition_filter
+
+    kept = repetition_filter(
+        _rep_docs(spark),
+        "doc_id",
+        "text",
+        max_frac_dup_tokens=0.5,
+        max_top_gram_char_frac=0.5,
+    )
+    # doc 0 fails both thresholds; doc 2 fails frac_dup_tokens (0.4 ok) —
+    # 0.4 <= 0.5 passes; top "x y" covers 2*3/9 = 0.667 > 0.5 → dropped.
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
+    # original columns survive the semi join
+    assert set(kept.columns) == {"doc_id", "text"}
