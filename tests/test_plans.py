@@ -108,3 +108,25 @@ def test_cci_orders_no_python_eval(spark):
     p = plan(QUERIES["cci_orders"][0](spark, SF))
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
+
+
+def test_doc_repetition_single_scan_no_join(spark):
+    """The repetition stats must be ONE scan with stacked aggregations —
+    a regression to the self-join form doubles the tokenization work."""
+    p = plan(QUERIES["doc_repetition"][0](spark, SF))
+    assert "Join" not in p
+    assert p.count("FileScan parquet") == 1
+
+
+def test_important_parts_broadcasts_threshold(spark):
+    """Q11 shape: the 1-row threshold must broadcast (BNLJ over 1 row is
+    fine); the fact side must aggregate with a map-side partial."""
+    p = plan(QUERIES["important_parts"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_top_supplier_revenue_broadcasts_scalar_and_dim(spark):
+    p = plan(QUERIES["top_supplier_revenue"][0](spark, SF))
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 1
