@@ -2017,6 +2017,44 @@ WHERE part_revenue > (SELECT avg(part_revenue) * 1.5 FROM per_part)
 """
 
 
+def q_user_type_intervals(spark, sf_dir):
+    """SCD2 build over the event log: per user, validity intervals of the
+    current event_type, consecutive no-change rows collapsed. One shuffle
+    on user_id (lag-detect and lead-close share the window spec)."""
+    from simtradedata_spark.operators.scd import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = scd2_intervals(ev, ["user_id"], "ts", ["event_type"], tiebreaks=["event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    )
+
+
+SQL_USER_TYPE_INTERVALS = """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS opens
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type, ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM marked WHERE opens = 1
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       valid_to IS NULL AS is_current
+FROM changes
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -2102,4 +2140,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
     "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
+    "user_type_intervals": (q_user_type_intervals, SQL_USER_TYPE_INTERVALS),
 }
