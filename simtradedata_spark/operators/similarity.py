@@ -239,3 +239,24 @@ def ivf_top_k(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def quantize_int8(vec: Column, scale: Column) -> Column:
+    """Symmetric per-vector int8 quantization: q = round(x/scale), scale =
+    max|x|/127. Pure column expressions — narrow, codegen'd, no shuffle.
+    int8 storage is 4× smaller than float32, the standard first rung of
+    ANN memory scaling (dequant error ≤ scale/2 per element)."""
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") / scale).cast("tinyint")
+    )
+
+
+def int8_scale(vec: Column) -> Column:
+    """Per-vector symmetric scale max|x|/127 (double; 0-vectors → scale 0,
+    guarded to 1 to keep q = 0 instead of NaN)."""
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    return F.when(maxabs > 0, maxabs / F.lit(127.0)).otherwise(F.lit(1.0))
+
+
+def dequantize_int8(q: Column, scale: Column) -> Column:
+    return F.transform(q, lambda v: v.cast("double") * scale)

@@ -2055,6 +2055,52 @@ FROM changes
 """
 
 
+def q_quantized_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (4× storage cut,
+    the first rung of ANN memory scaling), reduced to exact per-vector
+    integer summaries so the check is float-noise-free. All narrow column
+    expressions — zero shuffles."""
+    from simtradedata_spark.operators.similarity import int8_scale, quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scale = int8_scale(F.col("embedding"))
+    staged = emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        quantize_int8(F.col("embedding"), scale).alias("q"),
+    )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, v: a + v).alias("sum_q"),
+        F.array_min("q").cast("int").alias("min_q"),
+        F.array_max("q").cast("int").alias("max_q"),
+        F.size("q").alias("n_dims"),
+    )
+
+
+SQL_QUANTIZED_EMBEDDINGS = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+              THEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+              ELSE 1.0 END AS scale
+  FROM embeddings
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / scale) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS sum_q,
+       CAST(list_min(qv) AS INT) AS min_q,
+       CAST(list_max(qv) AS INT) AS max_q,
+       len(qv) AS n_dims
+FROM q
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -2141,4 +2187,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
     "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
     "user_type_intervals": (q_user_type_intervals, SQL_USER_TYPE_INTERVALS),
+    "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
 }

@@ -353,3 +353,40 @@ def test_global_rank_small_inputs(spark):
     few = spark.createDataFrame([(float(i), i) for i in range(3)], "v double, id int")
     got = {r["id"]: r["ntile"] for r in global_ntile(few, 10, ["v", "id"]).collect()}
     assert got == {0: 1, 1: 2, 2: 3}
+
+
+def test_int8_quantization_roundtrip(spark):
+    """Dequant error bounded by scale/2 per element; quantized values stay
+    in [-127, 127]; cosine similarity survives quantization (>0.99 for
+    smooth vectors); zero vectors stay zero instead of NaN."""
+    import math
+    import random
+
+    from simtradedata_spark.operators.similarity import (
+        dequantize_int8,
+        int8_scale,
+        quantize_int8,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(32)]) for i in range(50)]
+    rows.append((50, [0.0] * 32))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    scale = int8_scale(F.col("embedding"))
+    out = df.select(
+        "vec_id",
+        "embedding",
+        scale.alias("scale"),
+        quantize_int8(F.col("embedding"), scale).alias("q"),
+    ).withColumn("deq", dequantize_int8(F.col("q"), F.col("scale")))
+    for r in out.collect():
+        assert all(-127 <= v <= 127 for v in r["q"])
+        errs = [abs(a - b) for a, b in zip(r["embedding"], r["deq"])]
+        assert max(errs) <= r["scale"] / 2 + 1e-12
+        if r["vec_id"] == 50:
+            assert all(v == 0 for v in r["q"]) and r["scale"] == 1.0
+            continue
+        dot = sum(a * b for a, b in zip(r["embedding"], r["deq"]))
+        na = math.sqrt(sum(a * a for a in r["embedding"]))
+        nb = math.sqrt(sum(b * b for b in r["deq"]))
+        assert dot / (na * nb) > 0.99
