@@ -16,6 +16,8 @@ redeliveries with watermark-bounded state (``dropDuplicatesWithinWatermark``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -168,6 +170,83 @@ def streaming_dedup(
     return (
         deduped.writeStream.outputMode("append")
         .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N1 streaming form: foreachBatch upsert into a versioned snapshot store
+# ---------------------------------------------------------------------------
+
+def _snapshot_pointer(target: str) -> str:
+    return os.path.join(target, "_CURRENT")
+
+
+def read_current(spark: SparkSession, target: str) -> DataFrame | None:
+    """Resolve the _CURRENT pointer and read that snapshot version (None
+    before the first commit)."""
+    ptr = _snapshot_pointer(target)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        version = fh.read().strip()
+    return spark.read.parquet(os.path.join(target, version))
+
+
+def upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target: str,
+    keys: list[str],
+    order_by=None,
+) -> None:
+    """One micro-batch commit: merge into the current snapshot
+    (last-writer-wins on ``keys``, J4) and publish a NEW snapshot directory,
+    then atomically repoint ``_CURRENT`` — a minimal transaction log, the
+    same commit shape Delta's MERGE performs with file-level transactions.
+    Readers resolve the pointer first, so they never observe a half-written
+    snapshot; failed batches leave the pointer (and thus the table) intact.
+    """
+    spark = batch_df.sparkSession
+    existing = read_current(spark, target)
+    if existing is None:
+        # still dedup within the first batch itself
+        merged = incremental_merge(batch_df.limit(0), batch_df, keys, order_by)
+    else:
+        merged = incremental_merge(existing, batch_df, keys, order_by)
+    version = f"v{batch_id:012d}"
+    merged.write.mode("overwrite").parquet(os.path.join(target, version))
+    tmp = _snapshot_pointer(target) + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(version)
+    os.replace(tmp, _snapshot_pointer(target))
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target: str,
+    keys: list[str],
+    order_by=None,
+    query_name: str = "stream_upsert",
+):
+    """N1 as a continuous job: every micro-batch upserts into the snapshot
+    store via ``foreachBatch`` (exactly the Structured-Streaming + MERGE
+    pattern SURVEY §2.10 calls for; with a Delta/Iceberg jar the body of
+    ``upsert_batch`` becomes a real MERGE INTO and the pointer goes away).
+    """
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: upsert_batch(df, bid, target, keys, order_by)
+        )
         .queryName(query_name)
         .start()
     )

@@ -150,3 +150,60 @@ def test_streaming_minute_bars_match_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got[batch.columns], batch, check_exact=False, rtol=1e-12
     )
+
+
+def test_streaming_upsert_foreachbatch_last_writer_wins(spark, tmp_path):
+    """N1 streaming form: each micro-batch merges into the snapshot store;
+    the final _CURRENT snapshot equals applying the batches sequentially
+    with updates-win semantics."""
+    import time
+
+    from simtradedata_spark.streaming.incremental import (
+        read_current,
+        streaming_upsert,
+    )
+
+    src = str(tmp_path / "upsert_src")
+    tgt = str(tmp_path / "upsert_tgt")
+    os.makedirs(src)
+    schema = "symbol string, d int, v double"
+    b1 = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 1, 20.0), ("b", 1, 21.0)], schema
+    )
+    b2 = spark.createDataFrame([("a", 1, 99.0), ("c", 1, 30.0)], schema)
+    # one file per batch; file-source order = modification time, pinned
+    b1.coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    b2.coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    files = sorted(
+        os.path.join(d, f)
+        for d in (src + "/f1", src + "/f2")
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    flat = []
+    for i, f in enumerate(files):
+        dst = os.path.join(src, f"batch{i}.parquet")
+        os.rename(f, dst)
+        t = time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+        flat.append(dst)
+    assert len(flat) == 2
+
+    q = streaming_upsert(
+        spark,
+        src,
+        spark.createDataFrame([], schema).schema,
+        tgt,
+        keys=["symbol", "d"],
+        order_by=[F.col("v")],
+        query_name="t_upsert",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = read_current(spark, tgt)
+    got = {(r["symbol"], r["d"]): r["v"] for r in final.collect()}
+    # b1 inner dup (b,21 beats b,20 via order_by); b2 overwrites a, adds c
+    assert got == {("a", 1): 99.0, ("b", 1): 21.0, ("c", 1): 30.0}
