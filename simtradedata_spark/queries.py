@@ -2101,6 +2101,57 @@ FROM q
 """
 
 
+def q_daily_factor_top3(spark, sf_dir):
+    """Cross-sectional factor selection (the spec's top-N-by-factor strategy
+    pattern): within each ship date, z-score l_extendedprice against the
+    date's cross-section and keep the top-3 rows. One exchange on the date;
+    moments and rank share the window partitioning."""
+    from simtradedata_spark.operators.factors import cross_sectional, top_n_by_factor
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    cs = cross_sectional(li, "ship_date", "l_extendedprice")
+    top = top_n_by_factor(
+        cs, "ship_date", "l_extendedprice", 3, tiebreaks=["l_orderkey", "l_linenumber"]
+    )
+    return top.select(
+        "ship_date",
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.round("cs_zscore", 6).alias("cs_zscore"),
+        "cs_rank",
+        F.round("cs_pct", 6).alias("cs_pct"),
+    )
+
+
+SQL_DAILY_FACTOR_TOP3 = """
+WITH cs AS (
+  SELECT CAST(l_shipdate AS DATE) AS ship_date, l_orderkey, l_linenumber,
+         l_extendedprice,
+         CASE WHEN stddev_pop(l_extendedprice) OVER wd > 0
+              THEN (l_extendedprice - avg(l_extendedprice) OVER wd)
+                   / stddev_pop(l_extendedprice) OVER wd END AS cs_zscore,
+         dense_rank() OVER wr AS cs_rank,
+         percent_rank() OVER wr AS cs_pct,
+         row_number() OVER wt AS rn
+  FROM lineitem
+  WINDOW wd AS (PARTITION BY CAST(l_shipdate AS DATE)),
+         wr AS (PARTITION BY CAST(l_shipdate AS DATE)
+                ORDER BY l_extendedprice DESC),
+         wt AS (PARTITION BY CAST(l_shipdate AS DATE)
+                ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+)
+SELECT ship_date, l_orderkey, l_linenumber, l_extendedprice,
+       round(cs_zscore, 6) AS cs_zscore, cs_rank, round(cs_pct, 6) AS cs_pct
+FROM cs WHERE rn <= 3
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -2188,4 +2239,5 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
     "user_type_intervals": (q_user_type_intervals, SQL_USER_TYPE_INTERVALS),
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
+    "daily_factor_top3": (q_daily_factor_top3, SQL_DAILY_FACTOR_TOP3),
 }

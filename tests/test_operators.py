@@ -390,3 +390,37 @@ def test_int8_quantization_roundtrip(spark):
         na = math.sqrt(sum(a * a for a in r["embedding"]))
         nb = math.sqrt(sum(b * b for b in r["deq"]))
         assert dot / (na * nb) > 0.99
+
+
+def test_cross_sectional_factor_hand_oracle(spark):
+    from datetime import date
+
+    from simtradedata_spark.operators.factors import cross_sectional, top_n_by_factor
+
+    d1, d2 = date(2024, 1, 1), date(2024, 1, 2)
+    rows = [
+        (d1, "a", 10.0),
+        (d1, "b", 20.0),
+        (d1, "c", 20.0),  # tie with b
+        (d1, "d", 30.0),
+        (d2, "a", 5.0),   # degenerate cross-section below (zero variance)
+        (d2, "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "dt date, sym string, f double")
+    cs = {(r["dt"], r["sym"]): r for r in cross_sectional(df, "dt", "f").collect()}
+    # d1: mean 20, stddev_pop sqrt(50); ties share dense rank 2
+    import math
+
+    sd = math.sqrt(50.0)
+    assert abs(cs[(d1, "d")]["cs_zscore"] - 10 / sd) < 1e-12
+    assert abs(cs[(d1, "a")]["cs_zscore"] + 10 / sd) < 1e-12
+    assert cs[(d1, "d")]["cs_rank"] == 1
+    assert cs[(d1, "b")]["cs_rank"] == 2 and cs[(d1, "c")]["cs_rank"] == 2
+    assert cs[(d1, "a")]["cs_rank"] == 3
+    # zero-variance cross-section: zscore null, ranks tie at 1
+    assert cs[(d2, "a")]["cs_zscore"] is None
+    assert cs[(d2, "a")]["cs_rank"] == 1 and cs[(d2, "b")]["cs_rank"] == 1
+
+    top = top_n_by_factor(df, "dt", "f", 2, tiebreaks=["sym"]).collect()
+    got = {(r["dt"], r["sym"]) for r in top}
+    assert got == {(d1, "d"), (d1, "b"), (d2, "a"), (d2, "b")}
