@@ -61,6 +61,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _epoch_us(col: str) -> F.Column:
+    """Microseconds since epoch for a TIMESTAMP_NTZ column. ``unix_micros``
+    only accepts TIMESTAMP (LTZ) and casting NTZ→LTZ drags the session
+    timezone in; ``timestampdiff`` from a fixed NTZ epoch is exact and
+    timezone-independent, matching DuckDB's ``epoch_us`` on naive
+    timestamps."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {col})"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A1/A4/A5; TPC-H Q1 shape)
 # ---------------------------------------------------------------------------
@@ -556,11 +567,13 @@ def q_sessionize_users(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = 30 * 60 * 1_000_000
+    # timestampdiff from a fixed NTZ epoch: works on TIMESTAMP_NTZ (which
+    # unix_micros rejects) and is session-timezone-independent.
+    ep = _epoch_us("ts")
     marked = ev.withColumn(
         "new_session",
         F.when(
-            F.lag(F.unix_micros("ts")).over(w).isNull()
-            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > gap_us),
+            F.lag(ep).over(w).isNull() | (ep - F.lag(ep).over(w) > gap_us),
             1,
         ).otherwise(0),
     )
@@ -571,7 +584,7 @@ def q_sessionize_users(spark, sf_dir):
 
 
 SQL_SESSIONIZE_USERS = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -762,11 +775,11 @@ def q_token_budget(spark, sf_dir):
 
 SQL_TOKEN_BUDGET = """
 SELECT source, count(*) AS n_docs,
-       sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                           t -> t <> ''))) AS ws_tokens,
-       sum(len(regexp_extract_all(text,
+       CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                t -> t <> ''))) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(text,
            '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+')))
-           AS bpe_tokens
+           AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY source
 """
 
@@ -966,7 +979,8 @@ def q_hash_sample_docs(spark, sf_dir):
 
 
 SQL_HASH_SAMPLE_DOCS = """
-SELECT source, count(*) AS n_sampled, sum(n_chars) AS sampled_chars
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
 FROM documents
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
 GROUP BY source
@@ -1217,16 +1231,19 @@ def q_purchases_within_7d(spark, sf_dir):
     from simtradedata_spark.operators.rangejoin import range_join
 
     ev = _t(spark, sf_dir, "events")
+    # range_join bins on a numeric axis; TIMESTAMP_NTZ has no double cast,
+    # so convert to epoch seconds (exact to the microsecond) up front.
+    es = (_epoch_us("ts") / 1e6).alias
     signups = ev.filter(F.col("event_type") == "signup").select(
         "user_id",
         F.col("event_id").alias("signup_id"),
-        F.col("ts").alias("signup_ts"),
+        es("signup_es"),
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("purchase_ts"), "value"
+        "user_id", es("purchase_es"), "value"
     )
     pairs = range_join(
-        signups, purchases, ["user_id"], "signup_ts", "purchase_ts",
+        signups, purchases, ["user_id"], "signup_es", "purchase_es",
         lower=0.0, upper=7 * 86400.0,
     )
     agg = pairs.groupBy("signup_id").agg(
@@ -1313,7 +1330,20 @@ def q_multimodal_features(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_blob_from_text(docs, "doc_id", "text"))
+    feats = extract_features(attach_blob_from_text(docs, "doc_id", "text"))
+    # The driver's comparator sorts result columns as pandas values; a raw
+    # array<float> column is unhashable there — serialize it (rounded for
+    # float stability) and keep scalar summaries as first-class columns.
+    rounded = F.transform("feature", lambda x: F.round(x.cast("double"), 6))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.size("feature").alias("feature_dim"),
+        F.round(
+            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("feature_norm"),
+        F.to_json(rounded).alias("feature_json"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1844,8 +1874,8 @@ def q_dedup_docs_exact(spark, sf_dir):
 
 SQL_DEDUP_DOCS_EXACT = """
 SELECT source,
-       sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_removed
+       CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
 FROM (
   SELECT source, doc_id,
          min(doc_id) OVER (PARTITION BY fp) AS keeper

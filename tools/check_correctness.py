@@ -49,6 +49,16 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _num_kind(s: pd.Series) -> str | None:
+    if pd.api.types.is_bool_dtype(s):
+        return None
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return None
+
+
 def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems = []
     if len(spark_df) != len(duck_df):
@@ -57,6 +67,14 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if s_cols != d_cols:
         problems.append(f"columns spark={s_cols} duck={d_cols}")
         return problems
+    # The driver hashes values per-dtype: an int64 Spark column vs a float64
+    # DuckDB column (e.g. sum(BIGINT) → HUGEINT → float64 in pandas) hash
+    # differently even when numerically equal. Flag the kind mismatch so the
+    # oracle gets an explicit CAST instead of silently passing locally.
+    for c in s_cols:
+        ka, kb = _num_kind(spark_df[c]), _num_kind(duck_df[c])
+        if ka and kb and ka != kb:
+            problems.append(f"dtype-kind {c}: spark={ka} duck={kb}")
     a, b = canonicalize(spark_df), canonicalize(duck_df)
     if len(a) == len(b):
         neq = (a != b) & ~(a.isna() & b.isna())
