@@ -42,6 +42,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ, which
+    # watermarks/unix_micros reject. The session timezone is pinned UTC, so
+    # casting to TIMESTAMP keeps the wall-clock value (and matches DuckDB's
+    # naive read of the same file).
+    for fname, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(fname, F.col(fname).cast("timestamp"))
     return df
 
 

@@ -12,9 +12,9 @@ from simtradedata_spark.operators.hypertable import (
 
 def test_incremental_refresh_equals_full(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
-    cutoff = ev.selectExpr("percentile(cast(ts as double), 0.8)").first()[0]
-    old = ev.filter(F.col("ts").cast("double") <= cutoff)
-    new = ev.filter(F.col("ts").cast("double") > cutoff)
+    cutoff = ev.selectExpr("percentile(unix_micros(ts), 0.8)").first()[0]
+    old = ev.filter(F.unix_micros("ts") <= cutoff)
+    new = ev.filter(F.unix_micros("ts") > cutoff)
     assert new.count() > 0 and old.count() > 0
 
     base = time_rollup(old, ["event_type"], "ts", "value", "hour")
