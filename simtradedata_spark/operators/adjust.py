@@ -56,10 +56,23 @@ def adjust_bars(
     af = adjust_factor.select("symbol", "trade_date", fcol)
     joined = bars.join(af, ["symbol", "trade_date"], "left")
     factor = F.coalesce(F.col(fcol), F.lit(1.0))
+    # Decimal-exact multiply: prices are 1e-4-quantized and factors
+    # 1e-6-quantized, so price×factor is an EXACT 10-decimal value — a plain
+    # round(x*f, 6) on doubles then hits exact .5 ties (1 in 10^4 values)
+    # where engines disagree within an ulp. Scale both to integers, add the
+    # half, integer-divide: bit-identical everywhere (incl. the DuckDB
+    # oracle). Magnitudes: price·1e4 ≈ 1e6, factor·1e6 ≈ 1e7 → product
+    # ≈ 1e13, safely inside int64 under ANSI.
+    factor_i = F.round(factor * 1e6).cast("long")
     out = joined
     for c in price_cols:
         if c in bars.columns:
-            out = out.withColumn(c, F.round(F.col(c) * factor, 6))
+            price_i = F.round(F.col(c) * 1e4).cast("long")
+            out = out.withColumn(
+                c, ((price_i * factor_i + 5000) / 10000).cast("long") / 1e6
+            )
     if "volume" in bars.columns:
+        # Division of integer-valued volume by an irrational-ish factor never
+        # lands on an exact decimal half — float rounding is tie-free here.
         out = out.withColumn("volume", F.round(F.col("volume") / factor, 2))
     return out.drop(fcol)

@@ -57,21 +57,45 @@ def keep_last(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFra
 
 
 def tokens(text_col: Column | str, lowercase: bool = True) -> Column:
-    """Whitespace tokenization to an array<string>, empty-safe."""
+    """Whitespace tokenization to an array<string>, empty-safe.
+
+    ``array_remove`` (native, codegen'd) instead of a higher-order
+    ``filter`` lambda: downstream shingle/n-gram lambdas inline this
+    expression per element, and an inlined HOF re-evaluates its own lambda
+    per token per element — measured 6x slower on the contamination plan.
+    After ``trim`` the only empty token is the one ``split`` emits for
+    empty/whitespace-only text, which remove('') covers."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     if lowercase:
         c = F.lower(c)
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.array_remove(F.split(F.trim(c), r"\s+"), "")
+
+
+def let(col: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate ``col`` ONCE per row and
+    pass it to ``fn`` as a bound lambda variable.
+
+    Staging an expression in its own projection does NOT protect it —
+    CollapseProject inlines it into every use site, and a use site inside a
+    higher-order-function lambda then re-evaluates it per array element
+    (measured 6-8x on the shingle path: per-index ``slice(split(text),...)``
+    re-runs the regex split once per n-gram). ``transform`` over a 1-element
+    array evaluates the element once and binds it; the lambda body references
+    the bound variable, which no rewrite can inline through."""
+    return F.transform(F.array(col), fn)[0]
 
 
 def shingles_of(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct) from an ALREADY-MATERIALIZED token
-    array column. Keep tokenization in its own projection: inlining the regex
-    split here makes Catalyst re-evaluate it once per shingle (observed 50×
-    slowdown on the explode path)."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(F.when(F.size(toks) >= n, grams).otherwise(toks))
+    """Word n-gram shingles (distinct) from a token array column. The array
+    is let-bound so composing with ``tokens(text)`` stays O(tokens) per row
+    regardless of how Catalyst inlines the split."""
+
+    def build(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)))
+        return F.array_distinct(F.when(F.size(t) >= n, grams).otherwise(t))
+
+    return let(toks, build)
 
 
 def shingles(text_col: Column | str, n: int = 3) -> Column:

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from simtradedata_spark.operators.dedup import tokens
+from simtradedata_spark.operators.dedup import let, tokens
 
 # A small multilingual stopword table for the language-ID heuristic.
 # Deliberately tiny + deterministic (this is a heuristic, not a model).
@@ -35,23 +35,28 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     n_chars = F.length(c)
     strip = lambda pat: n_chars - F.length(F.regexp_replace(c, pat, ""))
-    df = df.withColumn("__cs_toks", tokens(text_col))
-    toks = F.col("__cs_toks")
-    return (
-        df.withColumn("n_tokens", F.size(toks))
-        .withColumn("n_chars_calc", n_chars)
-        .withColumn(
-            "avg_token_len",
+
+    # let-bound struct: tokenize once per row even after projection collapse
+    # inlines this into every derived column (see dedup.let).
+    def tok_struct(t):
+        return F.struct(
+            F.size(t).alias("n_tokens"),
             F.when(
-                F.size(toks) > 0,
+                F.size(t) > 0,
                 F.aggregate(
-                    F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.transform(t, lambda x: F.length(x).cast("double")),
                     F.lit(0.0),
                     lambda a, v: a + v,
                 )
-                / F.size(toks),
-            ),
+                / F.size(t),
+            ).alias("avg_token_len"),
         )
+
+    df = df.withColumn("__cs", let(tokens(text_col), tok_struct))
+    return (
+        df.withColumn("n_tokens", F.col("__cs.n_tokens"))
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("avg_token_len", F.col("__cs.avg_token_len"))
         .withColumn(
             "punct_ratio",
             F.when(n_chars > 0, strip(PUNCT_CLASS) / n_chars).otherwise(F.lit(0.0)),
@@ -60,7 +65,7 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "digit_ratio",
             F.when(n_chars > 0, strip(r"[0-9]") / n_chars).otherwise(F.lit(0.0)),
         )
-        .drop("__cs_toks")
+        .drop("__cs")
     )
 
 
@@ -139,24 +144,34 @@ def repetition_stats(
     mode. Both shuffles are keyed by document; nothing is bounded by
     document count, and the text is tokenized exactly once.
     """
-    toks = F.col("__rs_toks")
+    # One let-bound struct per row: tokenize ONCE, derive scalars + the gram
+    # array from the bound variable (see dedup.let — staging via projections
+    # does not survive CollapseProject, and an inlined split re-evaluates
+    # per gram index).
+    def stats_struct(t: Column) -> Column:
+        # sequence() DESCENDS when stop < start, so guard short docs.
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            F.size(t).alias("n_tokens"),
+            F.size(F.array_distinct(t)).alias("n_distinct"),
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n))).alias(
+                "grams"
+            ),
+        )
+
     toked = df.select(
         key_col,
         F.length(text_col).alias("__n_chars"),
-        tokens(text_col).alias("__rs_toks"),
+        let(tokens(text_col), stats_struct).alias("__s"),
     )
-    # sequence() DESCENDS when stop < start, so guard short docs explicitly.
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
     exploded = toked.select(
         key_col,
         "__n_chars",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("__n_distinct"),
-        F.explode_outer(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-        ).alias("gram"),
+        F.col("__s.n_tokens").alias("n_tokens"),
+        F.col("__s.n_distinct").alias("__n_distinct"),
+        F.explode_outer("__s.grams").alias("gram"),
     )
     gram_counts = exploded.groupBy(key_col, "gram").agg(
         F.count(F.lit(1)).alias("c"),

@@ -1192,14 +1192,19 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
-# Trading-domain surface on the synthetic market (rows-only driver check —
-# the full semantics are oracle-tested in tests/ against pandas)
+# Trading-domain surface on the synthetic market. The generator runs with
+# rng="md5" here so the DuckDB oracle can REGENERATE the identical market
+# from nothing but SQL (synthetic.py::_u01) — the whole data product is
+# cross-engine-checked, not just queries over it. Production callers keep
+# the default xxhash64 RNG.
 # ---------------------------------------------------------------------------
 
 def _small_market(spark):
     from simtradedata_spark.sources.synthetic import SyntheticMarket
 
-    return SyntheticMarket(spark, n_symbols=10, start="2022-01-03", end="2022-12-30")
+    return SyntheticMarket(
+        spark, n_symbols=10, start="2022-01-03", end="2022-12-30", rng="md5"
+    )
 
 
 def q_synthetic_bars(spark, sf_dir):
@@ -1219,10 +1224,213 @@ def q_adjusted_bars_post(spark, sf_dir):
 
 
 def q_macd_indicators(spark, sf_dir):
-    """W7 MACD/KDJ/RSI/CCI via grouped-map pandas UDF over synthetic bars."""
+    """W7 MACD/KDJ/RSI/CCI via grouped-map pandas UDF over synthetic bars.
+    Outputs rounded to 2dp so the oracle's closed-form EMA (drift ~1e-12 vs
+    the recursion) can never flip a rounding boundary."""
     from simtradedata_spark.operators.indicators import compute_indicators
 
-    return compute_indicators(_small_market(spark).bars())
+    df = compute_indicators(_small_market(spark).bars())
+    return df.select(
+        "symbol",
+        "trade_date",
+        "close",
+        *[F.round(c, 2).alias(c) for c in ("dif", "dea", "macd", "k", "d", "j", "rsi", "cci")],
+    )
+
+
+def _duck_u01(salt: str, *cols: str) -> str:
+    """DuckDB expression replicating synthetic.py::_u01(rng='md5')."""
+    key = ", ".join([f"'{salt}'"] + [f"CAST({c} AS VARCHAR)" for c in cols])
+    return (
+        f"((('0x' || substr(md5(concat_ws('|', {key})), 1, 15))::BIGINT"
+        f" % 1000000007) / 1000000007.0)"
+    )
+
+
+# CTEs regenerating the _small_market bars table in DuckDB (n_symbols=10,
+# 2022-01-03..2022-12-30, seed 42, suspended sym 3, IPO sym 5, delist sym 7,
+# ST sym 2) — mirrors SyntheticMarket.bars() step by step.
+_SQL_MARKET_CTES = f"""
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), nd AS (SELECT count(*) AS n_days FROM days),
+syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), grid AS (
+  SELECT s.sym_idx, s.symbol, d.trade_date, d.day_idx, nd.n_days,
+         (s.sym_idx = 3 AND ((d.day_idx >= 100 AND d.day_idx < 110)
+                          OR (d.day_idx >= 250 AND d.day_idx < 253))) AS suspended
+  FROM syms s CROSS JOIN days d CROSS JOIN nd
+  WHERE NOT (s.sym_idx = 5 AND d.day_idx < nd.n_days // 3)
+    AND NOT (s.sym_idx = 7 AND d.day_idx >= (2 * nd.n_days) // 3)
+), walk AS (
+  SELECT *,
+    round((5.0 + 95.0 * {_duck_u01('base42', 'sym_idx')})
+          * exp(sum(CASE WHEN suspended THEN 0.0
+                         ELSE (0.5 - {_duck_u01('ret42', 'sym_idx', 'day_idx')}) * 0.04 END)
+                OVER (PARTITION BY sym_idx ORDER BY day_idx
+                      ROWS UNBOUNDED PRECEDING)), 4) AS close
+  FROM grid
+), lagged AS (
+  SELECT *,
+    coalesce(lag(close) OVER (PARTITION BY sym_idx ORDER BY day_idx), close) AS preclose
+  FROM walk
+), priced AS (
+  SELECT *,
+    round(preclose * (1 + ({_duck_u01('op', 'sym_idx', 'day_idx')} - 0.5) * 0.02), 4) AS open_,
+    round(1e5 + 1e6 * {_duck_u01('vol', 'sym_idx', 'day_idx')}, 0) AS volume_
+  FROM lagged
+), enveloped AS (
+  SELECT *,
+    round(greatest(open_, close) * (1 + {_duck_u01('hi', 'sym_idx', 'day_idx')} * 0.02), 4) AS high_,
+    round(least(open_, close) * (1 - {_duck_u01('lo', 'sym_idx', 'day_idx')} * 0.02), 4) AS low_
+  FROM priced
+), bars_out AS (
+  SELECT sym_idx, day_idx, symbol, trade_date,
+    CASE WHEN suspended THEN preclose ELSE open_ END AS open,
+    CASE WHEN suspended THEN preclose ELSE high_ END AS high,
+    CASE WHEN suspended THEN preclose ELSE low_ END AS low,
+    CASE WHEN suspended THEN preclose ELSE close END AS close,
+    CASE WHEN suspended THEN 0.0 ELSE volume_ END AS volume,
+    CASE WHEN suspended THEN 0.0 ELSE round(volume_ * (high_ + low_) / 2, 2) END AS money,
+    round(preclose, 4) AS preclose,
+    CAST(sym_idx = 2 AND day_idx >= n_days / 2 AS TINYINT) AS is_st,
+    CAST(CASE WHEN suspended THEN 0 ELSE 1 END AS TINYINT) AS trade_status
+  FROM enveloped
+)
+"""
+
+SQL_SYNTHETIC_BARS = _SQL_MARKET_CTES + """
+SELECT symbol, trade_date, open, high, low, close, volume, money,
+       preclose, is_st, trade_status
+FROM bars_out
+"""
+
+# exrights (sym_idx % 3 == 0, events at day_idx 120/360) → back_adj running
+# product (synthetic.py::adjust_factor) → operators/adjust.py::adjust_bars
+# fq='post' (prices × factor rounded 6dp, volume ÷ factor rounded 2dp).
+SQL_ADJUSTED_BARS_POST = _SQL_MARKET_CTES + f"""
+, ev AS (
+  SELECT s.symbol, d.trade_date,
+         1.0 + round(0.2 + 0.3 * {_duck_u01('bo', 'sym_idx', 'day_idx')}, 4) AS ratio
+  FROM syms s CROSS JOIN days d
+  WHERE s.sym_idx % 3 = 0 AND d.day_idx IN (120, 360)
+), af AS (
+  SELECT b.symbol, b.trade_date,
+         round(exp(sum(ln(coalesce(e.ratio, 1.0)))
+               OVER (PARTITION BY b.symbol ORDER BY b.trade_date
+                     ROWS UNBOUNDED PRECEDING)), 6) AS back_adj
+  FROM bars_out b LEFT JOIN ev e USING (symbol, trade_date)
+)
+SELECT b.symbol, b.trade_date,
+       ((CAST(round(b.open*1e4) AS BIGINT) * fi + 5000) // 10000) / 1e6 AS open,
+       ((CAST(round(b.high*1e4) AS BIGINT) * fi + 5000) // 10000) / 1e6 AS high,
+       ((CAST(round(b.low*1e4) AS BIGINT) * fi + 5000) // 10000) / 1e6 AS low,
+       ((CAST(round(b.close*1e4) AS BIGINT) * fi + 5000) // 10000) / 1e6 AS close,
+       round(b.volume / f.back_adj, 2) AS volume,
+       b.money AS money,
+       ((CAST(round(b.preclose*1e4) AS BIGINT) * fi + 5000) // 10000) / 1e6 AS preclose,
+       b.is_st, b.trade_status
+FROM bars_out b
+JOIN (SELECT *, CAST(round(back_adj*1e6) AS BIGINT) AS fi FROM af) f
+     USING (symbol, trade_date)
+"""
+
+# Closed-form EMA oracles over the regenerated bars (same identities as
+# SQL_MACD/KDJ/RSI/CCI_ORDERS, keyed by symbol on close/high/low).
+SQL_MACD_INDICATORS = _SQL_MARKET_CTES + """
+, r AS (
+  SELECT symbol, trade_date, close, high, low,
+         row_number() OVER (PARTITION BY symbol ORDER BY trade_date) AS rn
+  FROM bars_out
+), dif_t AS (
+  SELECT a.symbol, a.trade_date, a.rn, a.close,
+         sum((CASE WHEN b.rn = 1 THEN power(11.0/13, a.rn-1)
+              ELSE (2.0/13)*power(11.0/13, a.rn-b.rn) END) * b.close)
+       - sum((CASE WHEN b.rn = 1 THEN power(25.0/27, a.rn-1)
+              ELSE (2.0/27)*power(25.0/27, a.rn-b.rn) END) * b.close) AS dif
+  FROM r a JOIN r b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY 1, 2, 3, 4
+), dea_t AS (
+  SELECT a.symbol, a.trade_date, a.rn, a.close, a.dif,
+         sum((CASE WHEN b.rn = 1 THEN power(0.8, a.rn-1)
+              ELSE 0.2*power(0.8, a.rn-b.rn) END) * b.dif) AS dea
+  FROM dif_t a JOIN dif_t b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY 1, 2, 3, 4, 5
+), rsv_t AS (
+  SELECT symbol, trade_date, rn,
+         CASE WHEN hhv = llv THEN 50.0
+              ELSE 100.0 * (close - llv) / (hhv - llv) END AS rsv
+  FROM (
+    SELECT *, min(low) OVER w9 AS llv, max(high) OVER w9 AS hhv
+    FROM r
+    WINDOW w9 AS (PARTITION BY symbol ORDER BY rn
+                  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW))
+), k_t AS (
+  SELECT a.symbol, a.trade_date, a.rn,
+         sum((CASE WHEN b.rn = 1 THEN power(2.0/3, a.rn-1)
+              ELSE (1.0/3)*power(2.0/3, a.rn-b.rn) END) * b.rsv) AS k
+  FROM rsv_t a JOIN rsv_t b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY 1, 2, 3
+), d_t AS (
+  SELECT a.symbol, a.trade_date, a.rn, a.k,
+         sum((CASE WHEN b.rn = 1 THEN power(2.0/3, a.rn-1)
+              ELSE (1.0/3)*power(2.0/3, a.rn-b.rn) END) * b.k) AS dv
+  FROM k_t a JOIN k_t b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY 1, 2, 3, 4
+), gains AS (
+  SELECT symbol, trade_date, rn,
+         CASE WHEN lc IS NULL THEN 0.0 ELSE greatest(close - lc, 0) END AS gain,
+         CASE WHEN lc IS NULL THEN 0.0 ELSE greatest(lc - close, 0) END AS loss
+  FROM (SELECT *, lag(close) OVER (PARTITION BY symbol ORDER BY rn) AS lc FROM r)
+), rsi_t AS (
+  SELECT a.symbol, a.trade_date, a.rn,
+         sum((CASE WHEN b.rn = 1 THEN power(5.0/6, a.rn-1)
+              ELSE (1.0/6)*power(5.0/6, a.rn-b.rn) END) * b.gain) AS ag,
+         sum((CASE WHEN b.rn = 1 THEN power(5.0/6, a.rn-1)
+              ELSE (1.0/6)*power(5.0/6, a.rn-b.rn) END) * b.loss) AS al
+  FROM gains a JOIN gains b ON a.symbol = b.symbol AND b.rn <= a.rn
+  GROUP BY 1, 2, 3
+), cci_t AS (
+  SELECT symbol, trade_date, rn,
+         CASE WHEN md = 0 THEN NULL ELSE (tp - sma) / (0.015 * md) END AS cci
+  FROM (
+    SELECT symbol, trade_date, rn, tp, sma,
+           avg(abs(tp - sma)) OVER w14 AS md
+    FROM (
+      SELECT symbol, trade_date, rn, tp, avg(tp) OVER w14 AS sma
+      FROM (SELECT symbol, trade_date, rn, (high + low + close)/3 AS tp FROM r)
+      WINDOW w14 AS (PARTITION BY symbol ORDER BY rn
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+    WINDOW w14 AS (PARTITION BY symbol ORDER BY rn
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+)
+SELECT d.symbol, d.trade_date, d.close,
+       round(d.dif, 2) AS dif, round(d.dea, 2) AS dea,
+       round(2*(d.dif - d.dea), 2) AS macd,
+       round(k_t.k, 2) AS k, round(d_t.dv, 2) AS d,
+       round(3*k_t.k - 2*d_t.dv, 2) AS j,
+       round(CASE WHEN rsi_t.ag + rsi_t.al = 0 THEN 50.0
+                  ELSE 100.0 * rsi_t.ag / (rsi_t.ag + rsi_t.al) END, 2) AS rsi,
+       round(cci_t.cci, 2) AS cci
+FROM dea_t d
+JOIN k_t USING (symbol, trade_date)
+JOIN d_t USING (symbol, trade_date)
+JOIN rsi_t USING (symbol, trade_date)
+JOIN cci_t USING (symbol, trade_date)
+"""
 
 
 def q_purchases_within_7d(spark, sf_dir):
@@ -2246,9 +2454,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_ann_top5": (q_lsh_ann_top5, None),
     "ivf_ann_top5": (q_ivf_ann_top5, None),
     "multimodal_features": (q_multimodal_features, None),
-    "synthetic_bars": (q_synthetic_bars, None),
-    "adjusted_bars_post": (q_adjusted_bars_post, None),
-    "macd_indicators": (q_macd_indicators, None),
+    "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
+    "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
+    "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),
     "macd_orders": (q_macd_orders, SQL_MACD_ORDERS),
     "kdj_orders": (q_kdj_orders, SQL_KDJ_ORDERS),
     "rsi_orders": (q_rsi_orders, SQL_RSI_ORDERS),

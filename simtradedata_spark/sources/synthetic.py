@@ -32,9 +32,20 @@ from pyspark.sql.window import Window
 BENCHMARK = "000300.SS"
 
 
-def _u01(*cols, salt: str) -> F.Column:
-    """Deterministic uniform [0,1) from key columns — the generator's RNG."""
-    h = F.xxhash64(F.lit(salt), *cols)
+def _u01(*cols, salt: str, rng: str = "xxhash64") -> F.Column:
+    """Deterministic uniform [0,1) from key columns — the generator's RNG.
+
+    ``rng="xxhash64"`` (default): fastest, JVM-native — the production path.
+    ``rng="md5"``: first 15 hex chars of md5 over the '|'-joined key — ~2x
+    slower but reproducible bit-for-bit in any engine with md5 (the DuckDB
+    oracle recomputes the identical market; see queries.py synthetic_bars).
+    15 hex chars = 60 bits, so the value is exact in an int64 under ANSI."""
+    if rng == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), *cols)), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.xxhash64(F.lit(salt), *cols)
     return F.pmod(h, F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
 
 
@@ -50,6 +61,12 @@ class SyntheticMarket:
     ipo_idx: int = 5          # lists mid-range
     delist_idx: int = 7       # delists mid-range
     st_idx: tuple[int, ...] = (2,)
+    # RNG backend: "xxhash64" (production) or "md5" (cross-engine-checkable
+    # — the DuckDB oracle regenerates the identical market; see _u01).
+    rng: str = "xxhash64"
+
+    def _rng01(self, *cols, salt: str) -> F.Column:
+        return _u01(*cols, salt=salt, rng=self.rng)
 
     def symbols(self) -> DataFrame:
         """Symbol dimension: PTrade codes 600000.SS.., 000001.SZ.. alternating."""
@@ -132,9 +149,9 @@ class SyntheticMarket:
         envelope honoring low ≤ min(o,c) ≤ max(o,c) ≤ high, suspension rows
         flat at prior close with volume=0."""
         g = self._grid()
-        base_price = 5.0 + 95.0 * _u01(F.col("sym_idx"), salt=f"base{self.seed}")
+        base_price = 5.0 + 95.0 * self._rng01(F.col("sym_idx"), salt=f"base{self.seed}")
         # Daily log return in ±2%, zero while suspended (price frozen).
-        raw_ret = (0.5 - _u01(F.col("sym_idx"), F.col("day_idx"), salt=f"ret{self.seed}")) * 0.04
+        raw_ret = (0.5 - self._rng01(F.col("sym_idx"), F.col("day_idx"), salt=f"ret{self.seed}")) * 0.04
         suspended = self._suspended()
         log_ret = F.when(suspended, F.lit(0.0)).otherwise(raw_ret)
         w = (
@@ -148,14 +165,14 @@ class SyntheticMarket:
         prev_close = F.lag("close").over(wlag)
         preclose = F.coalesce(prev_close, F.col("close"))
 
-        spread_hi = _u01(F.col("sym_idx"), F.col("day_idx"), salt="hi") * 0.02
-        spread_lo = _u01(F.col("sym_idx"), F.col("day_idx"), salt="lo") * 0.02
-        open_w = _u01(F.col("sym_idx"), F.col("day_idx"), salt="op")
+        spread_hi = self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="hi") * 0.02
+        spread_lo = self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="lo") * 0.02
+        open_w = self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="op")
         open_ = F.round(preclose * (1 + (open_w - 0.5) * 0.02), 4)
         high = F.round(F.greatest(open_, F.col("close")) * (1 + spread_hi), 4)
         low = F.round(F.least(open_, F.col("close")) * (1 - spread_lo), 4)
         volume = F.round(
-            1e5 + 1e6 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="vol"), 0
+            1e5 + 1e6 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="vol"), 0
         )
         money = F.round(volume * (high + low) / 2, 2)
 
@@ -191,7 +208,7 @@ class SyntheticMarket:
             Window.orderBy("day_idx")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        ret = (0.5 - _u01(F.col("day_idx"), salt=f"idx{self.seed}")) * 0.02
+        ret = (0.5 - self._rng01(F.col("day_idx"), salt=f"idx{self.seed}")) * 0.02
         close = F.round(3000.0 * F.exp(F.sum(ret).over(w)), 4)
         df = days.withColumn("close", close)
         wl = Window.orderBy("day_idx")
@@ -203,10 +220,10 @@ class SyntheticMarket:
             F.round(F.greatest(F.col("close"), preclose) * 1.002, 4).alias("high"),
             F.round(F.least(F.col("close"), preclose) * 0.998, 4).alias("low"),
             "close",
-            F.round(F.lit(5e8) * (1 + _u01(F.col("day_idx"), salt="iv")), 0).alias(
+            F.round(F.lit(5e8) * (1 + self._rng01(F.col("day_idx"), salt="iv")), 0).alias(
                 "volume"
             ),
-            F.round(F.lit(6e11) * (1 + _u01(F.col("day_idx"), salt="im")), 2).alias(
+            F.round(F.lit(6e11) * (1 + self._rng01(F.col("day_idx"), salt="im")), 2).alias(
                 "money"
             ),
             F.round(preclose, 4).alias("preclose"),
@@ -231,8 +248,8 @@ class SyntheticMarket:
             .filter((F.col("sym_idx") % 3 == 0))
             .crossJoin(F.broadcast(days.filter(F.col("day_idx").isin(120, 360))))
         )
-        bonus = F.round(0.2 + 0.3 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="bo"), 4)
-        div = F.round(0.1 + 0.4 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="dv"), 4)
+        bonus = F.round(0.2 + 0.3 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="bo"), 4)
+        div = F.round(0.1 + 0.4 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="dv"), 4)
         return ev.select(
             "symbol",
             F.col("trade_date").alias("ex_date"),
@@ -286,16 +303,16 @@ class SyntheticMarket:
         total_shares (``DATA_MAPPING.md:464-466``); loss-makers get null
         pe_ttm."""
         bars = self.bars().filter(F.col("sym_idx") >= 0)
-        shares = F.round(1e8 * (1 + 9 * _u01(F.col("sym_idx"), salt="sh")), 0)
-        eps = (0.5 - _u01(F.col("sym_idx"), salt="eps")) * 10  # some negative
+        shares = F.round(1e8 * (1 + 9 * self._rng01(F.col("sym_idx"), salt="sh")), 0)
+        eps = (0.5 - self._rng01(F.col("sym_idx"), salt="eps")) * 10  # some negative
         pe = F.when(eps > 0, F.round(F.col("close") / eps, 4))
         return bars.select(
             "symbol",
             "trade_date",
             pe.alias("pe_ttm"),
-            F.round(F.lit(1.0) + 5 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="pb"), 4).alias("pb"),
-            F.round(F.lit(1.0) + 10 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="ps"), 4).alias("ps_ttm"),
-            F.round(F.lit(2.0) + 20 * _u01(F.col("sym_idx"), F.col("day_idx"), salt="pcf"), 4).alias("pcf"),
+            F.round(F.lit(1.0) + 5 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="pb"), 4).alias("pb"),
+            F.round(F.lit(1.0) + 10 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="ps"), 4).alias("ps_ttm"),
+            F.round(F.lit(2.0) + 20 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="pcf"), 4).alias("pcf"),
             F.round(100 * F.col("volume") / shares, 6).alias("turnover_rate"),
             shares.alias("total_shares"),
             F.round(F.col("close") * shares, 2).alias("total_value"),
@@ -313,7 +330,7 @@ class SyntheticMarket:
                )) AS end_date"""
         )
         base = self.symbols().crossJoin(F.broadcast(quarters))
-        lag_days = (30 + 50 * _u01(F.col("sym_idx"), F.col("end_date"), salt="lag")).cast("int")
+        lag_days = (30 + 50 * self._rng01(F.col("sym_idx"), F.col("end_date"), salt="lag")).cast("int")
         report_type = (F.quarter("end_date")).cast("tinyint")
         first = base.select(
             "symbol",
@@ -335,7 +352,7 @@ class SyntheticMarket:
         )
         allrows = first.unionByName(restated)
         ind = lambda name, lo, hi: F.round(
-            lo + (hi - lo) * _u01(F.col("sym_idx"), F.col("end_date"), F.col("merge_seq"), salt=name),
+            lo + (hi - lo) * self._rng01(F.col("sym_idx"), F.col("end_date"), F.col("merge_seq"), salt=name),
             4,
         ).alias(name)
         indicators = [
@@ -428,7 +445,7 @@ class SyntheticMarket:
             [("000016.SS",), ("000300.SS",), ("000905.SS",)], ["index_code"]
         )
         grid = idx.crossJoin(samples).crossJoin(self.symbols())
-        member = _u01(
+        member = self._rng01(
             F.col("index_code"), F.col("sample_date"), F.col("sym_idx"), salt="member"
         ) < 0.5
         return grid.filter(member).select("index_code", "sample_date", "symbol")
@@ -457,7 +474,7 @@ class SyntheticMarket:
             rows, "etf_code string, etf_name string, index_code string,"
             " etf_redemption_code string"
         )
-        u = lambda salt: _u01(F.col("etf_code"), salt=f"{salt}{self.seed}")
+        u = lambda salt: self._rng01(F.col("etf_code"), salt=f"{salt}{self.seed}")
         return df.select(
             "*",
             F.lit(1).alias("publish"),
@@ -488,15 +505,15 @@ class SyntheticMarket:
         ).otherwise(
             F.concat(F.lit("123"), F.lpad(F.col("sym_idx").cast("string"), 3, "0"), F.lit(".SZ"))
         )
-        base_price = 5.0 + 95.0 * _u01(F.col("sym_idx"), salt=f"base{self.seed}")
-        cprice = F.round(base_price * (1.0 + 0.2 * _u01(F.col("sym_idx"), salt="cbp")), 2)
+        base_price = 5.0 + 95.0 * self._rng01(F.col("sym_idx"), salt=f"base{self.seed}")
+        cprice = F.round(base_price * (1.0 + 0.2 * self._rng01(F.col("sym_idx"), salt="cbp")), 2)
         return base.select(
             code.alias("bond_code"),
             F.concat(F.col("stock_name"), F.lit("转债")).alias("bond_name"),
             F.col("symbol").alias("stock_code"),
             "stock_name",
             F.lit(list_d.isoformat()).alias("list_date"),
-            F.round(5 + 30 * _u01(F.col("sym_idx"), salt="cbprem"), 2).alias("premium_rate"),
+            F.round(5 + 30 * self._rng01(F.col("sym_idx"), salt="cbprem"), 2).alias("premium_rate"),
             F.lit((list_d + _dt.timedelta(days=183)).isoformat()).alias(
                 "convert_date"
             ),
@@ -522,7 +539,7 @@ class SyntheticMarket:
         )
         frac = F.col("seq") / n_per_day
         noise = (
-            _u01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickpx")
+            self._rng01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickpx")
             - 0.5
         ) * (F.col("high") - F.col("low")) * 0.5
         raw = F.col("open") + (F.col("close") - F.col("open")) * frac + noise
@@ -540,7 +557,7 @@ class SyntheticMarket:
         )
         qty = (
             100 * (1 + F.floor(
-                50 * _u01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickq")
+                50 * self._rng01(F.col("sym_idx"), F.col("day_idx"), F.col("seq"), salt="tickq")
             ))
         ).cast("long")
         rid = lambda salt: F.pmod(
