@@ -32,6 +32,19 @@ from pyspark.sql.window import Window
 _MERSENNE = (1 << 31) - 1
 
 
+def _hash64(col: Column | str, hash_fn: str = "xxhash64") -> Column:
+    """64-bit (xxhash64) or 60-bit (md5 prefix) string hash.
+
+    ``xxhash64``: fastest, JVM-native — the production path. ``md5``: ~2x
+    slower but reproducible in any engine with md5 — the DuckDB oracles
+    recompute identical signatures (15 hex chars = 60 bits, exact in int64
+    under ANSI; see queries.py SQL_SIMHASH/_MINHASH)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(c)
+
+
 def dedup_exact(
     df: DataFrame,
     keys: list[str],
@@ -123,6 +136,7 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 7,
     out_col: str = "minhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) → (id, minhash array<bigint> of ``num_hashes`` values) over
     word ``shingle_n``-gram shingles.
@@ -138,7 +152,7 @@ def minhash_signatures(
         .select(
             id_col, F.explode(shingles_of(F.col("__toks"), shingle_n)).alias("__s")
         )
-        .select(id_col, F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
+        .select(id_col, F.pmod(_hash64("__s", hash_fn), F.lit(_MERSENNE)).alias("__h"))
     )
     aggs = [
         F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(
@@ -162,6 +176,7 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     seed: int = 7,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH.
 
@@ -175,7 +190,7 @@ def minhash_lsh_candidates(
     # materialization Spark recomputes the whole shingle→hash→agg pipeline for
     # both sides. Signature storage is 8·num_hashes bytes/doc — always cheap.
     sigd = (
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed)
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
         .filter(F.col("minhash").isNotNull())
         .persist()
     )
@@ -187,14 +202,15 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band_id"),
-                    F.xxhash64(
+                    _hash64(
                         F.concat_ws(
                             ",",
                             F.transform(
                                 F.slice(F.col("minhash"), b * r + 1, r),
                                 lambda v: v.cast("string"),
                             ),
-                        )
+                        ),
+                        hash_fn,
                     ).alias("band_hash"),
                 ),
             )
@@ -231,7 +247,11 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    out_col: str = "simhash",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, text) → (id, 64-bit SimHash): per bit position, sum ±1 of each
     token hash's bit over the token multiset; positive sum sets the bit.
@@ -242,7 +262,7 @@ def simhash(
     Documents with no tokens get signature 0."""
     exploded = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("__t")
-    ).select(id_col, F.xxhash64("__t").alias("__h"))
+    ).select(id_col, _hash64("__t", hash_fn).alias("__h"))
     aggs = [
         F.sum(
             F.when(
@@ -251,11 +271,11 @@ def simhash(
             .otherwise(F.lit(-1))
             .cast("long")
         ).alias(f"__b{i}")
-        for i in range(64)
+        for i in range(64 if hash_fn == "xxhash64" else 60)
     ]
     bitsums = exploded.groupBy(id_col).agg(*aggs)
     sig = None
-    for i in range(64):
+    for i in range(64 if hash_fn == "xxhash64" else 60):
         term = F.when(
             F.col(f"__b{i}") > 0,
             F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),

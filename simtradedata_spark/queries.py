@@ -1502,21 +1502,167 @@ WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
 # ---------------------------------------------------------------------------
 
 def q_minhash_near_dups(spark, sf_dir):
+    """MinHash-LSH near-dup pairs, run with the md5 hash backend so the
+    DuckDB oracle recomputes the identical shingle→signature→band→join
+    pipeline (production callers keep the default xxhash64)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
-        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5,
+        hash_fn="md5",
     )
 
 
 def q_simhash_signatures(spark, sf_dir):
+    """60-bit SimHash signatures (md5 hash backend — oracle-reproducible)."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash(docs, "doc_id", "text")
+    return simhash(docs, "doc_id", "text", hash_fn="md5")
 
 
 def q_lsh_ann_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucket_top_k(emb, queries, dim=64, k=5, bits=4)
+
+
+def _duck_h60(expr: str) -> str:
+    """DuckDB expression for dedup._hash64(hash_fn='md5') (60-bit md5 prefix)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+_DUCK_TOKENS = (
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+)
+
+
+def _sql_simhash() -> str:
+    """DuckDB recomputation of simhash(hash_fn='md5'): unnest the token
+    multiset, 60 per-bit ±1 sums, fold signs into one BIGINT."""
+    bit_sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+), h AS (
+  SELECT doc_id, {_duck_h60('t')} AS h FROM tok
+), bs AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bs
+)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig s USING (doc_id)
+"""
+
+
+SQL_SIMHASH_SIGNATURES = _sql_simhash()
+
+
+def _sql_minhash_near_dups(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.5,
+    seed: int = 7,
+) -> str:
+    """DuckDB recomputation of minhash_lsh_candidates(hash_fn='md5'):
+    distinct word shingles → 64 affine-permuted mins (same coefficients as
+    dedup._perm_params) → 16 band keys (md5 of the comma-joined band slice)
+    → bucket self-join → signature-agreement estimate."""
+    from simtradedata_spark.operators.dedup import _MERSENNE, _perm_params
+
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=_duck_h60(
+                "concat_ws(',', "
+                + ", ".join(
+                    f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r)
+                )
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(num_hashes)
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= {shingle_n}
+              THEN list_distinct([array_to_string(list_slice(ws, i, i+{shingle_n - 1}), ' ')
+                                  FOR i IN range(1, len(ws)-{shingle_n - 2})])
+              ELSE list_distinct(ws) END AS gs
+  FROM toked
+), h AS (
+  SELECT doc_id, {_duck_h60('g')} % {_MERSENNE} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+), banded AS (
+{band_rows}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT p.id_a, p.id_b, ({agree}) / {float(num_hashes)} AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+) WHERE est_jaccard >= {jaccard_threshold}
+"""
+
+
+SQL_MINHASH_NEAR_DUPS = _sql_minhash_near_dups()
+
+
+def _sql_lsh_ann_top5(dim: int = 64, bits: int = 4, k: int = 5, seed: int = 11) -> str:
+    """DuckDB recomputation of lsh_bucket_top_k: the hyperplanes are fixed
+    Python-seeded floats, embedded as literals with full repr precision —
+    both engines parse to the identical double."""
+    from simtradedata_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {[repr(x) for x in p]}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)".replace("'", "")
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {bucket} AS bucket
+  FROM embeddings
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rank
+  FROM (SELECT * FROM b WHERE vec_id < 10) q
+  JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+) WHERE rank <= {k}
+"""
+
+
+SQL_LSH_ANN_TOP5 = _sql_lsh_ann_top5()
 
 
 def q_ivf_ann_top5(spark, sf_dir):
@@ -1540,18 +1686,69 @@ def q_multimodal_features(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     feats = extract_features(attach_blob_from_text(docs, "doc_id", "text"))
     # The driver's comparator sorts result columns as pandas values; a raw
-    # array<float> column is unhashable there — serialize it (rounded for
-    # float stability) and keep scalar summaries as first-class columns.
-    rounded = F.transform("feature", lambda x: F.round(x.cast("double"), 6))
+    # array<float> column is unhashable there — serialize it. Micro-unit
+    # integers (round(x·1e6)) rather than to_json: JSON float formatting
+    # differs across engines (Java prints 1.25E-4, DuckDB 0.000125), while
+    # a comma-joined integer string is format-stable and exact.
+    quantized = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * 1e6).cast("long").cast("string"),
+    )
     return feats.select(
         "doc_id",
         "n_bytes",
         F.size("feature").alias("feature_dim"),
         F.round(
-            F.sqrt(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x)), 6
+            F.sqrt(
+                F.aggregate(
+                    "feature",
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            ),
+            6,
         ).alias("feature_norm"),
-        F.to_json(rounded).alias("feature_json"),
+        F.concat_ws(",", quantized).alias("feature_q"),
     )
+
+
+def _sql_multimodal_features() -> str:
+    """DuckDB recomputation of the fake decoder (multimodal.py::
+    fake_decode_features): 16-bin histogram of utf-8 byte HIGH NIBBLES =
+    counts of hex digits at odd positions of hex(blob), L1-normalized in
+    float64 then cast through REAL to mirror numpy's float32 output."""
+    digits = "0123456789ABCDEF"
+    cnt = [
+        f"(length(hxo) - length(replace(hxo, '{d}', '')))" for d in digits
+    ]
+    fv = [
+        f"CAST(CASE WHEN n_bytes = 0 THEN 0.0 ELSE CAST({c} AS DOUBLE) / n_bytes END AS REAL)"
+        for c in cnt
+    ]
+    f_dbl = [f"CAST(f{i} AS DOUBLE)" for i in range(16)]
+    sumsq = " + ".join(f"{x} * {x}" for x in f_dbl)
+    quant = ", ".join(
+        f"CAST(CAST(round({x} * 1e6) AS BIGINT) AS VARCHAR)" for x in f_dbl
+    )
+    sel_f = ",\n         ".join(f"{e} AS f{i}" for i, e in enumerate(fv))
+    return f"""
+WITH raw AS (
+  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hxo
+  FROM documents
+), feat AS (
+  SELECT doc_id, n_bytes,
+         {sel_f}
+  FROM raw
+)
+SELECT doc_id, n_bytes, 16 AS feature_dim,
+       round(sqrt({sumsq}), 6) AS feature_norm,
+       concat_ws(',', {quant}) AS feature_q
+FROM feat
+"""
+
+
+SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
 # ---------------------------------------------------------------------------
@@ -2449,11 +2646,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "monthly_growth": (q_monthly_growth, SQL_MONTHLY_GROWTH),
     "exrights_adjust": (q_exrights_adjust, SQL_EXRIGHTS_ADJUST),
     # Non-SQL-expressible (driver records rows-only checks):
-    "minhash_near_dups": (q_minhash_near_dups, None),
-    "simhash_signatures": (q_simhash_signatures, None),
-    "lsh_ann_top5": (q_lsh_ann_top5, None),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
+    "lsh_ann_top5": (q_lsh_ann_top5, SQL_LSH_ANN_TOP5),
     "ivf_ann_top5": (q_ivf_ann_top5, None),
-    "multimodal_features": (q_multimodal_features, None),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),
