@@ -44,6 +44,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Split small files across cores: the sf0.1 fact tables are ~10 MB,
+        # so the default 128 MB split reads them in ONE task and the other 31
+        # cores idle (measured 2-3x on the TPC-H-shape scans). On a real
+        # cluster with TB-scale tables raise this back toward 128 MB via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES — more splits there just add
+        # scheduling overhead.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
