@@ -1751,6 +1751,73 @@ FROM feat
 SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
+def q_pipeline_funnel(spark, sf_dir):
+    """Composed curation pipeline (operators/pipeline.py): quality filter →
+    exact dedup → benchmark decontamination → deterministic 50% sample,
+    reported as a per-source funnel with the surviving token budget. Every
+    stage is an independently-oracled operator; this entry verifies their
+    COMPOSITION end-to-end."""
+    from simtradedata_spark.operators.pipeline import training_mix_report
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_mix_report(docs)
+
+
+SQL_PIPELINE_FUNNEL = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text,
+         {_DUCK_TOKENS} AS ws,
+         length(text) AS nc,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents WHERE source <> 'src0'
+), feat AS (
+  SELECT doc_id, source, fp, len(ws) AS n_tokens, ws,
+         CASE WHEN nc > 0 THEN
+           (nc - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+             / CAST(nc AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN nc > 0 THEN
+           (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(nc AS DOUBLE) ELSE 0.0 END AS digit_ratio
+  FROM corpus
+), q AS (
+  SELECT *, (n_tokens >= 5 AND punct_ratio <= 0.3 AND digit_ratio <= 0.3) AS qual
+  FROM feat
+), u AS (
+  SELECT *, qual AND row_number()
+              OVER (PARTITION BY fp, qual ORDER BY doc_id) = 1 AS uniq
+  FROM q
+), grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 5
+              THEN list_distinct([array_to_string(list_slice(ws, i, i+4), ' ')
+                                  FOR i IN range(1, len(ws)-3)])
+              ELSE list_distinct(ws) END AS gs
+  FROM (SELECT doc_id, source, {_DUCK_TOKENS} AS ws FROM documents)
+), contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE source <> 'src0') c
+  JOIN (SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0') b
+    USING (gram)
+), f AS (
+  SELECT u.*,
+         u.uniq AND ct.doc_id IS NULL AS clean,
+         u.uniq AND ct.doc_id IS NULL
+           AND ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 100 < 50 AS sampled
+  FROM u LEFT JOIN contam ct ON u.doc_id = ct.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(qual AS INT)) AS BIGINT) AS n_quality,
+       CAST(sum(CAST(uniq AS INT)) AS BIGINT) AS n_unique,
+       CAST(sum(CAST(clean AS INT)) AS BIGINT) AS n_clean,
+       CAST(sum(CAST(sampled AS INT)) AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS sampled_tokens
+FROM f GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -2651,6 +2718,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "lsh_ann_top5": (q_lsh_ann_top5, SQL_LSH_ANN_TOP5),
     "ivf_ann_top5": (q_ivf_ann_top5, None),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),

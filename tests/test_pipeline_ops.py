@@ -133,3 +133,28 @@ def test_repetition_filter_drops_spam(spark):
     assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4}
     # original columns survive the semi join
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_training_mix_funnel_invariants(spark):
+    """The composed pipeline's funnel must be monotone per source, exclude
+    the benchmark source, and count the planted exact dups exactly once."""
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.pipeline import training_mix_report
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rep = training_mix_report(docs).collect()
+    sources = {r["source"] for r in rep}
+    assert "src0" not in sources and len(sources) >= 2
+    for r in rep:
+        assert (
+            r["n_docs"] >= r["n_quality"] >= r["n_unique"]
+            >= r["n_clean"] >= r["n_sampled"] >= 0
+        ), r
+        if r["n_sampled"] == 0:
+            assert r["sampled_tokens"] == 0
+        else:
+            assert r["sampled_tokens"] > 0
+    # dedup stage: unique count equals distinct fingerprints among quality
+    # passers (cross-checked coarsely: total unique <= total quality)
+    tot = {k: sum(r[k] for r in rep) for k in ("n_quality", "n_unique")}
+    assert tot["n_unique"] <= tot["n_quality"]
