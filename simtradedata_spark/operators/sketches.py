@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def hll_distinct_by(
@@ -43,3 +44,49 @@ def approx_quantiles_by(
             col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("quantiles")
     )
+
+
+def exact_quantiles_sorted(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    probabilities: list[float],
+) -> DataFrame:
+    """Exact continuous quantiles via distributed sort — the 100 TB path.
+
+    ``percentile()`` is exact but buffers EVERY group value inside one
+    aggregation buffer (OOM once a group outgrows an executor); sketches are
+    bounded but approximate. This computes the same continuous quantile
+    (linear interpolation at rank h = (n-1)·q, identical to SQL
+    ``percentile_cont`` / DuckDB ``quantile_cont``) from a per-key sort:
+    row_number and count share ONE window spec (single exchange + sort),
+    each quantile reduces to the ≤2 bounding ranks, and the final groupBy
+    combines map-side. Nothing is ever buffered per group.
+
+    Output: keys + one ``q_<p>`` column per probability (dots → '_').
+    """
+    w = Window.partitionBy(*keys).orderBy(col)
+    wall = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.select(
+        *keys,
+        F.col(col).cast("double").alias("__v"),
+        (F.row_number().over(w) - 1).alias("__rn"),
+        F.count(F.lit(1)).over(wall).alias("__n"),
+    )
+    aggs = []
+    for p in probabilities:
+        h = (F.col("__n") - 1) * F.lit(float(p))
+        lo = F.floor(h).cast("long")
+        frac = h - lo
+        # weight of this row toward quantile p: (1-frac) at rank lo,
+        # frac at rank lo+1 (zero when frac == 0), else 0.
+        weight = (
+            F.when(F.col("__rn") == lo, 1.0 - frac)
+            .when((F.col("__rn") == lo + 1) & (frac > 0), frac)
+            .otherwise(F.lit(0.0))
+        )
+        name = f"q_{str(p).replace('.', '_')}"
+        aggs.append(F.sum(F.col("__v") * weight).alias(name))
+    return ranked.groupBy(*keys).agg(*aggs)

@@ -1044,12 +1044,25 @@ SELECT query_id, neighbor_id, rank FROM (
 # ---------------------------------------------------------------------------
 
 def q_price_quantiles(spark, sf_dir):
+    """Exact group quantiles via the distributed sort path
+    (operators/sketches.py::exact_quantiles_sorted): percentile() buffers
+    every group value in one aggregation buffer — OOM at 100 TB — while the
+    sort form is one exchange and bounded memory, same continuous-quantile
+    result."""
+    from simtradedata_spark.operators.sketches import exact_quantiles_sorted
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+    qs = exact_quantiles_sorted(li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9])
+    ext = li.groupBy("l_returnflag").agg(
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
+    )
+    return qs.join(ext, "l_returnflag").select(
+        "l_returnflag",
+        F.round("q_0_5", 6).alias("median_price"),
+        F.round("q_0_9", 6).alias("p90_price"),
+        "min_price",
+        "max_price",
     )
 
 

@@ -34,3 +34,32 @@ def test_approx_quantiles_near_exact(spark):
         ).first()["q"]
         assert abs(p50 - exact[0]) / exact[0] < 0.01
         assert abs(p90 - exact[1]) / exact[1] < 0.01
+
+
+def test_exact_quantiles_sorted_equals_percentile(spark):
+    """Sort-path exact quantiles == percentile() (same continuous def)."""
+    from pyspark.sql import functions as F
+
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.sketches import exact_quantiles_sorted
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = {
+        r["l_returnflag"]: r
+        for r in exact_quantiles_sorted(
+            li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+        ).collect()
+    }
+    want = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k]["q_0_5"] - want[k]["p50"]) < 1e-9, k
+        assert abs(got[k]["q_0_9"] - want[k]["p90"]) < 1e-9, k
