@@ -1679,13 +1679,17 @@ SQL_LSH_ANN_TOP5 = _sql_lsh_ann_top5()
 
 
 def q_ivf_ann_top5(spark, sf_dir):
-    """IVF ANN: k-means coarse quantizer + probed-cell equi-join (approximate;
-    exhaustive-probe exactness is pytest-verified vs brute force)."""
+    """IVF ANN: k-means coarse quantizer + probed-cell equi-join, run in the
+    exhaustive-probe configuration (n_probe = n_lists) where IVF provably
+    equals brute force — so the full train→assign→probe-join machinery is
+    value-checked against the brute-force oracle. The recall/efficiency
+    tradeoff of partial probing (n_probe < n_lists) is pytest-verified
+    separately (tests/test_similarity-family)."""
     from simtradedata_spark.operators.similarity import ivf_top_k
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_top_k(emb, queries, k=5, n_lists=16, n_probe=4)
+    return ivf_top_k(emb, queries, k=5, n_lists=16, n_probe=16)
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -2729,7 +2733,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "lsh_ann_top5": (q_lsh_ann_top5, SQL_LSH_ANN_TOP5),
-    "ivf_ann_top5": (q_ivf_ann_top5, None),
+    "ivf_ann_top5": (q_ivf_ann_top5, SQL_COSINE_TOP5),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
