@@ -1646,6 +1646,41 @@ SELECT id_a, id_b, est_jaccard FROM (
 SQL_MINHASH_NEAR_DUPS = _sql_minhash_near_dups()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: connected components (min-label propagation,
+    operators/graph.py) over the MinHash-LSH candidate pairs — the retention
+    step of a dedup pipeline (keep one canonical doc per mutual-near-dup
+    group, transitively closed)."""
+    from simtradedata_spark.operators.graph import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5,
+        hash_fn="md5",
+    )
+    return dedup_clusters(pairs)
+
+
+# The oracle closes the same pair graph with a recursive CTE (transitive
+# reachability → min reachable id). Tiny components keep the closure small.
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_MINHASH_NEAR_DUPS}) t
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.u
+)
+SELECT u AS doc_id, min(r) AS cluster_id,
+       (u = min(r)) AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
 def _sql_lsh_ann_top5(dim: int = 64, bits: int = 4, k: int = 5, seed: int = 11) -> str:
     """DuckDB recomputation of lsh_bucket_top_k: the hyperplanes are fixed
     Python-seeded floats, embedded as literals with full repr precision —
@@ -2731,6 +2766,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "exrights_adjust": (q_exrights_adjust, SQL_EXRIGHTS_ADJUST),
     # Non-SQL-expressible (driver records rows-only checks):
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "simhash_signatures": (q_simhash_signatures, SQL_SIMHASH_SIGNATURES),
     "lsh_ann_top5": (q_lsh_ann_top5, SQL_LSH_ANN_TOP5),
     "ivf_ann_top5": (q_ivf_ann_top5, SQL_COSINE_TOP5),

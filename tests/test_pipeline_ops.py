@@ -158,3 +158,21 @@ def test_training_mix_funnel_invariants(spark):
     # passers (cross-checked coarsely: total unique <= total quality)
     tot = {k: sum(r[k] for r in rep) for k in ("n_quality", "n_unique")}
     assert tot["n_unique"] <= tot["n_quality"]
+
+
+def test_connected_components_chain_and_triangle(spark):
+    """A~B~C chain (A!~C), a triangle, and an isolated pair must close into
+    3 components labeled by their minima."""
+    from simtradedata_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = dedup_clusters(edges).collect()
+    canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
+    assert canon == {1, 10, 20}
+    assert all(r["cluster_id"] == comp[r["doc_id"]] for r in clusters)
