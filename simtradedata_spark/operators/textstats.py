@@ -245,3 +245,50 @@ def bpe_token_count(text_col: Column | str) -> Column:
     the standard cheap estimator when the tokenizer itself isn't shipped."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.regexp_count(c, F.lit(BPE_PRETOKEN_RE))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the standard
+    pre-tokenization step for context-bounded training samples.
+
+    Chunks start every ``chunk_tokens - overlap`` tokens; the final chunk
+    may be short; empty docs produce no chunks. Pure scan-local expressions
+    (let-bound token array → one struct array → explode): no shuffle, no
+    Python, linear in document length — a 100 TB corpus chunks at scan
+    speed. Output: (id, chunk_idx, n_tokens, chunk_text).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def chunks(t: Column) -> Column:
+        starts = F.when(
+            F.size(t) > 0,
+            F.sequence(F.lit(0), F.size(t) - 1, F.lit(step)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                (s / step).cast("int").alias("chunk_idx"),
+                F.least(F.lit(chunk_tokens), F.size(t) - s).alias("n_tokens"),
+                F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias(
+                    "chunk_text"
+                ),
+            ),
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.explode(let(tokens(text_col), chunks)).alias("__c"),
+    ).select(
+        id_col,
+        F.col("__c.chunk_idx").alias("chunk_idx"),
+        F.col("__c.n_tokens").alias("n_tokens"),
+        F.col("__c.chunk_text").alias("chunk_text"),
+    )

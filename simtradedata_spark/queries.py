@@ -1803,6 +1803,33 @@ FROM feat
 SQL_MULTIMODAL_FEATURES = _sql_multimodal_features()
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Overlapping token-window chunking (operators/textstats.py::
+    chunk_documents): 32-token chunks, 8-token overlap — scan-local
+    explode, no shuffle."""
+    from simtradedata_spark.operators.textstats import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+SQL_DOC_CHUNKS = f"""
+WITH toked AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest([{{'chunk_idx': s // 24,
+                   'n_tokens': least(32, len(ws) - s),
+                   'chunk_text': array_to_string(list_slice(ws, s + 1, s + 32), ' ')}}
+                 FOR s IN range(0, len(ws), 24)]) AS ch
+  FROM toked WHERE len(ws) > 0
+)
+SELECT doc_id, ch.chunk_idx AS chunk_idx, ch.n_tokens AS n_tokens,
+       ch.chunk_text AS chunk_text
+FROM c
+"""
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """Composed curation pipeline (operators/pipeline.py): quality filter →
     exact dedup → benchmark decontamination → deterministic 50% sample,
@@ -2772,6 +2799,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_ann_top5": (q_ivf_ann_top5, SQL_COSINE_TOP5),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
+    "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),

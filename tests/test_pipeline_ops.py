@@ -176,3 +176,33 @@ def test_connected_components_chain_and_triangle(spark):
     canon = {r["doc_id"] for r in clusters if r["is_canonical"]}
     assert canon == {1, 10, 20}
     assert all(r["cluster_id"] == comp[r["doc_id"]] for r in clusters)
+
+
+def test_chunk_documents_edges(spark):
+    """Chunk boundaries: short doc -> one chunk; exact-multiple lengths;
+    overlap reconstruction (consecutive chunks share `overlap` tokens)."""
+    from simtradedata_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"t{i}" for i in range(10))),   # 10 toks: 1 chunk
+            (1, " ".join(f"t{i}" for i in range(16))),   # 16 = chunk size
+            (2, " ".join(f"t{i}" for i in range(17))),   # 16 + 1 spill
+            (3, ""),                                      # empty: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for rows in by_doc.values():
+        rows.sort(key=lambda r: r["chunk_idx"])
+    assert 3 not in by_doc
+    assert [r["n_tokens"] for r in by_doc[0]] == [10]
+    # 16 tokens, step 12: starts 0 and 12 -> chunks of 16 and 4
+    assert [r["n_tokens"] for r in by_doc[1]] == [16, 4]
+    assert [r["n_tokens"] for r in by_doc[2]] == [16, 5]
+    # overlap: chunk k's first 4 tokens == chunk k-1's tokens 12..16
+    c0, c1 = by_doc[2][0]["chunk_text"].split(), by_doc[2][1]["chunk_text"].split()
+    assert c1[:4] == c0[12:16]
