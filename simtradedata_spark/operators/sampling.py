@@ -46,3 +46,38 @@ def hash_sample(
     """Keep rows whose key hashes below ``rate_pct`` of ``buckets`` —
     a deterministic ~rate_pct% sample."""
     return df.filter(hash_bucket(key_cols, buckets, salt) < rate_pct)
+
+
+def weighted_mixture(
+    df: DataFrame,
+    key_cols: list[str],
+    weight: Column,
+    buckets: int = 100,
+) -> DataFrame:
+    """Epoch-weighted replication/sampling for training mixes: each row is
+    emitted ``floor(w)`` times plus one extra copy with probability
+    ``frac(w)`` — so a source weighted 2.5 contributes ~2.5 epochs, one
+    weighted 0.3 a ~30% sample. The fractional decision is hash-of-
+    (copy_idx, key): deterministic, partition/retry-invariant, and
+    cross-engine reproducible like hash_sample. Output gains ``copy_idx``
+    (0-based) so downstream shuffles can spread the copies.
+
+    Scale shape: explode of a ceil(w)-long sequence + a codegen filter —
+    no shuffle; output volume is exactly the mixture target."""
+    w = weight.cast("double")
+    n_full = F.floor(w).cast("int")
+    frac = w - F.floor(w)
+    exploded = df.withColumn(
+        "copy_idx", F.explode(F.sequence(F.lit(0), n_full))
+    )
+    # copies below floor(w) always survive; the copy AT floor(w) survives
+    # with probability frac(w), keyed by (copy_idx, key).
+    keep_frac = (
+        hash_bucket(
+            [F.col("copy_idx").cast("string")]
+            + [F.col(c) for c in key_cols],
+            buckets,
+        )
+        < frac * buckets
+    )
+    return exploded.filter((F.col("copy_idx") < n_full) | keep_frac)

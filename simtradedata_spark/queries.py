@@ -1830,6 +1830,38 @@ FROM c
 """
 
 
+def q_mixture_epochs(spark, sf_dir):
+    """Epoch-weighted training mixture (operators/sampling.py::
+    weighted_mixture): per-source weights 0.5-2.5 epochs derived from the
+    source id; rows replicated floor(w) times + a hash-decided fractional
+    copy. Deterministic and partition-invariant like all sampling here."""
+    from simtradedata_spark.operators.sampling import weighted_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    w = 0.5 + (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 5) * 0.5
+    return weighted_mixture(docs, ["doc_id"], w).select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+SQL_MIXTURE_EPOCHS = """
+WITH w AS (
+  SELECT doc_id, source,
+         0.5 + (CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 5) * 0.5 AS wt
+  FROM documents
+), e AS (
+  SELECT doc_id, source, wt, unnest(range(0, CAST(floor(wt) AS INT) + 1)) AS copy_idx
+  FROM w
+)
+SELECT doc_id, source, CAST(copy_idx AS INT) AS copy_idx
+FROM e
+WHERE copy_idx < floor(wt)
+   OR ('0x' || substr(md5(concat_ws('|', CAST(copy_idx AS VARCHAR),
+                                         CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT
+      % 100 < (wt - floor(wt)) * 100
+"""
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """Composed curation pipeline (operators/pipeline.py): quality filter →
     exact dedup → benchmark decontamination → deterministic 50% sample,
@@ -2800,6 +2832,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),

@@ -206,3 +206,24 @@ def test_chunk_documents_edges(spark):
     # overlap: chunk k's first 4 tokens == chunk k-1's tokens 12..16
     c0, c1 = by_doc[2][0]["chunk_text"].split(), by_doc[2][1]["chunk_text"].split()
     assert c1[:4] == c0[12:16]
+
+
+def test_weighted_mixture_rates(spark):
+    """floor(w) copies always survive; the fractional copy lands near
+    frac(w); integral weights replicate exactly; w=0 drops everything."""
+    from pyspark.sql import functions as F
+
+    from simtradedata_spark.operators.sampling import weighted_mixture
+
+    n = 2000
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    out2 = weighted_mixture(base, ["doc_id"], F.lit(2.0)).count()
+    assert out2 == 2 * n
+    out0 = weighted_mixture(base, ["doc_id"], F.lit(0.0)).count()
+    assert out0 == 0
+    out15 = weighted_mixture(base, ["doc_id"], F.lit(1.5)).count()
+    assert abs(out15 - 1.5 * n) < 0.1 * n
+    # determinism + partition invariance
+    a = weighted_mixture(base, ["doc_id"], F.lit(0.7))
+    b = weighted_mixture(base.repartition(7), ["doc_id"], F.lit(0.7))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
