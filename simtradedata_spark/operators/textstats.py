@@ -292,3 +292,41 @@ def chunk_documents(
         F.col("__c.n_tokens").alias("n_tokens"),
         F.col("__c.chunk_text").alias("chunk_text"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (tf · (ln((N+1)/(df+1)) + 1), sklearn-style smoothing so corpus-wide
+    terms score low but never negative). Ties break (score desc, term asc)
+    — deterministic cross-engine.
+
+    Plan: explode tokens → (doc, term) counts (one shuffle, map-side
+    combined) → document frequency per term (second aggregation on the
+    already-shuffled term side) → broadcast df back (term dictionary ≪
+    corpus) → per-doc top-k window. At 100 TB the df table is the only
+    global state and it is vocabulary-sized, not corpus-sized."""
+    from simtradedata_spark.operators.topk import top_k_per_group
+
+    n_docs = df.select(id_col).distinct().count()
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
+            6,
+        ),
+    )
+    return top_k_per_group(
+        scored, [id_col], k, F.col("tfidf").desc(), F.col("term").asc()
+    ).select(id_col, "term", "tf", "df", "tfidf", F.col("rk").alias("rank"))

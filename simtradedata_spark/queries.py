@@ -1830,6 +1830,38 @@ FROM c
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smoothed TF-IDF (textstats::
+    tfidf_top_terms). Ranking uses the 6dp-rounded score (+ term asc) in
+    BOTH engines so float ulps cannot reorder."""
+    from simtradedata_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=3)
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH tf AS (
+  SELECT doc_id, t AS term, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents)
+  GROUP BY doc_id, t
+), dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
 def q_mixture_epochs(spark, sf_dir):
     """Epoch-weighted training mixture (operators/sampling.py::
     weighted_mixture): per-source weights 0.5-2.5 epochs derived from the
@@ -2833,6 +2865,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),
