@@ -1830,6 +1830,38 @@ FROM c
 """
 
 
+def q_session_windows(spark, sf_dir):
+    """Native session_window aggregation (streaming/incremental.py::
+    session_agg — the same function the streaming parity test drives):
+    gap-closed sessions per user with bounds and totals. Oracle recomputes
+    sessions via lag-gap + running session id."""
+    from simtradedata_spark.streaming.incremental import session_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return session_agg(ev).withColumn("total_value", F.round("total_value", 6))
+
+
+SQL_SESSION_WINDOWS = """
+WITH m AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id, count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM g GROUP BY user_id, sid
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per doc by smoothed TF-IDF (textstats::
     tfidf_top_terms). Ranking uses the 6dp-rounded score (+ term asc) in
@@ -2866,6 +2898,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),

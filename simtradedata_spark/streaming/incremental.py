@@ -93,6 +93,51 @@ def streaming_window_counts(
     )
 
 
+def session_agg(df, gap: str = "30 minutes"):
+    """Native session-window aggregation (gap-based, per user): the
+    engine-managed form of the batch lag-gap sessionization in
+    queries.py::q_sessionize_users. Works on batch AND streaming frames —
+    the stream ≡ batch parity test drives both through this one function.
+    At scale the state store holds one open session per active user,
+    closed by the watermark."""
+    return (
+        df.groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_session_counts(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    query_name: str = "stream_sessions",
+):
+    """Streaming form of ``session_agg``: readStream → watermark → session
+    window → memory sink (append emits sessions closed by the watermark)."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    agg = session_agg(stream.withWatermark("ts", watermark), gap)
+    return (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+
+
 def minute_bar_agg(ticks, window: str = "1 minute", watermark: str = "2 minutes"):
     """W4 over a tick stream (the minute/3-second modes the PTrade spec
     declares, ``PTrade_API_mini_Reference.md:521-694``, which the reference

@@ -207,3 +207,40 @@ def test_streaming_upsert_foreachbatch_last_writer_wins(spark, tmp_path):
     got = {(r["symbol"], r["d"]): r["v"] for r in final.collect()}
     # b1 inner dup (b,21 beats b,20 via order_by); b2 overwrites a, adds c
     assert got == {("a", 1): 99.0, ("b", 1): 21.0, ("c", 1): 30.0}
+
+
+def test_streaming_session_windows_match_batch(spark, tmp_path):
+    """Native session_window: the stream (append mode, watermark-closed
+    sessions) must equal the batch run of the SAME session_agg function
+    restricted to sessions that closed before the final watermark."""
+    import datetime
+
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.streaming.incremental import (
+        session_agg,
+        streaming_session_counts,
+    )
+
+    src = str(tmp_path / "sess_src")
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    events.coalesce(2).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    q = streaming_session_counts(spark, src, schema, query_name="t_sessions")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_start"], r["n_events"])
+            for r in spark.sql("SELECT * FROM t_sessions").collect()
+        }
+    finally:
+        q.stop()
+
+    maxts = events.agg(F.max("ts")).first()[0]
+    cutoff = maxts - datetime.timedelta(hours=2)
+    closed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in session_agg(events).filter(F.col("session_end") <= cutoff).collect()
+    }
+    assert closed, "watermark cut everything — fixture too small"
+    assert got == closed
