@@ -1830,6 +1830,75 @@ FROM c
 """
 
 
+def q_rolling_beta(spark, sf_dir):
+    """20-day rolling correlation and beta of each symbol's daily log
+    return vs the benchmark index (pairs/beta quant staple). One broadcast
+    join on the trading day + one per-symbol sort window; full windows
+    only. Zero-variance frames (suspension runs) surface as NULL in both
+    engines."""
+    m = _small_market(spark)
+    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    bench = m.benchmark().select(
+        "day_idx", F.log(F.col("close") / F.col("preclose")).alias("rb")
+    )
+    r = bars.select(
+        "symbol",
+        "trade_date",
+        "day_idx",
+        F.log(F.col("close") / F.col("preclose")).alias("rs"),
+    ).join(F.broadcast(bench), "day_idx")
+    w = Window.partitionBy("symbol").orderBy("day_idx").rowsBetween(-19, 0)
+    wn = Window.partitionBy("symbol").orderBy("day_idx")
+    out = (
+        r.withColumn("corr20", F.corr("rs", "rb").over(w))
+        .withColumn(
+            "beta20", F.covar_samp("rs", "rb").over(w) / F.var_samp("rb").over(w)
+        )
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") >= 20)
+    )
+    clean = lambda c: F.when(F.isnan(c) | c.isNull(), None).otherwise(F.round(c, 6))
+    return out.select(
+        "symbol",
+        "trade_date",
+        clean(F.col("corr20")).alias("corr20"),
+        clean(F.col("beta20")).alias("beta20"),
+    )
+
+
+SQL_ROLLING_BETA = _SQL_MARKET_CTES + """
+, bench AS (
+  SELECT day_idx,
+         ln(close / preclose) AS rb
+  FROM (
+    SELECT day_idx, close,
+           coalesce(lag(close) OVER (ORDER BY day_idx), close) AS preclose
+    FROM (
+      SELECT day_idx,
+             round(3000.0 * exp(sum((0.5 - ((('0x' || substr(md5(concat_ws('|',
+                       'idx42', CAST(day_idx AS VARCHAR))), 1, 15))::BIGINT
+                       % 1000000007) / 1000000007.0)) * 0.02)
+                   OVER (ORDER BY day_idx ROWS UNBOUNDED PRECEDING)), 4) AS close
+      FROM days))
+), r AS (
+  SELECT b.symbol, b.trade_date, b.day_idx,
+         ln(b.close / b.preclose) AS rs, bench.rb
+  FROM bars_out b JOIN bench USING (day_idx)
+), wins AS (
+  SELECT symbol, trade_date,
+         corr(rs, rb) OVER w20 AS corr20,
+         covar_samp(rs, rb) OVER w20 / var_samp(rb) OVER w20 AS beta20,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_idx) AS rn
+  FROM r
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY day_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date,
+       round(corr20, 6) AS corr20, round(beta20, 6) AS beta20
+FROM wins WHERE rn >= 20
+"""
+
+
 def q_session_windows(spark, sf_dir):
     """Native session_window aggregation (streaming/incremental.py::
     session_agg — the same function the streaming parity test drives):
@@ -2899,6 +2968,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),
