@@ -1899,6 +1899,63 @@ FROM wins WHERE rn >= 20
 """
 
 
+def q_factor_ic(spark, sf_dir):
+    """Daily information coefficient of a 5-day momentum factor: Spearman
+    rank correlation (Pearson over within-day ranks) between the factor and
+    the next day's return — the standard factor-quality diagnostic. Two
+    per-symbol sort windows (factor + forward return share one) and one
+    per-day aggregation."""
+    m = _small_market(spark)
+    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    ws = Window.partitionBy("symbol").orderBy("day_idx")
+    enriched = (
+        bars.select("symbol", "trade_date", "day_idx", "close")
+        .withColumn("factor", F.col("close") / F.lag("close", 5).over(ws) - 1)
+        .withColumn("fwd_ret", F.lead("close").over(ws) / F.col("close") - 1)
+        .filter(F.col("factor").isNotNull() & F.col("fwd_ret").isNotNull())
+    )
+    wd = lambda c: Window.partitionBy("trade_date").orderBy(c)
+    ranked = enriched.withColumn("rk_f", F.rank().over(wd("factor"))).withColumn(
+        "rk_r", F.rank().over(wd("fwd_ret"))
+    )
+    out = ranked.groupBy("trade_date").agg(
+        F.corr(F.col("rk_f").cast("double"), F.col("rk_r").cast("double")).alias(
+            "ic"
+        ),
+        F.count(F.lit(1)).alias("n_symbols"),
+    )
+    return out.filter(F.col("n_symbols") >= 3).select(
+        "trade_date",
+        F.when(F.isnan("ic") | F.col("ic").isNull(), None)
+        .otherwise(F.round("ic", 6))
+        .alias("ic"),
+        "n_symbols",
+    )
+
+
+SQL_FACTOR_IC = _SQL_MARKET_CTES + """
+, enriched AS (
+  SELECT symbol, trade_date, day_idx, close,
+         close / lag(close, 5) OVER ws - 1 AS factor,
+         lead(close) OVER ws / close - 1 AS fwd_ret
+  FROM bars_out
+  WINDOW ws AS (PARTITION BY symbol ORDER BY day_idx)
+), ranked AS (
+  SELECT trade_date,
+         rank() OVER (PARTITION BY trade_date ORDER BY factor) AS rk_f,
+         rank() OVER (PARTITION BY trade_date ORDER BY fwd_ret) AS rk_r
+  FROM enriched
+  WHERE factor IS NOT NULL AND fwd_ret IS NOT NULL
+), ic_t AS (
+  SELECT trade_date, corr(CAST(rk_f AS DOUBLE), CAST(rk_r AS DOUBLE)) AS ic,
+         count(*) AS n_symbols
+  FROM ranked GROUP BY trade_date
+)
+SELECT trade_date, round(ic, 6) AS ic, n_symbols
+FROM ic_t WHERE n_symbols >= 3
+"""
+
+
 def q_session_windows(spark, sf_dir):
     """Native session_window aggregation (streaming/incremental.py::
     session_agg — the same function the streaming parity test drives):
@@ -2969,6 +3026,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
+    "factor_ic": (q_factor_ic, SQL_FACTOR_IC),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
     "adjusted_bars_post": (q_adjusted_bars_post, SQL_ADJUSTED_BARS_POST),
     "macd_indicators": (q_macd_indicators, SQL_MACD_INDICATORS),
