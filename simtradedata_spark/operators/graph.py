@@ -38,10 +38,14 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) pairs → (id, component) where component = min node id
     reachable — deterministic, partitioning-invariant canonical labels."""
+    # Materialize the edge list ONCE: `edges` is lazy, and without this the
+    # whole upstream pipeline (e.g. minhash signature + band join) re-executes
+    # on every propagation round (measured 3x the total runtime).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("id"))
