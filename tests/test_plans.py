@@ -130,3 +130,23 @@ def test_top_supplier_revenue_broadcasts_scalar_and_dim(spark):
     p = plan(QUERIES["top_supplier_revenue"][0](spark, SF))
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 1
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking is scan-local: explode + projections, zero exchanges."""
+    p = plan(QUERIES["doc_chunks"][0](spark, SF))
+    assert "Exchange" not in p
+    assert "Generate explode" in p
+
+
+def test_weighted_mixture_no_shuffle(spark):
+    p = plan(QUERIES["mixture_epochs"][0](spark, SF))
+    assert "Exchange" not in p
+
+
+def test_tfidf_df_table_broadcast(spark):
+    """The vocabulary-sized document-frequency table must broadcast —
+    a sort-merge join here would shuffle the corpus-sized tf side twice."""
+    p = plan(QUERIES["tfidf_top_terms"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
