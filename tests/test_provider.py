@@ -146,3 +146,37 @@ def test_python_datasource_filter_pushdown_prunes(spark):
         & (full.trade_date.astype(str) >= "2022-04-01")
     ].reset_index(drop=True)
     assert got.reset_index(drop=True).equals(expect)
+
+
+def test_snapshot_sink_pointer_commit(spark, tmp_path):
+    """Python Data Source writer: overwrite publishes a new version and
+    atomically repoints _CURRENT; append links the previous version in;
+    readers through read_current never see staging state."""
+    from pyspark.sql import functions as F
+
+    from simtradedata_spark.sources.snapshot_sink import SnapshotDataSource
+    from simtradedata_spark.streaming.incremental import read_current
+
+    spark.dataSource.register(SnapshotDataSource)
+    target = str(tmp_path / "snap")
+
+    d1 = spark.range(100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d1.write.format("simtrade_snapshot").mode("overwrite").save(target)
+    got1 = read_current(spark, target)
+    assert got1.count() == 100
+    assert {r["v"] for r in got1.filter("id < 3").collect()} == {0, 2, 4}
+
+    # append: new version = previous ∪ new rows
+    d2 = spark.range(100, 150).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    d2.write.format("simtrade_snapshot").mode("append").save(target)
+    got2 = read_current(spark, target)
+    assert got2.count() == 150
+
+    # overwrite replaces
+    d3 = spark.range(7).select(F.col("id"), F.lit(0).alias("v"))
+    d3.write.format("simtrade_snapshot").mode("overwrite").save(target)
+    assert read_current(spark, target).count() == 7
+    # no staging dirs survive
+    import os
+
+    assert not [p for p in os.listdir(target) if p.startswith("_staging")]
