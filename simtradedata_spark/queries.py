@@ -2020,6 +2020,45 @@ SELECT doc_id, term, tf, df, tfidf, rank FROM (
 """
 
 
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — hash-of-key with a
+    dedicated salt so the split is independent of every sampling decision,
+    stable under re-ingest, and identical on any engine. Summarized per
+    (source, split) with token counts."""
+    from simtradedata_spark.operators.sampling import hash_bucket
+    from simtradedata_spark.operators.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket(["doc_id"], buckets=100, salt="split")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count("text")).alias("n_tokens"),
+        )
+    )
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = f"""
+WITH b AS (
+  SELECT source, text,
+         ('0x' || substr(md5(concat_ws('|', 'split', CAST(doc_id AS VARCHAR))),
+          1, 8))::BIGINT % 100 AS bkt
+  FROM documents
+)
+SELECT source,
+       CASE WHEN bkt < 80 THEN 'train'
+            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS n_tokens
+FROM b GROUP BY 1, 2
+"""
+
+
 def q_mixture_epochs(spark, sf_dir):
     """Epoch-weighted training mixture (operators/sampling.py::
     weighted_mixture): per-source weights 0.5-2.5 epochs derived from the
@@ -3023,6 +3062,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
+    "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
