@@ -2091,6 +2091,46 @@ WHERE copy_idx < floor(wt)
 """
 
 
+def q_dup_chunks(spark, sf_dir):
+    """Sub-document dedup: fingerprint overlapping 32-token chunks and
+    surface chunk hashes appearing in MORE THAN ONE document — the
+    paragraph/passage-level dedup pass that catches boilerplate and partial
+    copies exact-document dedup misses. One shuffle on the chunk hash."""
+    from simtradedata_spark.operators.textstats import chunk_documents, fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=32, overlap=8)
+    return (
+        chunks.withColumn("chunk_fp", fingerprint("chunk_text"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DUP_CHUNKS = f"""
+WITH toked AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest([array_to_string(list_slice(ws, s + 1, s + 32), ' ')
+                 FOR s IN range(0, len(ws), 24)]) AS chunk_text
+  FROM toked WHERE len(ws) > 0
+), fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(chunk_text)), '\\s+', ' ', 'g')) AS chunk_fp
+  FROM c
+)
+SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences,
+       min(doc_id) AS first_doc
+FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
+"""
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """Composed curation pipeline (operators/pipeline.py): quality filter →
     exact dedup → benchmark decontamination → deterministic 50% sample,
@@ -3061,6 +3101,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
+    "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
     "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
