@@ -31,6 +31,13 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session id, sf_dir, name) → analyzed DataFrame. A DataFrame is an
+# immutable logical plan, so reuse is safe; what the memo saves is the
+# per-query re-listing + footer read + re-analysis of the same path — the
+# catalog-cache role a metastore plays on a real cluster.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Parquet scan → column pruning + predicate pushdown
     happen automatically for whatever the downstream query selects/filters.
@@ -39,6 +46,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
     convert to a micros timestamp (identical truncation to DuckDB's
     micros-precision read of the same file)."""
+    memo_key = (id(spark), sf_dir, name)
+    cached = _TABLE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
@@ -49,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for fname, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(fname, F.col(fname).cast("timestamp"))
+    _TABLE_MEMO[memo_key] = df
     return df
 
 

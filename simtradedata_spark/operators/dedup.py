@@ -262,41 +262,56 @@ def simhash(
     token hash's bit over the token multiset; positive sum sets the bit.
 
     Plan shape mirrors minhash_signatures: explode tokens → hash once →
-    groupBy(id) with 64 ``sum(case)`` aggregates (map-side combined), then
-    fold the 64 signs into one long via OR of distinct powers of two.
-    Documents with no tokens get signature 0."""
+    ONE groupBy(id), with the per-bit counts PACKED three to a long in
+    21-bit slots (plus a row count): a ±1 sum per bit needs 60-64 sum(case)
+    aggregates, the packed form needs ~22 shift-add sums — measured 3x at
+    sf0.1 — and "±1 sum > 0" is equivalently "2·ones > n". The 21-bit slot
+    caps documents at 2^21 tokens (a 2M-token doc is a pathology to split
+    upstream, not a real chunk). Documents with no tokens get signature 0."""
+    nbits = 64 if hash_fn == "xxhash64" else 60
+    groups = (nbits + 2) // 3
     # Hash INSIDE the generator: explode's output is a materialized
-    # attribute, which the optimizer cannot inline into the 60-64 aggregate
+    # attribute, which the optimizer cannot inline into the aggregate
     # expressions below (a post-explode projection WOULD be collapsed into
-    # them, re-running the hash once per bit — measured 3x on the md5 path).
+    # them, re-running the hash once per aggregate — measured 3x on md5).
+    # explode_OUTER keeps token-less docs as one null-hash row, so they
+    # reach the aggregation and get signature 0 via the null-propagating
+    # when() chain — no join-back needed (a broadcast join here re-ran the
+    # whole pipeline as the build side, 3x the query).
     exploded = df.select(
         F.col(id_col),
-        F.explode(
+        F.explode_outer(
             F.transform(tokens(text_col), lambda t: _hash64(t, hash_fn))
         ).alias("__h"),
     )
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            )
-            .otherwise(F.lit(-1))
-            .cast("long")
-        ).alias(f"__b{i}")
-        for i in range(64 if hash_fn == "xxhash64" else 60)
-    ]
-    bitsums = exploded.groupBy(id_col).agg(*aggs)
+
+    def packed(k: int) -> Column:
+        # slots j=0..2 hold the ones-count of bits 3k..3k+2 (21 bits each).
+        e = None
+        for j in range(3):
+            if 3 * k + j >= nbits:
+                break
+            bit = F.shiftright(F.col("__h"), 3 * k + j).bitwiseAND(F.lit(1))
+            term = F.shiftleft(bit.cast("long"), 21 * j)
+            e = term if e is None else e + term
+        return F.sum(e).alias(f"__p{k}")
+
+    bitsums = exploded.groupBy(id_col).agg(
+        *[packed(k) for k in range(groups)],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mask = (1 << 21) - 1
     sig = None
-    for i in range(64 if hash_fn == "xxhash64" else 60):
+    for i in range(nbits):
+        ones = F.shiftright(F.col(f"__p{i // 3}"), 21 * (i % 3)).bitwiseAND(
+            F.lit(mask)
+        )
         term = F.when(
-            F.col(f"__b{i}") > 0,
+            ones * 2 > F.col("__n"),
             F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
-    sigs = bitsums.select(F.col(id_col), sig.alias(out_col))
-    return df.select(id_col).join(sigs, id_col, "left").withColumn(
-        out_col, F.coalesce(F.col(out_col), F.lit(0).cast("long"))
-    )
+    return bitsums.select(F.col(id_col), sig.alias(out_col))
 
 
 def hamming64(a: Column, b: Column) -> Column:
