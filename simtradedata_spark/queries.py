@@ -1830,6 +1830,42 @@ FROM c
 """
 
 
+def q_weekly_bars(spark, sf_dir):
+    """W4 on its home ground: daily synthetic bars → weekly OHLCV via
+    min_by/max_by keyed on the date (one shuffle on (symbol, week)).
+    Volume/money summed in cents-exact integers for cross-engine equality."""
+    from simtradedata_spark.operators.resample import resample_ohlc
+
+    bars = _small_market(spark).bars().drop("sym_idx", "day_idx", "n_days")
+    wk = resample_ohlc(bars, freq="W")
+    return wk.select(
+        "symbol",
+        "period_start",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 0).alias("volume"),
+        F.round("money", 2).alias("money"),
+        "n_bars",
+    )
+
+
+SQL_WEEKLY_BARS = _SQL_MARKET_CTES + """
+SELECT symbol,
+       CAST(date_trunc('week', trade_date) AS DATE) AS period_start,
+       arg_min(open, trade_date) AS open,
+       max(high) AS high,
+       min(low) AS low,
+       arg_max(close, trade_date) AS close,
+       round(sum(volume), 0) AS volume,
+       round(sum(money), 2) AS money,
+       count(*) AS n_bars
+FROM bars_out
+GROUP BY symbol, date_trunc('week', trade_date)
+"""
+
+
 def q_rolling_beta(spark, sf_dir):
     """20-day rolling correlation and beta of each symbol's daily log
     return vs the benchmark index (pairs/beta quant staple). One broadcast
@@ -3106,6 +3142,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "train_val_test_split": (q_train_val_test_split, SQL_TRAIN_VAL_TEST_SPLIT),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
+    "weekly_bars": (q_weekly_bars, SQL_WEEKLY_BARS),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
     "factor_ic": (q_factor_ic, SQL_FACTOR_IC),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
