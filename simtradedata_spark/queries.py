@@ -1830,6 +1830,36 @@ FROM c
 """
 
 
+def q_valuation_table(spark, sf_dir):
+    """A7 market-cap derivation as generated data: the valuation table
+    (total_value = close × shares, turnover = volume/shares, null pe for
+    loss-makers — the fields the reference stubs as NaN,
+    data_converter.py:167-170) regenerated and value-checked in DuckDB."""
+    return _small_market(spark).valuation()
+
+
+SQL_VALUATION_TABLE = _SQL_MARKET_CTES + f"""
+, sh AS (
+  SELECT sym_idx,
+         round(1e8 * (1 + 9 * {_duck_u01('sh', 'sym_idx')}), 0) AS shares,
+         (0.5 - {_duck_u01('eps', 'sym_idx')}) * 10 AS eps
+  FROM syms
+)
+SELECT b.symbol, b.trade_date,
+       CASE WHEN sh.eps > 0 THEN round(b.close / sh.eps, 4) END AS pe_ttm,
+       round(1.0 + 5 * {_duck_u01('pb', 'sym_idx', 'day_idx')}, 4) AS pb,
+       round(1.0 + 10 * {_duck_u01('ps', 'sym_idx', 'day_idx')}, 4) AS ps_ttm,
+       round(2.0 + 20 * {_duck_u01('pcf', 'sym_idx', 'day_idx')}, 4) AS pcf,
+       round(100 * b.volume / sh.shares, 6) AS turnover_rate,
+       sh.shares AS total_shares,
+       ((CAST(round(b.close*1e4) AS BIGINT) * CAST(sh.shares AS BIGINT) + 50)
+         // 100) / 100.0 AS total_value,
+       ((CAST(round(b.close*1e4) AS BIGINT) * CAST(sh.shares AS BIGINT) * 7 + 500)
+         // 1000) / 100.0 AS float_value
+FROM bars_out b JOIN sh USING (sym_idx)
+"""
+
+
 def q_weekly_bars(spark, sf_dir):
     """W4 on its home ground: daily synthetic bars → weekly OHLCV via
     min_by/max_by keyed on the date (one shuffle on (symbol, week)).
@@ -3143,6 +3173,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "weekly_bars": (q_weekly_bars, SQL_WEEKLY_BARS),
+    "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
     "factor_ic": (q_factor_ic, SQL_FACTOR_IC),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),

@@ -306,6 +306,13 @@ class SyntheticMarket:
         shares = F.round(1e8 * (1 + 9 * self._rng01(F.col("sym_idx"), salt="sh")), 0)
         eps = (0.5 - self._rng01(F.col("sym_idx"), salt="eps")) * 10  # some negative
         pe = F.when(eps > 0, F.round(F.col("close") / eps, 4))
+        # Market caps decimal-exact: close (1e-4-quantized) × integer shares
+        # is an EXACT 4-decimal value, so float round(x, 2) lands on exact
+        # .5 ties ~1/100 rows where engines disagree within an ulp — do the
+        # half-up in int64 instead (product ≈ 1e14 ≪ 2^63; cf. adjust.py).
+        v = F.round(F.col("close") * 1e4).cast("long") * shares.cast("long")
+        total_value = ((v + 50) / 100).cast("long") / 100.0
+        float_value = ((v * 7 + 500) / 1000).cast("long") / 100.0
         return bars.select(
             "symbol",
             "trade_date",
@@ -315,8 +322,8 @@ class SyntheticMarket:
             F.round(F.lit(2.0) + 20 * self._rng01(F.col("sym_idx"), F.col("day_idx"), salt="pcf"), 4).alias("pcf"),
             F.round(100 * F.col("volume") / shares, 6).alias("turnover_rate"),
             shares.alias("total_shares"),
-            F.round(F.col("close") * shares, 2).alias("total_value"),
-            F.round(F.col("close") * shares * 0.7, 2).alias("float_value"),
+            total_value.alias("total_value"),
+            float_value.alias("float_value"),
         )
 
     def fundamentals(self) -> DataFrame:
