@@ -1860,6 +1860,103 @@ FROM bars_out b JOIN sh USING (sym_idx)
 """
 
 
+def q_fundamentals_asof(spark, sf_dir):
+    """J5 point-in-time fundamentals (SURVEY 'what's hard' #1): for every
+    21st trading day × symbol, the report visible AT that date — max
+    end_date among rows with publ_date ≤ query_date, restatements (higher
+    merge_seq) preferred within a report period. Lookahead-free by
+    construction; includes the engineered 2022Q4 restatement flip. The
+    fundamentals dimension is broadcast (reports ≪ fact)."""
+    m = _small_market(spark)
+    f = m.fundamentals().select(
+        "symbol", "end_date", "publ_date", "merge_seq", "roe", "roe_ttm"
+    )
+    qdates = (
+        m.trading_days()
+        .filter(F.col("day_idx") % 21 == 0)
+        .select(F.col("trade_date").alias("query_date"))
+    )
+    probes = m.symbols().select("symbol").crossJoin(qdates)
+    cand = probes.join(F.broadcast(f), "symbol").filter(
+        F.col("publ_date") <= F.col("query_date")
+    )
+    w = Window.partitionBy("symbol", "query_date").orderBy(
+        F.col("end_date").desc(), F.col("merge_seq").desc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "symbol", "query_date", "end_date", "publ_date", "merge_seq",
+            "roe", "roe_ttm",
+        )
+    )
+
+
+def _sql_fund_asof() -> str:
+    u = _duck_u01
+    roe = f"round(-5 + 30 * {u('roe', 'sym_idx', 'end_date', 'merge_seq')}, 4)"
+    return f"""
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), quarters AS (
+  SELECT unnest([DATE '2022-03-31', DATE '2022-06-30', DATE '2022-09-30',
+                 DATE '2022-12-31', DATE '2023-03-31', DATE '2023-06-30',
+                 DATE '2023-09-30', DATE '2023-12-31']) AS end_date
+), first_pub AS (
+  SELECT s.sym_idx, s.symbol, q.end_date,
+         q.end_date + CAST(floor(30 + 50 * {u('lag', 'sym_idx', 'end_date')}) AS INT)
+           AS publ_date,
+         CAST(0 AS TINYINT) AS merge_seq
+  FROM syms s CROSS JOIN quarters q
+), allrows AS (
+  SELECT * FROM first_pub
+  UNION ALL
+  SELECT sym_idx, symbol, end_date, publ_date + 60 AS publ_date,
+         CAST(1 AS TINYINT) AS merge_seq
+  FROM first_pub
+  WHERE month(end_date) = 12 AND year(end_date) = 2022
+), fund AS (
+  SELECT symbol, end_date, publ_date, merge_seq,
+         {roe} AS roe,
+         CASE WHEN count(*) OVER w4 >= 4
+              THEN round(avg({roe}) OVER w4, 4) END AS roe_ttm
+  FROM allrows
+  WINDOW w4 AS (PARTITION BY symbol, merge_seq ORDER BY end_date
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+), probes AS (
+  SELECT s.symbol, d.trade_date AS query_date
+  FROM syms s CROSS JOIN days d WHERE d.day_idx % 21 = 0
+), ranked AS (
+  SELECT p.symbol, p.query_date, f.end_date, f.publ_date, f.merge_seq,
+         f.roe, f.roe_ttm,
+         row_number() OVER (PARTITION BY p.symbol, p.query_date
+                            ORDER BY f.end_date DESC, f.merge_seq DESC) AS rn
+  FROM probes p JOIN fund f ON f.symbol = p.symbol
+                           AND f.publ_date <= p.query_date
+)
+SELECT symbol, query_date, end_date, publ_date, merge_seq, roe, roe_ttm
+FROM ranked WHERE rn = 1
+"""
+
+
+SQL_FUNDAMENTALS_ASOF = _sql_fund_asof()
+
+
 def q_weekly_bars(spark, sf_dir):
     """W4 on its home ground: daily synthetic bars → weekly OHLCV via
     min_by/max_by keyed on the date (one shuffle on (symbol, week)).
@@ -3174,6 +3271,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "session_windows": (q_session_windows, SQL_SESSION_WINDOWS),
     "weekly_bars": (q_weekly_bars, SQL_WEEKLY_BARS),
     "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
+    "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
     "factor_ic": (q_factor_ic, SQL_FACTOR_IC),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
