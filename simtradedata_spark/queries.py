@@ -1860,6 +1860,99 @@ FROM bars_out b JOIN sh USING (sym_idx)
 """
 
 
+def q_exrights_events(spark, sf_dir):
+    """The exrights event table (PTrade linear form A·price+B,
+    PTrade_API_mini_Reference.md:2992-3002) with the int-yyyymmdd surface
+    key the PTrade API exposes — regenerated and value-checked in DuckDB."""
+    from simtradedata_spark.functions.cleaning import yyyymmdd_int
+
+    ev = _small_market(spark).exrights().drop("sym_idx", "day_idx")
+    return ev.select(
+        "symbol",
+        yyyymmdd_int("ex_date").alias("ex_date_key"),
+        "bonus_ps",
+        "dividend_ps",
+        F.round("exer_forward_a", 6).alias("exer_forward_a"),
+        F.round("exer_forward_b", 6).alias("exer_forward_b"),
+        F.round("exer_backward_a", 6).alias("exer_backward_a"),
+        F.round("exer_backward_b", 6).alias("exer_backward_b"),
+    )
+
+
+SQL_EXRIGHTS_EVENTS = f"""
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), ev AS (
+  SELECT s.symbol, d.trade_date AS ex_date,
+         round(0.2 + 0.3 * {_duck_u01('bo', 'sym_idx', 'day_idx')}, 4) AS bonus_ps,
+         round(0.1 + 0.4 * {_duck_u01('dv', 'sym_idx', 'day_idx')}, 4) AS dividend_ps
+  FROM syms s CROSS JOIN days d
+  WHERE s.sym_idx % 3 = 0 AND d.day_idx IN (120, 360)
+)
+SELECT symbol,
+       CAST(strftime(ex_date, '%Y%m%d') AS INT) AS ex_date_key,
+       bonus_ps, dividend_ps,
+       round(1.0 / (1.0 + bonus_ps), 6) AS exer_forward_a,
+       round(-dividend_ps / (1.0 + bonus_ps), 6) AS exer_forward_b,
+       round(1.0 + bonus_ps, 6) AS exer_backward_a,
+       round(dividend_ps, 6) AS exer_backward_b
+FROM ev
+"""
+
+
+def q_trade_calendar(spark, sf_dir):
+    """F1/S6: the trading calendar itself, plus the per-month trading-day
+    index every rebalance schedule needs (row_number within month)."""
+    m = _small_market(spark)
+    cal = m.trade_calendar()
+    w = Window.partitionBy(F.date_trunc("month", "calendar_date")).orderBy(
+        "calendar_date"
+    )
+    return cal.select(
+        "calendar_date",
+        "is_trading_day",
+        F.when(
+            F.col("is_trading_day"),
+            F.row_number().over(
+                Window.partitionBy(
+                    F.date_trunc("month", "calendar_date"), "is_trading_day"
+                ).orderBy("calendar_date")
+            ),
+        ).alias("month_trading_idx"),
+    )
+
+
+SQL_TRADE_CALENDAR = """
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date,
+         (dayofweek(CAST(d AS DATE)) BETWEEN 1 AND 5)
+         AND NOT ((month(d) = 1 AND dayofmonth(d) <= 3)
+               OR (month(d) = 10 AND dayofmonth(d) <= 5)) AS is_trading_day
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+)
+SELECT calendar_date, is_trading_day,
+       CASE WHEN is_trading_day THEN
+         row_number() OVER (PARTITION BY date_trunc('month', calendar_date),
+                                         is_trading_day
+                            ORDER BY calendar_date) END AS month_trading_idx
+FROM cal
+"""
+
+
 def q_fundamentals_asof(spark, sf_dir):
     """J5 point-in-time fundamentals (SURVEY 'what's hard' #1): for every
     21st trading day × symbol, the report visible AT that date — max
@@ -3272,6 +3365,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weekly_bars": (q_weekly_bars, SQL_WEEKLY_BARS),
     "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
+    "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
+    "trade_calendar_idx": (q_trade_calendar, SQL_TRADE_CALENDAR),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
     "factor_ic": (q_factor_ic, SQL_FACTOR_IC),
     "synthetic_bars": (q_synthetic_bars, SQL_SYNTHETIC_BARS),
