@@ -1953,6 +1953,81 @@ FROM cal
 """
 
 
+def q_index_membership(spark, sf_dir):
+    """S7/get_index_stocks point-in-time: constituents at the latest sample
+    date ≤ each probe date (as-of on the quarterly snapshots), plus a
+    per-index membership count — the universe-selection building block."""
+    m = _small_market(spark)
+    cons = m.index_constituents()
+    probes = (
+        m.trading_days()
+        .filter(F.col("day_idx") % 60 == 0)
+        .select(F.col("trade_date").alias("probe_date"))
+    )
+    samples = cons.select("sample_date").distinct()
+    # latest sample <= probe (tiny × tiny: broadcast join + max)
+    pick = (
+        probes.join(
+            F.broadcast(samples),
+            F.col("sample_date") <= F.col("probe_date"),
+        )
+        .groupBy("probe_date")
+        .agg(F.max("sample_date").alias("sample_date"))
+    )
+    return (
+        pick.join(F.broadcast(cons), "sample_date")
+        .groupBy("probe_date", "index_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("symbol").alias("first_member"),
+            F.max("symbol").alias("last_member"),
+        )
+    )
+
+
+SQL_INDEX_MEMBERSHIP = f"""
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), samples AS (
+  SELECT unnest([DATE '2022-01-04', DATE '2022-04-01', DATE '2022-07-01',
+                 DATE '2022-10-10', DATE '2023-01-04', DATE '2023-04-03',
+                 DATE '2023-07-03', DATE '2023-10-09']) AS sample_date
+), idx AS (
+  SELECT unnest(['000016.SS', '000300.SS', '000905.SS']) AS index_code
+), cons AS (
+  SELECT i.index_code, s.sample_date, y.symbol
+  FROM idx i CROSS JOIN samples s CROSS JOIN syms y
+  WHERE {_duck_u01('member', 'index_code', 'sample_date', 'sym_idx')} < 0.5
+), probes AS (
+  SELECT trade_date AS probe_date FROM days WHERE day_idx % 60 = 0
+), pick AS (
+  SELECT p.probe_date, max(s.sample_date) AS sample_date
+  FROM probes p JOIN samples s ON s.sample_date <= p.probe_date
+  GROUP BY p.probe_date
+)
+SELECT k.probe_date, c.index_code,
+       count(*) AS n_members,
+       min(c.symbol) AS first_member,
+       max(c.symbol) AS last_member
+FROM pick k JOIN cons c USING (sample_date)
+GROUP BY k.probe_date, c.index_code
+"""
+
+
 def q_fundamentals_asof(spark, sf_dir):
     """J5 point-in-time fundamentals (SURVEY 'what's hard' #1): for every
     21st trading day × symbol, the report visible AT that date — max
@@ -3365,6 +3440,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weekly_bars": (q_weekly_bars, SQL_WEEKLY_BARS),
     "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
+    "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
     "trade_calendar_idx": (q_trade_calendar, SQL_TRADE_CALENDAR),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
