@@ -1953,6 +1953,64 @@ FROM cal
 """
 
 
+def q_ma_crossover_signals(spark, sf_dir):
+    """The §3.3 consumer loop, vectorized: dual moving-average crossover
+    (golden/death cross) for every symbol-day in ONE window pass — the
+    batch form the day-by-day get_history backtest loop provably equals
+    (tests/test_backtest_loop.py). Signals only on full 20-day windows."""
+    bars = _small_market(spark).bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    ma = lambda n: F.round(
+        F.avg("close").over(w.rowsBetween(-(n - 1), 0)), 6
+    )
+    marked = (
+        bars.select("symbol", "trade_date", "day_idx", "close")
+        .withColumn("ma5", ma(5))
+        .withColumn("ma20", ma(20))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    sig = (
+        F.when(
+            (F.col("ma5") > F.col("ma20"))
+            & (F.lag("ma5").over(w) <= F.lag("ma20").over(w)),
+            F.lit("golden"),
+        )
+        .when(
+            (F.col("ma5") < F.col("ma20"))
+            & (F.lag("ma5").over(w) >= F.lag("ma20").over(w)),
+            F.lit("death"),
+        )
+    )
+    return (
+        marked.withColumn("signal", sig)
+        .filter((F.col("rn") > 20) & F.col("signal").isNotNull())
+        .select("symbol", "trade_date", "close", "ma5", "ma20", "signal")
+    )
+
+
+SQL_MA_CROSSOVER_SIGNALS = _SQL_MARKET_CTES + """
+, ma AS (
+  SELECT symbol, trade_date, day_idx, close,
+         round(avg(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+         round(avg(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS ma20,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_idx) AS rn
+  FROM bars_out
+), sig AS (
+  SELECT symbol, trade_date, close, ma5, ma20, rn,
+         CASE WHEN ma5 > ma20 AND lag(ma5) OVER w <= lag(ma20) OVER w
+              THEN 'golden'
+              WHEN ma5 < ma20 AND lag(ma5) OVER w >= lag(ma20) OVER w
+              THEN 'death' END AS signal
+  FROM ma
+  WINDOW w AS (PARTITION BY symbol ORDER BY day_idx)
+)
+SELECT symbol, trade_date, close, ma5, ma20, signal
+FROM sig WHERE rn > 20 AND signal IS NOT NULL
+"""
+
+
 def q_index_membership(spark, sf_dir):
     """S7/get_index_stocks point-in-time: constituents at the latest sample
     date ≤ each probe date (as-of on the quarterly snapshots), plus a
@@ -3441,6 +3499,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
+    "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
     "trade_calendar_idx": (q_trade_calendar, SQL_TRADE_CALENDAR),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
