@@ -2520,6 +2520,49 @@ FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
 """
 
 
+def q_quality_scores(spark, sf_dir):
+    """Composite quality score per document (textstats::quality_score —
+    length sweet-spot × punctuation × digit penalties) with the per-source
+    decile summary a mix-builder thresholds on."""
+    from simtradedata_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_score"),
+        F.round(F.min("quality_score"), 6).alias("min_score"),
+        F.sum((F.col("quality_score") >= 0.5).cast("long")).alias("n_above_half"),
+    )
+
+
+SQL_QUALITY_SCORES = f"""
+WITH feat AS (
+  SELECT source,
+         len({_DUCK_TOKENS}) AS n_tokens,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN length(text) > 0 THEN
+           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio
+  FROM documents
+), scored AS (
+  SELECT source,
+         round(least(n_tokens / 20.0, 1.0)
+               * least(2000.0 / greatest(n_tokens, 1), 1.0)
+               * greatest(0.0, 1.0 - punct_ratio * 5)
+               * greatest(0.0, 1.0 - digit_ratio * 3), 6) AS quality_score
+  FROM feat
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(quality_score), 6) AS avg_score,
+       round(min(quality_score), 6) AS min_score,
+       CAST(sum(CAST(quality_score >= 0.5 AS INT)) AS BIGINT) AS n_above_half
+FROM scored GROUP BY source
+"""
+
+
 def q_pipeline_funnel(spark, sf_dir):
     """Composed curation pipeline (operators/pipeline.py): quality filter →
     exact dedup → benchmark decontamination → deterministic 50% sample,
@@ -3489,6 +3532,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ivf_ann_top5": (q_ivf_ann_top5, SQL_COSINE_TOP5),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "pipeline_funnel": (q_pipeline_funnel, SQL_PIPELINE_FUNNEL),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     "doc_chunks": (q_doc_chunks, SQL_DOC_CHUNKS),
     "dup_chunks": (q_dup_chunks, SQL_DUP_CHUNKS),
     "mixture_epochs": (q_mixture_epochs, SQL_MIXTURE_EPOCHS),
