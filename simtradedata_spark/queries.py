@@ -1953,6 +1953,95 @@ FROM cal
 """
 
 
+def q_status_transitions(spark, sf_dir):
+    """F5/F6 as event detection: days where a symbol's ST flag or trade
+    status CHANGES (suspension starts/ends, ST flips) — the transitions the
+    reference's status_cache only answered pointwise. One per-symbol window."""
+    bars = _small_market(spark).bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    marked = bars.select(
+        "symbol",
+        "trade_date",
+        "day_idx",
+        "is_st",
+        "trade_status",
+        F.lag("is_st").over(w).alias("prev_st"),
+        F.lag("trade_status").over(w).alias("prev_ts"),
+    )
+    return (
+        marked.filter(
+            (F.col("prev_st").isNotNull())
+            & (
+                (F.col("is_st") != F.col("prev_st"))
+                | (F.col("trade_status") != F.col("prev_ts"))
+            )
+        )
+        .select(
+            "symbol",
+            "trade_date",
+            "is_st",
+            "prev_st",
+            "trade_status",
+            "prev_ts",
+        )
+    )
+
+
+SQL_STATUS_TRANSITIONS = _SQL_MARKET_CTES + """
+, marked AS (
+  SELECT symbol, trade_date, is_st, trade_status,
+         lag(is_st) OVER w AS prev_st,
+         lag(trade_status) OVER w AS prev_ts
+  FROM bars_out
+  WINDOW w AS (PARTITION BY symbol ORDER BY day_idx)
+)
+SELECT symbol, trade_date, is_st, prev_st, trade_status, prev_ts
+FROM marked
+WHERE prev_st IS NOT NULL
+  AND (is_st <> prev_st OR trade_status <> prev_ts)
+"""
+
+
+def q_overnight_gaps(spark, sf_dir):
+    """Overnight gap analysis: open vs prior close per symbol-day, with the
+    per-symbol summary (max gap up/down, big-gap count) a risk screen uses.
+    Gap is an exact 8-decimal ratio of 4dp prices — cross-engine stable."""
+    bars = _small_market(spark).bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    g = bars.select(
+        "symbol",
+        "day_idx",
+        F.col("open"),
+        F.lag("close").over(w).alias("prev_close"),
+    ).filter(F.col("prev_close").isNotNull())
+    gap = F.round(F.col("open") / F.col("prev_close") - 1, 6)
+    return (
+        g.withColumn("gap", gap)
+        .groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("gap").alias("max_gap_up"),
+            F.min("gap").alias("max_gap_down"),
+            F.sum((F.abs(F.col("gap")) > 0.008).cast("long")).alias("n_big_gaps"),
+        )
+    )
+
+
+SQL_OVERNIGHT_GAPS = _SQL_MARKET_CTES + """
+, g AS (
+  SELECT symbol,
+         round(open / lag(close) OVER (PARTITION BY symbol ORDER BY day_idx) - 1,
+               6) AS gap
+  FROM bars_out
+)
+SELECT symbol, count(*) AS n_days,
+       max(gap) AS max_gap_up, min(gap) AS max_gap_down,
+       CAST(sum(CAST(abs(gap) > 0.008 AS INT)) AS BIGINT) AS n_big_gaps
+FROM g WHERE gap IS NOT NULL
+GROUP BY symbol
+"""
+
+
 def q_ma_crossover_signals(spark, sf_dir):
     """The §3.3 consumer loop, vectorized: dual moving-average crossover
     (golden/death cross) for every symbol-day in ONE window pass — the
@@ -3544,6 +3633,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
+    "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
+    "overnight_gaps": (q_overnight_gaps, SQL_OVERNIGHT_GAPS),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
     "trade_calendar_idx": (q_trade_calendar, SQL_TRADE_CALENDAR),
     "rolling_beta": (q_rolling_beta, SQL_ROLLING_BETA),
