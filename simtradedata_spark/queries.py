@@ -1953,6 +1953,51 @@ FROM cal
 """
 
 
+def q_tick_vwap(spark, sf_dir):
+    """Daily VWAP from the L2 tick surface (the spec's tick mode the
+    reference never implements): per (symbol, day) volume-weighted price
+    over the deterministic intraday stream, plus the last-tick==close
+    invariant surfaced as a column. One shuffle on (symbol, day)."""
+    m = _small_market(spark)
+    t = m.ticks(n_per_day=40)
+    return (
+        t.groupBy("symbol", "trade_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_ticks"),
+            F.round(
+                F.sum(F.col("price") * F.col("qty")) / F.sum("qty"), 6
+            ).alias("vwap"),
+            F.sum("qty").alias("total_qty"),
+            F.max_by("price", "seq").alias("last_price"),
+        )
+    )
+
+
+SQL_TICK_VWAP = _SQL_MARKET_CTES + f"""
+, t AS (
+  SELECT b.symbol, b.trade_date, b.open, b.high, b.low, b.close,
+         b.sym_idx, b.day_idx, s.seq
+  FROM bars_out b CROSS JOIN (SELECT unnest(range(1, 41)) AS seq) s
+  WHERE b.volume > 0
+), tick_priced AS (
+  SELECT symbol, trade_date, seq,
+         CASE WHEN seq = 40 THEN close
+              ELSE least(greatest(
+                round(open + (close - open) * (seq / 40.0)
+                      + ({_duck_u01('tickpx', 'sym_idx', 'day_idx', 'seq')} - 0.5)
+                        * (high - low) * 0.5, 2), low), high) END AS price,
+         CAST(100 * (1 + floor(50 * {_duck_u01('tickq', 'sym_idx', 'day_idx', 'seq')}))
+              AS BIGINT) AS qty
+  FROM t
+)
+SELECT symbol, trade_date, count(*) AS n_ticks,
+       round(sum(price * qty) / sum(qty), 6) AS vwap,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       arg_max(price, seq) AS last_price
+FROM tick_priced GROUP BY symbol, trade_date
+"""
+
+
 def q_status_transitions(spark, sf_dir):
     """F5/F6 as event detection: days where a symbol's ST flag or trade
     status CHANGES (suspension starts/ends, ST flips) — the transitions the
@@ -3633,6 +3678,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
+    "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
     "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
     "overnight_gaps": (q_overnight_gaps, SQL_OVERNIGHT_GAPS),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
