@@ -1953,6 +1953,45 @@ FROM cal
 """
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Per-symbol maximum drawdown: running peak (unbounded-preceding max)
+    → drawdown ratio per day → min + its trough date. The running-extreme
+    window family the risk layer needs; one exchange per symbol sort."""
+    bars = _small_market(spark).bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    peak = F.max("close").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    dd = bars.select(
+        "symbol",
+        "trade_date",
+        "day_idx",
+        F.round(F.col("close") / peak - 1, 6).alias("drawdown"),
+    )
+    return dd.groupBy("symbol").agg(
+        F.min("drawdown").alias("max_drawdown"),
+        F.min_by("trade_date", F.struct("drawdown", "day_idx")).alias(
+            "trough_date"
+        ),
+    )
+
+
+SQL_MAX_DRAWDOWN = _SQL_MARKET_CTES + """
+, dd AS (
+  SELECT symbol, trade_date, day_idx,
+         round(close / max(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                        ROWS UNBOUNDED PRECEDING) - 1, 6)
+           AS drawdown
+  FROM bars_out
+)
+SELECT symbol, max_drawdown, trough_date FROM (
+  SELECT symbol, trade_date AS trough_date,
+         min(drawdown) OVER (PARTITION BY symbol) AS max_drawdown,
+         row_number() OVER (PARTITION BY symbol
+                            ORDER BY drawdown, day_idx) AS rn
+  FROM dd
+) WHERE rn = 1
+"""
+
+
 def q_tick_vwap(spark, sf_dir):
     """Daily VWAP from the L2 tick surface (the spec's tick mode the
     reference never implements): per (symbol, day) volume-weighted price
@@ -3679,6 +3718,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
+    "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
     "overnight_gaps": (q_overnight_gaps, SQL_OVERNIGHT_GAPS),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
