@@ -1953,6 +1953,50 @@ FROM cal
 """
 
 
+def q_realized_vol(spark, sf_dir):
+    """Annualized 20-day realized volatility per symbol-day (stddev of log
+    returns × √252) — the rolling second-moment window family; full windows
+    only, shares the per-symbol sort with every other rolling metric."""
+    bars = _small_market(spark).bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    r = bars.select(
+        "symbol",
+        "trade_date",
+        "day_idx",
+        F.log(F.col("close") / F.col("preclose")).alias("ret"),
+    )
+    out = (
+        r.withColumn(
+            "vol20",
+            F.stddev_samp("ret").over(w.rowsBetween(-19, 0))
+            * F.lit(252.0) ** F.lit(0.5),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 20)
+    )
+    return out.select(
+        "symbol", "trade_date", F.round("vol20", 6).alias("vol20")
+    )
+
+
+SQL_REALIZED_VOL = _SQL_MARKET_CTES + """
+, r AS (
+  SELECT symbol, trade_date, day_idx,
+         ln(close / preclose) AS ret
+  FROM bars_out
+), v AS (
+  SELECT symbol, trade_date,
+         stddev_samp(ret) OVER (PARTITION BY symbol ORDER BY day_idx
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+           * sqrt(252.0) AS vol20,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_idx) AS rn
+  FROM r
+)
+SELECT symbol, trade_date, round(vol20, 6) AS vol20
+FROM v WHERE rn >= 20
+"""
+
+
 def q_max_drawdown(spark, sf_dir):
     """Per-symbol maximum drawdown: running peak (unbounded-preceding max)
     → drawdown ratio per day → min + its trough date. The running-extreme
@@ -3719,6 +3763,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
+    "realized_vol": (q_realized_vol, SQL_REALIZED_VOL),
     "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
     "overnight_gaps": (q_overnight_gaps, SQL_OVERNIGHT_GAPS),
     "exrights_events": (q_exrights_events, SQL_EXRIGHTS_EVENTS),
