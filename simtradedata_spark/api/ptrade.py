@@ -71,6 +71,29 @@ FUNDAMENTAL_TABLES = {
     "debt_paying_ability": [
         "current_ratio", "quick_ratio", "debt_equity_ratio", "interest_cover",
     ],
+    # The three statements + per-share table the spec declares
+    # (:3274-3412) but the reference's impl never covered
+    # (ptrade_data_api.py:425-598) — field specs in
+    # sources/synthetic.py::STATEMENT_FIELDS. basic_eps appears in both
+    # income_statement and eps, as in the upstream data model.
+    "balance_statement": [
+        "total_assets", "total_liability", "total_shareholder_equity",
+        "fixed_assets", "cash_equivalents", "sold_buyback_secu_proceeds",
+        "specific_account_payable",
+    ],
+    "income_statement": [
+        "operating_revenue", "operating_cost", "operating_profit",
+        "total_profit", "net_profit", "income_tax", "basic_eps",
+    ],
+    "cashflow_statement": [
+        "net_operate_cash_flow", "net_invest_cash_flow",
+        "net_finance_cash_flow", "cash_equivalent_increase",
+        "end_period_cash_equivalent",
+    ],
+    "eps": [
+        "basic_eps", "diluted_eps", "naps", "operating_revenue_per_share",
+        "capital_reserve_per_share", "retained_earnings_per_share",
+    ],
 }
 
 

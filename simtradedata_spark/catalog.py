@@ -31,11 +31,21 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# (session id, sf_dir, name) → analyzed DataFrame. A DataFrame is an
+# (application id, sf_dir, name) → analyzed DataFrame. A DataFrame is an
 # immutable logical plan, so reuse is safe; what the memo saves is the
 # per-query re-listing + footer read + re-analysis of the same path — the
-# catalog-cache role a metastore plays on a real cluster.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+# catalog-cache role a metastore plays on a real cluster. Keyed by
+# applicationId (unique per SparkContext), not id(spark): CPython reuses
+# freed object ids, so a stopped-then-recreated session could otherwise be
+# served plans bound to the dead context.
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # Connect sessions have no sparkContext
+        return f"py-id-{id(spark)}"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,7 +56,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as a long which we
     convert to a micros timestamp (identical truncation to DuckDB's
     micros-precision read of the same file)."""
-    memo_key = (id(spark), sf_dir, name)
+    memo_key = (_session_key(spark), sf_dir, name)
     cached = _TABLE_MEMO.get(memo_key)
     if cached is not None:
         return cached

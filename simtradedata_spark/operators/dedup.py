@@ -264,10 +264,16 @@ def simhash(
     Plan shape mirrors minhash_signatures: explode tokens → hash once →
     ONE groupBy(id), with the per-bit counts PACKED three to a long in
     21-bit slots (plus a row count): a ±1 sum per bit needs 60-64 sum(case)
-    aggregates, the packed form needs ~22 shift-add sums — measured 3x at
-    sf0.1 — and "±1 sum > 0" is equivalently "2·ones > n". The 21-bit slot
-    caps documents at 2^21 tokens (a 2M-token doc is a pathology to split
-    upstream, not a real chunk). Documents with no tokens get signature 0."""
+    aggregates, the packed form needs ~22 shift-add sums, and "±1 sum > 0"
+    is equivalently "2·ones > n". Measured at sf0.1 (solo, steady-state,
+    3 reps, r3): packed-md5 1.79-2.11 s vs unpacked-md5 1.80-1.83 s — a tie
+    when md5 hashing dominates; packed is kept because it never loses and
+    the aggregate-count reduction is what matters once the hash is the
+    cheap JVM xxhash64 (1.95-2.01 s). The r2 driver-bench 4.10 s was a
+    cold-first-run artifact (rep0 4.26 s vs 1.79 s steady in the same
+    session), not a regression. The 21-bit slot caps documents at 2^21
+    tokens (a 2M-token doc is a pathology to split upstream, not a real
+    chunk). Documents with no tokens get signature 0."""
     nbits = 64 if hash_fn == "xxhash64" else 60
     groups = (nbits + 2) // 3
     # Hash INSIDE the generator: explode's output is a materialized

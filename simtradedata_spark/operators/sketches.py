@@ -69,6 +69,10 @@ def exact_quantiles_sorted(
     wall = Window.partitionBy(*keys).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    # percentile()/percentile_cont exclude NULLs; row_number would order
+    # them first and count() would include them, silently shifting every
+    # interpolation rank — filter up front so the semantics match.
+    df = df.filter(F.col(col).isNotNull())
     ranked = df.select(
         *keys,
         F.col(col).cast("double").alias("__v"),

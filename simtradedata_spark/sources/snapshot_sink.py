@@ -57,6 +57,8 @@ class SnapshotWriter(DataSourceWriter):
 
     # -- executor side -----------------------------------------------------
     def write(self, iterator: Iterator) -> _PartFile:
+        import itertools
+
         import pandas as pd
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -64,12 +66,35 @@ class SnapshotWriter(DataSourceWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
+        cols = [f.name for f in self.schema.fields]
         name = f"part-{uuid.uuid4().hex}.parquet"
-        rows = [r.asDict() for r in iterator]
-        pdf = pd.DataFrame(rows, columns=[f.name for f in self.schema.fields])
-        table = pa.Table.from_pandas(pdf, schema=arrow_schema, preserve_index=False)
-        pq.write_table(table, os.path.join(self.staging, name))
-        return _PartFile(filename=name, rows=len(rows))
+        # Stream bounded Arrow batches through a ParquetWriter instead of
+        # buffering the whole task partition as Python dicts — peak memory
+        # is one batch, not one partition (the property the exactly-once
+        # framing promises at scale).
+        rows_written = 0
+        writer = None
+        try:
+            while True:
+                chunk = list(itertools.islice(iterator, 65536))
+                if not chunk and writer is not None:
+                    break
+                pdf = pd.DataFrame([r.asDict() for r in chunk], columns=cols)
+                batch = pa.RecordBatch.from_pandas(
+                    pdf, schema=arrow_schema, preserve_index=False
+                )
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(self.staging, name), arrow_schema
+                    )
+                writer.write_batch(batch)
+                rows_written += len(chunk)
+                if len(chunk) < 65536:
+                    break
+        finally:
+            if writer is not None:
+                writer.close()
+        return _PartFile(filename=name, rows=rows_written)
 
     # -- driver side -------------------------------------------------------
     def _current_version(self) -> str | None:

@@ -32,6 +32,66 @@ from pyspark.sql.window import Window
 BENCHMARK = "000300.SS"
 
 
+# Financial-statement fields (spec PTrade_API_mini_Reference.md:3274-3412:
+# balance_statement / income_statement / cashflow_statement / eps — the
+# reference's own impl lacks these tables, ptrade_data_api.py:425-598; field
+# names follow the spec's examples plus canonical statement lines). Values
+# are uniform in (lo, hi), 亿-yuan units for the big-ticket lines — modest
+# magnitudes keep round(x, 4) far from float-representability ties
+# cross-engine. Single source of truth: the generator AND the DuckDB oracle
+# (queries.py::_sql_statement_fields) both derive from this dict.
+STATEMENT_FIELDS: dict[str, tuple[float, float]] = {
+    # balance_statement
+    "total_assets": (10.0, 5000.0),
+    "total_liability": (5.0, 3000.0),
+    "total_shareholder_equity": (5.0, 2000.0),
+    "fixed_assets": (1.0, 800.0),
+    "cash_equivalents": (1.0, 500.0),
+    "sold_buyback_secu_proceeds": (0.0, 50.0),
+    "specific_account_payable": (0.0, 20.0),
+    # income_statement
+    "operating_revenue": (5.0, 3000.0),
+    "operating_cost": (3.0, 2500.0),
+    "operating_profit": (-50.0, 500.0),
+    "total_profit": (-50.0, 550.0),
+    "net_profit": (-50.0, 450.0),
+    "income_tax": (0.0, 100.0),
+    # eps (元 per share; basic_eps shared with income_statement)
+    "basic_eps": (-1.0, 3.0),
+    "diluted_eps": (-1.0, 3.0),
+    "naps": (1.0, 20.0),
+    "operating_revenue_per_share": (0.5, 30.0),
+    "capital_reserve_per_share": (0.1, 8.0),
+    "retained_earnings_per_share": (-1.0, 10.0),
+    # cashflow_statement
+    "net_operate_cash_flow": (-100.0, 600.0),
+    "net_invest_cash_flow": (-300.0, 100.0),
+    "net_finance_cash_flow": (-200.0, 300.0),
+    "cash_equivalent_increase": (-150.0, 250.0),
+    "end_period_cash_equivalent": (0.0, 500.0),
+}
+
+
+def _bounded_seq_window(*order_cols) -> Window:
+    """One ordered partition over a BOUNDED-by-construction series.
+
+    The calendar index and the single benchmark walk are inherently
+    sequential (global row_number / running float sum whose addition order
+    must match the DuckDB oracle exactly), and by design they are
+    calendar-sized — the per-symbol fact tables never pass through them.
+    Partitioning by a constant bucket executes identically to an
+    unpartitioned window (one exchange to one partition) but declares the
+    intent, so WindowExec's no-partition warning stays a meaningful signal
+    for REAL single-partition regressions elsewhere. The bucket key is
+    ``pmod(xxhash64(first_order_col), 1)`` — identically zero, but opaque to
+    Catalyst (a literal key is constant-folded and the partition spec pruned;
+    ``col IS NULL`` is null-propagated to false on non-nullable series —
+    both reintroduce the warning)."""
+    first = order_cols[0]
+    key = F.pmod(F.xxhash64(F.col(first) if isinstance(first, str) else first), F.lit(1))
+    return Window.partitionBy(key).orderBy(*order_cols)
+
+
 def _u01(*cols, salt: str, rng: str = "xxhash64") -> F.Column:
     """Deterministic uniform [0,1) from key columns — the generator's RNG.
 
@@ -108,7 +168,7 @@ class SyntheticMarket:
         )
 
     def trading_days(self) -> DataFrame:
-        w = Window.orderBy("calendar_date")
+        w = _bounded_seq_window("calendar_date")
         return (
             self.trade_calendar()
             .filter("is_trading_day")
@@ -204,14 +264,11 @@ class SyntheticMarket:
     def benchmark(self) -> DataFrame:
         """Benchmark index bars under 000300.SS — same walk, no exrights."""
         days = self.trading_days()
-        w = (
-            Window.orderBy("day_idx")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
+        w = _bounded_seq_window("day_idx").rowsBetween(Window.unboundedPreceding, 0)
         ret = (0.5 - self._rng01(F.col("day_idx"), salt=f"idx{self.seed}")) * 0.02
         close = F.round(3000.0 * F.exp(F.sum(ret).over(w)), 4)
         df = days.withColumn("close", close)
-        wl = Window.orderBy("day_idx")
+        wl = _bounded_seq_window("day_idx")
         preclose = F.coalesce(F.lag("close").over(wl), F.col("close"))
         return df.select(
             F.lit(BENCHMARK).alias("symbol"),
@@ -310,9 +367,15 @@ class SyntheticMarket:
         # is an EXACT 4-decimal value, so float round(x, 2) lands on exact
         # .5 ties ~1/100 rows where engines disagree within an ulp — do the
         # half-up in int64 instead (product ≈ 1e14 ≪ 2^63; cf. adjust.py).
-        v = F.round(F.col("close") * 1e4).cast("long") * shares.cast("long")
-        total_value = ((v + 50) / 100).cast("long") / 100.0
-        float_value = ((v * 7 + 500) / 1000).cast("long") / 100.0
+        # The division must ALSO stay integral: v*7+500 can reach ~1.75e16
+        # > 2^53, so `(x / 1000).cast("long")` would round the double
+        # numerator ±1 before truncating and disagree with the oracle's
+        # BIGINT `//` on ≡999 (mod 1000) ties. SQL `div` is exact int64.
+        bars = bars.withColumn(
+            "__v", F.round(F.col("close") * 1e4).cast("long") * shares.cast("long")
+        )
+        total_value = F.expr("(__v + 50) div 100") / 100.0
+        float_value = F.expr("(__v * 7 + 500) div 1000") / 100.0
         return bars.select(
             "symbol",
             "trade_date",
@@ -376,6 +439,9 @@ class SyntheticMarket:
             ind("total_asset_grow_rate", -10, 50),
             ind("basic_eps_yoy", -40, 90), ind("np_parent_company_yoy", -40, 90),
             ind("interest_cover", 0.5, 30), ind("roic", -5, 20),
+            # three statements + per-share table (same tall frame — each
+            # PTrade table name is a projection, api/ptrade.py)
+            *[ind(n, lo, hi) for n, (lo, hi) in STATEMENT_FIELDS.items()],
         ]
         out = allrows.select("symbol", "end_date", "publ_date", "report_type", "merge_seq", "sym_idx", *indicators)
         # TTM columns: rolling 4-quarter mean of the quarterly value

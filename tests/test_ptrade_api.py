@@ -1,5 +1,7 @@
 """PTrade query API surface (SURVEY §2.12) against the synthetic warehouse."""
 
+import datetime as _dt
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -134,7 +136,25 @@ def test_fundamentals_table_dispatch(api):
         } - set(cols)
         assert not other & set(got.columns), table
     with pytest.raises(ValueError, match="not supported"):
-        api.get_fundamentals(sym, table="income_statement")
+        api.get_fundamentals(sym, table="no_such_table")
+
+
+def test_fundamentals_statement_tables(api):
+    """Spec :3274-3412 statement tables (beyond the reference's own impl):
+    date-mode as-of returns the statement visible at the query date, and the
+    eps/income tables share basic_eps."""
+    sym = "600000.SS"
+    inc = api.get_fundamentals(sym, table="income_statement", date="2023-01-05")
+    assert len(inc) == 1
+    row = inc.iloc[0]
+    assert row["publ_date"] <= _dt.date(2023, 1, 5)
+    assert row["operating_revenue"] >= 5.0
+    eps = api.get_fundamentals(sym, table="eps", date="2023-01-05")
+    assert float(eps.iloc[0]["basic_eps"]) == float(row["basic_eps"])
+    bal = api.get_fundamentals(
+        sym, table="balance_statement", fields=["total_assets"], date="2023-01-05"
+    )
+    assert "total_assets" in bal.columns and "fixed_assets" not in bal.columns
 
 
 def test_index_stocks_point_in_time(api, warehouse):

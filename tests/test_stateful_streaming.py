@@ -190,3 +190,26 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     assert (got["n_events"] == want["n_events"]).all()
     assert (abs(got["total_value"] - want["total_value"]) < 1e-6).all()
     assert (abs(got["max_value"] - want["max_value"]) < 1e-12).all()
+
+
+def test_session_exact_gap_merges(spark):
+    """Pins the boundary convention SQL_SESSION_WINDOWS relies on: an event
+    arriving EXACTLY gap after the previous one joins the same session
+    (Spark merges touching windows), so the oracle's strictly-`>` new-session
+    test matches. If a Spark upgrade flips this, this test fails before the
+    oracle silently diverges."""
+    from simtradedata_spark.streaming.incremental import session_agg
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:30:00", 2.0),  # exactly gap later -> merges
+            (1, "2024-01-01 01:30:00", 4.0),  # 60 min later -> new session
+        ],
+        "user_id int, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = {r["session_start"].isoformat(): r for r in session_agg(df).collect()}
+    assert len(rows) == 2
+    assert rows["2024-01-01T00:00:00"]["n_events"] == 2
+    assert rows["2024-01-01T00:00:00"]["session_end"].isoformat() == "2024-01-01T01:00:00"
+    assert rows["2024-01-01T01:30:00"]["n_events"] == 1
