@@ -1,0 +1,94 @@
+"""Operational CLI — the engine-side counterpart of the reference's
+``scripts/download_efficient.py`` driver + ``__main__.py`` (which SURVEY
+§0.1 notes is broken in the reference: it imports a module that does not
+exist). Subcommands:
+
+  python -m simtradedata_spark build --root PATH [--symbols N] [--start D]
+      [--end D] [--bucketed]      # generate + persist the full warehouse
+  python -m simtradedata_spark bench [--sf-dir DIR]
+      # run every registered query, print the one-line bench JSON
+  python -m simtradedata_spark check [--sf-dir DIR] [QUERY ...]
+      # Spark-vs-DuckDB oracle gate for the named (or all) queries
+
+``bench`` and ``check`` shell out to the repo-root harnesses so the CLI and
+the driver measure the exact same code path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cmd_build(args: argparse.Namespace) -> int:
+    from simtradedata_spark.session import get_spark
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+    from simtradedata_spark.sources.tables import (
+        BucketedWarehouse,
+        Warehouse,
+        build_warehouse,
+    )
+
+    spark = get_spark("build_warehouse")
+    market = SyntheticMarket(
+        spark, n_symbols=args.symbols, start=args.start, end=args.end
+    )
+    wh = (
+        BucketedWarehouse(spark, args.root)
+        if args.bucketed
+        else Warehouse(spark, args.root)
+    )
+    build_warehouse(spark, args.root, market=market, warehouse=wh)
+    rows = wh.read("bars").count()
+    print(f"warehouse built at {args.root}: tables={wh.tables()} bars_rows={rows}")
+    return 0
+
+
+def _cmd_bench(args: argparse.Namespace) -> int:
+    env = dict(os.environ)
+    if args.sf_dir:
+        env["SPARK_GRAFT_SF_DIR"] = args.sf_dir
+    return subprocess.call(
+        [sys.executable, os.path.join(_REPO, "bench.py")], env=env
+    )
+
+
+def _cmd_check(args: argparse.Namespace) -> int:
+    cmd = [sys.executable, os.path.join(_REPO, "tools", "check_correctness.py")]
+    if args.sf_dir:
+        cmd.append(args.sf_dir)
+    cmd.extend(args.queries)
+    return subprocess.call(cmd)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="simtradedata_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="generate + persist the synthetic warehouse")
+    b.add_argument("--root", required=True)
+    b.add_argument("--symbols", type=int, default=20)
+    b.add_argument("--start", default="2022-01-03")
+    b.add_argument("--end", default="2023-12-29")
+    b.add_argument("--bucketed", action="store_true")
+    b.set_defaults(fn=_cmd_build)
+
+    be = sub.add_parser("bench", help="run the registered-query benchmark")
+    be.add_argument("--sf-dir", default=None)
+    be.set_defaults(fn=_cmd_bench)
+
+    c = sub.add_parser("check", help="Spark-vs-DuckDB oracle correctness gate")
+    c.add_argument("--sf-dir", default=None)
+    c.add_argument("queries", nargs="*")
+    c.set_defaults(fn=_cmd_check)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,109 @@
+"""Provider adapters: native provider row shapes → the unified 14-field row.
+
+The reference's ``unified_fetcher.py:20-34`` defines the field contract every
+provider must emit; its BaoStock fetcher (``baostock_fetcher.py:69-266``)
+renames/coerces BaoStock's all-string k-data rows into it. This module is
+that edge for THIS engine: pure-pandas, picklable functions usable both as a
+``fetch_unified`` provider (mapInPandas fan-out) and as the ``provider``
+option of the ``simtrade_provider`` Python DataSource.
+
+No network client ships here (sandbox): a real BaoStock integration wraps
+``bs.query_history_k_data_plus`` and hands its result_frame to
+``baostock_to_unified`` unchanged — the adapter is the seam, the transport is
+the user's. ``make_baostock_csv_provider`` binds the same adapter to a
+recorded CSV fixture, which is how the integration test proves a
+non-synthetic provider slots into every downstream stage.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import pandas as pd
+
+# BaoStock query_history_k_data_plus (d-frequency) native columns → unified
+# names — the same map the reference applies (baostock_fetcher.py:137-170 /
+# data_splitter.py:17-42: amount→money, turn→turnover_rate, peTTM→pe_ttm,
+# pbMRQ→pb, psTTM→ps_ttm, pcfNcfTTM→pcf, isST→is_st, tradestatus→trade_status).
+BAOSTOCK_RENAMES = {
+    "date": "trade_date",
+    "code": "symbol",
+    "open": "open",
+    "high": "high",
+    "low": "low",
+    "close": "close",
+    "volume": "volume",
+    "amount": "money",
+    "turn": "turnover_rate",
+    "peTTM": "pe_ttm",
+    "pbMRQ": "pb",
+    "psTTM": "ps_ttm",
+    "pcfNcfTTM": "pcf",
+    "isST": "is_st",
+    "tradestatus": "trade_status",
+}
+
+UNIFIED_COLUMNS = [
+    "symbol", "trade_date", "open", "high", "low", "close", "volume",
+    "money", "pe_ttm", "pb", "ps_ttm", "pcf", "turnover_rate", "is_st",
+    "trade_status",
+]
+
+_NUMERIC = [
+    "open", "high", "low", "close", "volume", "money", "pe_ttm", "pb",
+    "ps_ttm", "pcf", "turnover_rate",
+]
+
+
+def baostock_code_to_ptrade(code: str) -> str:
+    """``sh.600000`` → ``600000.SS``; ``sz.000001`` → ``000001.SZ``
+    (code_utils.py's market-prefix convention, pandas-side)."""
+    market, _, num = code.partition(".")
+    return f"{num}.{'SS' if market.lower() == 'sh' else 'SZ'}"
+
+
+def ptrade_code_to_baostock(code: str) -> str:
+    num, _, suffix = code.partition(".")
+    return f"{'sh' if suffix == 'SS' else 'sz'}.{num}"
+
+
+def baostock_to_unified(pdf: pd.DataFrame) -> pd.DataFrame:
+    """BaoStock result_frame (ALL columns are strings, '' = missing) →
+    unified wide frame: rename (P1), string→numeric coercion (P3), date
+    normalize (P4), code conversion (C1), canonical order + typed null
+    fill (P2). Extra provider columns (preclose, pctChg, adjustflag) drop;
+    absent ones materialize as nulls."""
+    present = {src: dst for src, dst in BAOSTOCK_RENAMES.items() if src in pdf.columns}
+    out = pdf[list(present)].rename(columns=present)
+    if "symbol" in out.columns:
+        out["symbol"] = out["symbol"].map(baostock_code_to_ptrade)
+    if "trade_date" in out.columns:
+        out["trade_date"] = pd.to_datetime(out["trade_date"]).dt.date
+    for c in _NUMERIC:
+        if c in out.columns:
+            out[c] = pd.to_numeric(out[c], errors="coerce")
+    for c in ("is_st", "trade_status"):
+        if c in out.columns:
+            out[c] = (
+                pd.to_numeric(out[c], errors="coerce").fillna(0).astype("int8")
+            )
+    for c in UNIFIED_COLUMNS:
+        if c not in out.columns:
+            out[c] = pd.Series([None] * len(out), dtype="float64")
+    return out[UNIFIED_COLUMNS]
+
+
+def _csv_provider(symbol: str, start: str, end: str, path: str) -> pd.DataFrame:
+    """Recorded-fixture provider: the CSV holds BaoStock-native rows; each
+    call slices one symbol's date range, exactly as the RPC would."""
+    raw = pd.read_csv(path, dtype=str)
+    code = ptrade_code_to_baostock(symbol)
+    sliced = raw[(raw["code"] == code) & (raw["date"] >= start) & (raw["date"] <= end)]
+    return baostock_to_unified(sliced)
+
+
+def make_baostock_csv_provider(path: str):
+    """Provider factory for ``fetch_unified`` / the DataSource ``provider``
+    option — a partial of a module-level function, so it pickles to
+    executors."""
+    return functools.partial(_csv_provider, path=path)

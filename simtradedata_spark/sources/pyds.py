@@ -115,6 +115,12 @@ class ProviderReader(DataSourceReader):
         self.end = options.get("end", "2022-12-30")
         self.seed = int(options.get("seed", "42"))
         self.batch_size = int(options.get("batch_size", "4"))
+        # Arbitrary provider seam: "pkg.mod:factory" resolved lazily on the
+        # EXECUTOR (options are strings, so a factory + string arg rather
+        # than a pickled callable). factory(arg) -> provider(symbol, start,
+        # end) -> unified pandas frame — the same contract as fetch_unified.
+        self.provider_factory = options.get("provider_factory", "")
+        self.provider_arg = options.get("provider_arg", "")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -146,6 +152,26 @@ class ProviderReader(DataSourceReader):
         ] or [_SymbolBatch([])]
 
     def read(self, partition: _SymbolBatch) -> Iterator[tuple]:
+        if self.provider_factory:
+            import importlib
+
+            mod, _, fn = self.provider_factory.partition(":")
+            factory = getattr(importlib.import_module(mod), fn)
+            provider = factory(self.provider_arg) if self.provider_arg else factory()
+            for sym in partition.symbols:
+                pdf = provider(sym, self.start, self.end)
+                if pdf is None or not len(pdf):
+                    continue
+                for row in pdf.itertuples(index=False, name=None):
+                    # numpy scalars → python; NaN → NULL (the DataSource row
+                    # converter wants plain python values)
+                    yield tuple(
+                        None
+                        if (isinstance(v, float) and v != v)
+                        else (v.item() if hasattr(v, "item") else v)
+                        for v in row
+                    )
+            return
         for sym in partition.symbols:
             yield from synthetic_provider_rows(
                 sym, self.start, self.end, self.seed

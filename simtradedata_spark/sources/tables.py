@@ -100,13 +100,16 @@ class Warehouse:
         )
 
 
-def build_warehouse(spark: SparkSession, root: str, market=None) -> Warehouse:
+def build_warehouse(
+    spark: SparkSession, root: str, market=None, warehouse: Warehouse | None = None
+) -> Warehouse:
     """Generate the full synthetic market and persist every table — the
-    engine-side replacement for scripts/download_efficient.py (§3.1)."""
+    engine-side replacement for scripts/download_efficient.py (§3.1).
+    Pass a ``warehouse`` instance (e.g. BucketedWarehouse) to control layout."""
     from simtradedata_spark.sources.synthetic import SyntheticMarket
 
     market = market or SyntheticMarket(spark)
-    wh = Warehouse(spark, root)
+    wh = warehouse or Warehouse(spark, root)
     bars = market.bars().drop("sym_idx", "day_idx")
     bench = market.benchmark().drop("sym_idx", "day_idx")
     wh.write("bars", bars.unionByName(bench))

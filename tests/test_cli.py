@@ -1,0 +1,36 @@
+"""CLI smoke tests — the operational surface the reference exposes via
+scripts/download_efficient.py (its own __main__.py is broken, SURVEY §0.1)."""
+
+from simtradedata_spark.__main__ import main
+
+
+def test_cli_build_smoke(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    rc = main(
+        [
+            "build",
+            "--root",
+            root,
+            "--symbols",
+            "4",
+            "--start",
+            "2022-01-03",
+            "--end",
+            "2022-03-31",
+        ]
+    )
+    assert rc == 0
+    from simtradedata_spark.sources.tables import Warehouse
+
+    wh = Warehouse(spark, root)
+    assert "bars" in wh.tables() and "ticks" in wh.tables()
+    assert wh.read("bars").count() > 0
+
+
+def test_cli_parser_shapes():
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main([])  # subcommand required
+    with pytest.raises(SystemExit):
+        main(["build"])  # --root required
