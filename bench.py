@@ -44,6 +44,59 @@ def main() -> None:
             timings[name] = -1.0
             print(f"bench error in {name}: {e}", file=sys.stderr)
 
+    # Production-backend variants: the registered dedup-family queries run
+    # with hash_fn="md5" ONLY so the DuckDB oracle can recompute them; real
+    # callers get xxhash64 (JVM-native, ~2x cheaper). Bench both so the
+    # recorded numbers state production cost, not verification cost.
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash,
+    )
+    from simtradedata_spark.operators.graph import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _prod(name, df_fn):
+        try:
+            t0 = time.time()
+            df_fn().write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            timings[name] = -1.0
+            print(f"bench error in {name}: {e}", file=sys.stderr)
+
+    _prod(
+        "minhash_near_dups@xxh64",
+        lambda: minhash_lsh_candidates(
+            docs, "doc_id", "text", num_hashes=64, bands=16,
+            jaccard_threshold=0.5,
+        ),
+    )
+    _prod("simhash_signatures@xxh64", lambda: simhash(docs, "doc_id", "text"))
+    # The registered cosine_near_dups is the oracle-exact GEMM path —
+    # quadratic in corpus size by definition (measured 64x at a 10x scale-up).
+    # The production 100 TB path is the LSH-bucketed variant; bench it so the
+    # scale story is a recorded number, not a docstring claim.
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _prod(
+        "cosine_near_dups@lsh8",
+        lambda: cosine_near_dups(
+            emb, "vec_id", "embedding", threshold=0.45, bits=8, dim=64
+        ),
+    )
+    _prod(
+        "dedup_clusters@xxh64",
+        lambda: dedup_clusters(
+            minhash_lsh_candidates(
+                docs, "doc_id", "text", num_hashes=64, bands=16,
+                jaccard_threshold=0.5,
+            )
+        ),
+    )
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(

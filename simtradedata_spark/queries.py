@@ -19,6 +19,7 @@ Cross-engine determinism rules used throughout (see also tools/check_correctness
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -3820,6 +3821,255 @@ FROM cs WHERE rn <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# Round 3: provider seam, correlation/risk family, PII redaction
+# ---------------------------------------------------------------------------
+
+_FIXTURE_CSV = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "baostock_daily.csv",
+)
+
+
+def q_baostock_fixture_bars(spark, sf_dir):
+    """The provider-ingest seam as a certified query: the recorded
+    BaoStock-native CSV fixture (all-string rows, '' = missing) through the
+    adapter's rename/coerce/code-conversion and the fetch_unified
+    mapInPandas fan-out (provider.py S1/S2; adapters.py P1/P3/P4/C1)."""
+    from simtradedata_spark.sources.adapters import make_baostock_csv_provider
+    from simtradedata_spark.sources.provider import fetch_unified
+
+    symbols = spark.createDataFrame(
+        [("600000.SS",), ("000001.SZ",)], ["symbol"]
+    )
+    unified = fetch_unified(
+        symbols,
+        make_baostock_csv_provider(_FIXTURE_CSV),
+        "2023-01-03",
+        "2023-01-09",
+        fetch_partitions=2,
+    )
+    return unified.select(
+        "symbol", "trade_date", "open", "high", "low", "close", "volume",
+        "money", "pe_ttm", "turnover_rate",
+        F.col("is_st").cast("int").alias("is_st"),
+        F.col("trade_status").cast("int").alias("trade_status"),
+    )
+
+
+SQL_BAOSTOCK_FIXTURE_BARS = f"""
+SELECT
+  CASE WHEN starts_with(code, 'sh.') THEN substr(code, 4) || '.SS'
+       ELSE substr(code, 4) || '.SZ' END AS symbol,
+  CAST(date AS DATE) AS trade_date,
+  TRY_CAST(nullif(trim(open), '') AS DOUBLE) AS open,
+  TRY_CAST(nullif(trim(high), '') AS DOUBLE) AS high,
+  TRY_CAST(nullif(trim(low), '') AS DOUBLE) AS low,
+  TRY_CAST(nullif(trim(close), '') AS DOUBLE) AS close,
+  TRY_CAST(nullif(trim(volume), '') AS DOUBLE) AS volume,
+  TRY_CAST(nullif(trim(amount), '') AS DOUBLE) AS money,
+  TRY_CAST(nullif(trim(peTTM), '') AS DOUBLE) AS pe_ttm,
+  TRY_CAST(nullif(trim(turn), '') AS DOUBLE) AS turnover_rate,
+  CAST(coalesce(TRY_CAST(nullif(trim(isST), '') AS INT), 0) AS INT) AS is_st,
+  CAST(coalesce(TRY_CAST(nullif(trim(tradestatus), '') AS INT), 0) AS INT)
+    AS trade_status
+FROM read_csv('{_FIXTURE_CSV}', all_varchar=true)
+WHERE date BETWEEN '2023-01-03' AND '2023-01-09'
+"""
+
+
+def q_return_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation of daily log returns across the market
+    — the portfolio-risk input. Shape: returns per (symbol, day) →
+    self-equi-join on day_idx (NOT a cross join: the date key distributes
+    it) → one corr aggregate per unordered pair. At production symbol
+    counts the matrix output is O(S²) by definition; the scale path is
+    pivoting day-aligned return vectors and a centered GEMM via
+    mapInPandas (cf. dedup.py cosine GEMM), which this plan's per-pair
+    aggregation mirrors semantically."""
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    r = bars.filter(F.col("trade_status") == 1).select(
+        "symbol",
+        "day_idx",
+        F.log(F.col("close") / F.col("preclose")).alias("ret"),
+    )
+    a, b = r.alias("a"), r.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.day_idx") == F.col("b.day_idx"))
+            & (F.col("a.symbol") < F.col("b.symbol")),
+        )
+        .groupBy(
+            F.col("a.symbol").alias("sym_a"), F.col("b.symbol").alias("sym_b")
+        )
+        .agg(
+            F.round(F.corr("a.ret", "b.ret"), 6).alias("corr_ret"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+
+
+SQL_RETURN_CORRELATIONS = _SQL_MARKET_CTES + """
+, r AS (
+  SELECT symbol, day_idx, ln(close / preclose) AS ret
+  FROM bars_out WHERE trade_status = 1
+)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       round(corr(a.ret, b.ret), 6) AS corr_ret,
+       count(*) AS n_days
+FROM r a JOIN r b ON a.day_idx = b.day_idx AND a.symbol < b.symbol
+GROUP BY 1, 2
+"""
+
+
+def q_amihud_illiquidity(spark, sf_dir):
+    """Amihud (2002) illiquidity: mean(|ret| / money) × 1e9 per symbol over
+    its trading days — the standard price-impact proxy. One scan, one
+    groupBy; suspension days (money = 0) are excluded by trade_status."""
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    r = bars.filter(F.col("trade_status") == 1).select(
+        "symbol",
+        (F.abs(F.log(F.col("close") / F.col("preclose"))) / F.col("money")
+         * F.lit(1e9)).alias("impact"),
+    )
+    return r.groupBy("symbol").agg(
+        F.round(F.avg("impact"), 6).alias("amihud"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+
+
+SQL_AMIHUD_ILLIQUIDITY = _SQL_MARKET_CTES + """
+, r AS (
+  SELECT symbol, abs(ln(close / preclose)) / money * 1e9 AS impact
+  FROM bars_out WHERE trade_status = 1
+)
+SELECT symbol, round(avg(impact), 6) AS amihud, count(*) AS n_days
+FROM r GROUP BY symbol
+"""
+
+
+def q_bollinger_bands(spark, sf_dir):
+    """20-day Bollinger bands (SMA ± 2·sample-std) per symbol-day — the
+    rolling mean/second-moment window family beyond the W7 indicator set.
+    Full windows only; shares the per-symbol sort (single exchange) with
+    realized_vol/moving-average queries."""
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    w20 = w.rowsBetween(-19, 0)
+    out = (
+        bars.select("symbol", "trade_date", "day_idx", "close")
+        .withColumn("mid", F.avg("close").over(w20))
+        .withColumn("sd", F.stddev_samp("close").over(w20))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 20)
+    )
+    return out.select(
+        "symbol",
+        "trade_date",
+        F.round("mid", 6).alias("boll_mid"),
+        F.round(F.col("mid") + 2 * F.col("sd"), 6).alias("boll_upper"),
+        F.round(F.col("mid") - 2 * F.col("sd"), 6).alias("boll_lower"),
+    )
+
+
+SQL_BOLLINGER_BANDS = _SQL_MARKET_CTES + """
+, b AS (
+  SELECT symbol, trade_date,
+         avg(close) OVER w20 AS mid,
+         stddev_samp(close) OVER w20 AS sd,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_idx) AS rn
+  FROM bars_out
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY day_idx
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, trade_date, round(mid, 6) AS boll_mid,
+       round(mid + 2 * sd, 6) AS boll_upper,
+       round(mid - 2 * sd, 6) AS boll_lower
+FROM b WHERE rn >= 20
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over the documents table. The corpus carries no organic
+    PII, so deterministic PII is injected per doc_id in BOTH engines (same
+    strings), then redacted with the typed-mask patterns; per-source match
+    counts plus total redacted length certify the rewrite byte-for-byte.
+    Single scan, JVM regex, one small aggregate."""
+    from simtradedata_spark.operators.redact import pii_counts, redact_text
+
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com call 138"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            F.lit(" id 1101011990"),
+            F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    redacted = injected.select(
+        "source",
+        *pii_counts(F.col("text")),
+        F.length(redact_text(F.col("text"))).alias("redacted_len"),
+    )
+    return redacted.groupBy("source").agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_idnum").alias("idnums"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ip").alias("ips"),
+        F.sum("redacted_len").alias("total_redacted_len"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH injected AS (
+  SELECT source,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com call 138'
+              || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+              || ' id 1101011990'
+              || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+           AS text
+  FROM documents
+), counted AS (
+  SELECT source,
+    len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+    len(regexp_extract_all(text, '\b[0-9]{17}[0-9Xx]\b')) AS n_idnum,
+    len(regexp_extract_all(text, '\b1[3-9][0-9]{9}\b')) AS n_phone,
+    len(regexp_extract_all(text,
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ip,
+    len(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{17}[0-9Xx]\b', '<IDNUM>', 'g'),
+          '\b1[3-9][0-9]{9}\b', '<PHONE>', 'g'),
+        '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+    ) AS redacted_len
+  FROM injected
+)
+SELECT source,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_idnum) AS BIGINT) AS idnums,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(n_ip) AS BIGINT) AS ips,
+       CAST(sum(redacted_len) AS BIGINT) AS total_redacted_len
+FROM counted GROUP BY source
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -3932,6 +4182,14 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "user_type_intervals": (q_user_type_intervals, SQL_USER_TYPE_INTERVALS),
     "quantized_embeddings": (q_quantized_embeddings, SQL_QUANTIZED_EMBEDDINGS),
     "daily_factor_top3": (q_daily_factor_top3, SQL_DAILY_FACTOR_TOP3),
+    "baostock_fixture_bars": (
+        q_baostock_fixture_bars,
+        SQL_BAOSTOCK_FIXTURE_BARS,
+    ),
+    "return_correlations": (q_return_correlations, SQL_RETURN_CORRELATIONS),
+    "amihud_illiquidity": (q_amihud_illiquidity, SQL_AMIHUD_ILLIQUIDITY),
+    "bollinger_bands": (q_bollinger_bands, SQL_BOLLINGER_BANDS),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -3945,6 +4203,10 @@ _FRONT_WINDOW = [
     # round-3 additions first
     "income_statement_asof",
     "baostock_fixture_bars",
+    "return_correlations",
+    "amihud_illiquidity",
+    "bollinger_bands",
+    "pii_redaction",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",

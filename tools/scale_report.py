@@ -1,0 +1,44 @@
+"""Compare two bench JSON outputs (small vs scaled sf) and report per-query
+time ratios vs the data-scale factor.
+
+Usage: python tools/scale_report.py SMALL.json BIG.json SCALE_FACTOR
+
+A ratio well below the scale factor means the query is overhead-dominated at
+the small sf (fixed Spark scheduling floor); a ratio well above it means
+superlinear work — the thing to investigate. Queries on the generated
+market (synthetic_* / indicator / PTrade families) don't read the sf dir at
+all and should sit near ratio 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(small_path: str, big_path: str, factor: float) -> None:
+    small = json.load(open(small_path))["queries"]
+    big = json.load(open(big_path))["queries"]
+    rows = []
+    for name, t_small in small.items():
+        t_big = big.get(name)
+        if t_big is None or t_small <= 0 or t_big <= 0:
+            continue
+        rows.append((t_big / t_small, t_small, t_big, name))
+    rows.sort(reverse=True)
+    print(f"| query | t@small (s) | t@{factor}x (s) | ratio |")
+    print("|---|---|---|---|")
+    for ratio, t_small, t_big, name in rows:
+        flag = " ⚠" if ratio > factor * 1.2 else ""
+        print(f"| {name} | {t_small:.2f} | {t_big:.2f} | {ratio:.1f}×{flag} |")
+    ratios = [r[0] for r in rows]
+    mid = sorted(ratios)[len(ratios) // 2]
+    print(
+        f"\nqueries={len(rows)} median_ratio={mid:.2f} "
+        f"over_linear={sum(1 for r in ratios if r > factor * 1.2)} "
+        f"(scale factor {factor}×)"
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], float(sys.argv[3]))
