@@ -2423,51 +2423,63 @@ FROM ranked WHERE rn = 1
 SQL_FUNDAMENTALS_ASOF = _sql_fund_asof()
 
 
-def q_income_statement_asof(spark, sf_dir):
-    """Point-in-time income statement (spec :3274-3412 — a table the
-    reference's impl never covered): the statement visible at every 21st
-    trading day per symbol, restatements preferred. Same broadcast-dim
-    as-of shape as q_fundamentals_asof; the field set is
-    FUNDAMENTAL_TABLES['income_statement'] so the query certifies exactly
-    what get_fundamentals(table='income_statement') serves."""
-    from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
+def _q_statement_asof(table: str):
+    """Point-in-time statement-table query factory (spec :3274-3412 —
+    tables the reference's impl never covered): the statement visible at
+    every 21st trading day per symbol, restatements preferred. Same
+    broadcast-dim as-of shape as q_fundamentals_asof; the field set is
+    FUNDAMENTAL_TABLES[table] so each query certifies exactly what
+    get_fundamentals(table=...) serves."""
 
-    fields = FUNDAMENTAL_TABLES["income_statement"]
-    m = _small_market(spark)
-    f = m.fundamentals().select(
-        "symbol", "end_date", "publ_date", "merge_seq", *fields
-    )
-    qdates = (
-        m.trading_days()
-        .filter(F.col("day_idx") % 21 == 0)
-        .select(F.col("trade_date").alias("query_date"))
-    )
-    probes = m.symbols().select("symbol").crossJoin(qdates)
-    cand = probes.join(F.broadcast(f), "symbol").filter(
-        F.col("publ_date") <= F.col("query_date")
-    )
-    w = Window.partitionBy("symbol", "query_date").orderBy(
-        F.col("end_date").desc(), F.col("merge_seq").desc()
-    )
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(
-            "symbol", "query_date", "end_date", "publ_date", "merge_seq",
-            *fields,
+    def q(spark, sf_dir):
+        from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
+
+        fields = FUNDAMENTAL_TABLES[table]
+        m = _small_market(spark)
+        f = m.fundamentals().select(
+            "symbol", "end_date", "publ_date", "merge_seq", *fields
         )
-    )
+        qdates = (
+            m.trading_days()
+            .filter(F.col("day_idx") % 21 == 0)
+            .select(F.col("trade_date").alias("query_date"))
+        )
+        probes = m.symbols().select("symbol").crossJoin(qdates)
+        cand = probes.join(F.broadcast(f), "symbol").filter(
+            F.col("publ_date") <= F.col("query_date")
+        )
+        w = Window.partitionBy("symbol", "query_date").orderBy(
+            F.col("end_date").desc(), F.col("merge_seq").desc()
+        )
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "symbol", "query_date", "end_date", "publ_date", "merge_seq",
+                *fields,
+            )
+        )
+
+    q.__name__ = f"q_{table}_asof"
+    q.__doc__ = _q_statement_asof.__doc__
+    return q
 
 
-def _sql_income_asof() -> str:
-    """DuckDB regeneration of the income-statement fields (specs shared via
+q_income_statement_asof = _q_statement_asof("income_statement")
+q_balance_statement_asof = _q_statement_asof("balance_statement")
+q_cashflow_statement_asof = _q_statement_asof("cashflow_statement")
+q_eps_asof = _q_statement_asof("eps")
+
+
+def _sql_statement_asof(table: str) -> str:
+    """DuckDB regeneration of a statement table's fields (specs shared via
     sources/synthetic.py::STATEMENT_FIELDS) through the same quarterly
     publish/restate machinery as _sql_fund_asof."""
     from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
     from simtradedata_spark.sources.synthetic import STATEMENT_FIELDS
 
     u = _duck_u01
-    fields = FUNDAMENTAL_TABLES["income_statement"]
+    fields = FUNDAMENTAL_TABLES[table]
     exprs = ",\n         ".join(
         f"round({STATEMENT_FIELDS[n][0]} + "
         f"{STATEMENT_FIELDS[n][1] - STATEMENT_FIELDS[n][0]} * "
@@ -2530,7 +2542,10 @@ FROM ranked WHERE rn = 1
 """
 
 
-SQL_INCOME_STATEMENT_ASOF = _sql_income_asof()
+SQL_INCOME_STATEMENT_ASOF = _sql_statement_asof("income_statement")
+SQL_BALANCE_STATEMENT_ASOF = _sql_statement_asof("balance_statement")
+SQL_CASHFLOW_STATEMENT_ASOF = _sql_statement_asof("cashflow_statement")
+SQL_EPS_ASOF = _sql_statement_asof("eps")
 
 
 def q_weekly_bars(spark, sf_dir):
@@ -4223,6 +4238,15 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "valuation_table": (q_valuation_table, SQL_VALUATION_TABLE),
     "fundamentals_asof": (q_fundamentals_asof, SQL_FUNDAMENTALS_ASOF),
     "income_statement_asof": (q_income_statement_asof, SQL_INCOME_STATEMENT_ASOF),
+    "balance_statement_asof": (
+        q_balance_statement_asof,
+        SQL_BALANCE_STATEMENT_ASOF,
+    ),
+    "cashflow_statement_asof": (
+        q_cashflow_statement_asof,
+        SQL_CASHFLOW_STATEMENT_ASOF,
+    ),
+    "eps_asof": (q_eps_asof, SQL_EPS_ASOF),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
@@ -4287,6 +4311,9 @@ _FRONT_WINDOW = [
     "pii_redaction",
     "sequence_packing",
     "corpus_datacard",
+    "balance_statement_asof",
+    "cashflow_statement_asof",
+    "eps_asof",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",
