@@ -169,6 +169,84 @@ class BucketedWarehouse(Warehouse):
         return super().read(table)
 
 
+def zorder_value(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of two non-negative int columns into
+    one Z-value (Morton code). Rows sorted by the Z-value cluster into
+    rectangle-ish regions of the (a, b) plane, so EVERY file's min/max
+    footer stats are narrow in BOTH dimensions — the data-skipping property
+    a single-column sort only gives you for its leading column. Pure
+    shift/or expressions: whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+        )
+    return z
+
+
+class ZOrderWarehouse(Warehouse):
+    """Warehouse variant whose fact-table FILES are Z-order clustered on
+    (symbol, trade_date) — the SURVEY §7 phase-5 lakehouse layout, done with
+    plain parquet instead of Delta OPTIMIZE ZORDER.
+
+    The default layout sorts (symbol, trade_date) inside each year
+    partition: symbol predicates skip row groups via footer min/max, but a
+    date predicate inside the year must read every row group (date min/max
+    spans the whole partition in every file). Z-ordering makes BOTH
+    predicates skip: symbol's coordinate is a stable 16-bit hash, date's is
+    days-since-epoch, files cover Z-ranges ≈ rectangles. At 100 TB this is
+    the difference between a backtest-day slice reading ~1/√F of a year and
+    reading all of it. Verified by reading parquet footers in
+    tests/test_zorder.py, not by assertion on faith."""
+
+    def __init__(self, spark: SparkSession, root: str, files_per_partition: int = 16):
+        super().__init__(spark, root)
+        self.files = files_per_partition
+
+    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+        if table in PARTITIONED and {"symbol", "trade_date"} <= set(df.columns):
+            # Coordinates must be MONOTONE in each column's natural order —
+            # parquet footer min/max are on the raw columns, so a hashed
+            # coordinate would cluster by hash while the stats span the
+            # whole alphabet (measured: hash coords prune almost nothing).
+            # Symbol → dense lexicographic rank via a broadcast dictionary
+            # (the symbol dim is bounded — ~5k A-shares — at any scale);
+            # date → days offset. Both scaled to the SAME bit width so the
+            # interleave is balanced.
+            syms = sorted(
+                r[0] for r in df.select("symbol").distinct().collect()
+            )
+            bits = max(2, (max(len(syms), 2) - 1).bit_length())
+            sym_dim = df.sparkSession.createDataFrame(
+                [(s, i * (1 << bits) // len(syms)) for i, s in enumerate(syms)],
+                ["symbol", "__sx"],
+            )
+            bounds = df.agg(
+                F.min("trade_date").alias("d0"), F.max("trade_date").alias("d1")
+            ).first()
+            span = max((bounds["d1"] - bounds["d0"]).days + 1, 1)
+            dx = (
+                F.datediff("trade_date", F.lit(str(bounds["d0"])))
+                * (1 << bits)
+                / span
+            ).cast("long")
+            z = zorder_value(F.col("__sx").cast("long"), dx, bits=bits)
+            staged = (
+                df.join(F.broadcast(sym_dim), "symbol")
+                .withColumn("trade_year", F.year("trade_date"))
+                .withColumn("__z", z)
+                .repartitionByRange(self.files, "trade_year", "__z")
+                .sortWithinPartitions("trade_year", "__z")
+                .drop("__z", "__sx")
+            )
+            staged.write.mode(mode).partitionBy("trade_year").parquet(
+                self.path(table)
+            )
+        else:
+            super().write(table, df, mode)
+
+
 def materialize_adjusted(wh: Warehouse) -> None:
     """Persist pre/post-adjusted bars as first-class tables — the engine-side
     analog of the reference's pre-adjusted HDF5 cache
