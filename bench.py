@@ -80,15 +80,17 @@ def main() -> None:
     _prod("simhash_signatures@xxh64", lambda: simhash(docs, "doc_id", "text"))
     # The registered cosine_near_dups is the oracle-exact GEMM path —
     # quadratic in corpus size by definition (measured 64x at a 10x scale-up).
-    # The production 100 TB path is the LSH-bucketed variant; bench it so the
-    # scale story is a recorded number, not a docstring claim.
+    # The production 100 TB path is the LSH-bucketed per-bucket-GEMM variant
+    # with occupancy-scaled bits; bench it so the scale story is a recorded
+    # number, not a docstring claim (measured 1.1 s / 2.3 s / 3.7 s at
+    # 1x / 10x / 30x where the exact path is 0.5 s / 33 s / 168 s).
     from simtradedata_spark.operators.dedup import cosine_near_dups
 
     emb = load_table(spark, sf_dir, "embeddings")
     _prod(
-        "cosine_near_dups@lsh8",
+        "cosine_near_dups@lsh",
         lambda: cosine_near_dups(
-            emb, "vec_id", "embedding", threshold=0.45, bits=8, dim=64
+            emb, "vec_id", "embedding", threshold=0.45, bits="auto", dim=64
         ),
     )
     _prod(

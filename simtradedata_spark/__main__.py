@@ -30,6 +30,7 @@ def _cmd_build(args: argparse.Namespace) -> int:
     from simtradedata_spark.sources.tables import (
         BucketedWarehouse,
         Warehouse,
+        ZOrderWarehouse,
         build_warehouse,
     )
 
@@ -37,11 +38,12 @@ def _cmd_build(args: argparse.Namespace) -> int:
     market = SyntheticMarket(
         spark, n_symbols=args.symbols, start=args.start, end=args.end
     )
-    wh = (
-        BucketedWarehouse(spark, args.root)
-        if args.bucketed
-        else Warehouse(spark, args.root)
-    )
+    if args.bucketed:
+        wh = BucketedWarehouse(spark, args.root)
+    elif args.zorder:
+        wh = ZOrderWarehouse(spark, args.root)
+    else:
+        wh = Warehouse(spark, args.root)
     build_warehouse(spark, args.root, market=market, warehouse=wh)
     rows = wh.read("bars").count()
     print(f"warehouse built at {args.root}: tables={wh.tables()} bars_rows={rows}")
@@ -75,6 +77,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--start", default="2022-01-03")
     b.add_argument("--end", default="2023-12-29")
     b.add_argument("--bucketed", action="store_true")
+    b.add_argument("--zorder", action="store_true")
     b.set_defaults(fn=_cmd_build)
 
     be = sub.add_parser("bench", help="run the registered-query benchmark")

@@ -365,7 +365,7 @@ def cosine_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bits: int = 0,
+    bits: int | str = 0,
     dim: int | None = None,
     seed: int = 11,
 ) -> DataFrame:
@@ -379,35 +379,73 @@ def cosine_near_dups(
         only pairs above threshold — the quadratic candidate set is never
         materialized as Spark rows. An interpreted zip_with/aggregate pair
         scorer measured ~70 s for 2k×2k×64d; the GEMM path is <1 s.
-      - bits>0 — random-hyperplane LSH prefilter: rows are bucketed by the
-        sign pattern of ``bits`` fixed projections and only same-bucket pairs
-        are scored via a shuffle equi-join on the bucket key. Candidate count
-        drops ~2^bits; recall < 1 for pairs near the threshold. This is the
-        100 TB path — no broadcast, no quadratic blow-up (block the GEMM
-        within buckets the same way when buckets are still large).
+      - bits>0 (or bits="auto") — random-hyperplane LSH prefilter: rows are
+        bucketed by the sign pattern of ``bits`` fixed projections, then each
+        bucket is scored by ONE blocked numpy GEMM inside applyInPandas —
+        the quadratic candidate set never exists as Spark rows and the
+        scorer is vectorized, not an interpreted zip_with (a pair-join +
+        HOF scorer version of this path measured 192 s at 60k vectors where
+        this one takes seconds). Recall < 1 for pairs near the threshold.
+        ``bits`` must GROW with corpus size to hold bucket occupancy —
+        "auto" sets ceil(log2(N/64)) (≈64 rows/bucket), the knob a 100 TB
+        run tunes; a fixed ``bits`` degrades quadratically as N grows
+        (measured: 8-bit buckets at 60k vectors ≈ 234 rows/bucket).
     """
     from simtradedata_spark.operators.similarity import (
         _hyperplanes,
-        cosine,
         lsh_bucket_key,
     )
+
+    if bits == "auto":
+        import math
+
+        n = df.count()
+        bits = max(4, min(20, math.ceil(math.log2(max(n, 2) / 64))))
 
     if bits > 0:
         if dim is None:
             raise ValueError("dim is required when bits > 0")
         planes = _hyperplanes(dim, bits, seed)
-        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-        a = a.withColumn("__bucket", lsh_bucket_key(F.col("__va"), planes))
-        b = b.withColumn("__bucket", lsh_bucket_key(F.col("__vb"), planes))
-        pairs = a.join(b, ["__bucket"]).filter(F.col("id_a") < F.col("id_b"))
-        return (
-            pairs.select(
-                "id_a",
-                "id_b",
-                cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"),
+        bucketed = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("__bucket", lsh_bucket_key(F.col("v"), planes))
+        id_type = df.schema[id_col].dataType.simpleString()
+        out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+        def bucket_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+                     "cos_sim": pd.Series([], dtype="float64")}
+                )
+            ids = pdf["id"].to_numpy()
+            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat /= norms
+            out_a, out_b, out_s = [], [], []
+            block = 2048  # bounds per-task memory at B*block doubles
+            for c0 in range(0, len(ids), block):
+                c1 = min(c0 + block, len(ids))
+                sims = mat[c0:c1] @ mat.T  # (c1-c0, B)
+                rows, cols = np.nonzero(sims >= threshold)
+                keep = (rows + c0) < cols  # upper triangle, each pair once
+                rows, cols = rows[keep], cols[keep]
+                a, b = ids[rows + c0], ids[cols]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_s.append(sims[rows, cols])
+            return pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+                 "cos_sim": np.concatenate(out_s)}
             )
-            .filter(F.col("cos_sim") >= threshold)
+
+        return bucketed.groupBy("__bucket").applyInPandas(
+            bucket_pairs, out_schema
         )
 
     import numpy as np
