@@ -193,6 +193,10 @@ def test_cosine_near_dups_exact_and_lsh(spark):
     # planted pairs survive any bucket count; result ⊆ exact.
     lsh = cosine_near_dups(df, threshold=0.999, bits=6, dim=8).toPandas()
     assert set(zip(lsh.id_a, lsh.id_b)) == planted
+    # auto mode picks occupancy-scaled bits and must keep the planted pairs
+    auto = cosine_near_dups(df, threshold=0.999, bits="auto", dim=8).toPandas()
+    assert set(zip(auto.id_a, auto.id_b)) == planted
+    assert np.allclose(sorted(auto.cos_sim), sorted(exact.cos_sim), atol=1e-9)
 
 
 def test_ivf_full_probe_equals_brute_force(spark):
