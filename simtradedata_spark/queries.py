@@ -1174,25 +1174,41 @@ def q_exrights_adjust(spark, sf_dir):
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     adjusted = unioned.withColumn(
-        "back_factor", F.exp(F.sum(F.log("ratio")).over(w))
+        "back_factor", F.round(F.exp(F.sum(F.log("ratio")).over(w)), 6)
     )
-    return adjusted.filter(F.col("value").isNotNull()).select(
-        "user_id",
-        "event_id",
-        F.round("back_factor", 6).alias("back_factor"),
-        F.round(F.col("value") * F.col("back_factor"), 6).alias("adjusted_value"),
+    # Cross-engine exactness (found by the 10× scale gate): exp/ln differ
+    # between JVM and C libm in the last ulp, and round(value*factor, 6)
+    # additionally hits decimal-half ties where Spark's BigDecimal HALF_UP
+    # and DuckDB's multiply-then-round disagree. So: round the factor to a
+    # 6dp decimal once (ulp-level risk only), then do the multiply and the
+    # final half-up in EXACT int64 micro-units — round-to-INTEGER of a
+    # shared double is engine-deterministic, and the integer product/div
+    # cannot tie. Same rule as the module's integer-cents money sums.
+    return (
+        adjusted.filter(F.col("value").isNotNull())
+        .withColumn("__vm", F.round(F.col("value") * 1e6).cast("long"))
+        .withColumn("__bm", F.round(F.col("back_factor") * 1e6).cast("long"))
+        .select(
+            "user_id",
+            "event_id",
+            "back_factor",
+            (
+                F.expr("(__vm * __bm + 500000) div 1000000") / F.lit(1e6)
+            ).alias("adjusted_value"),
+        )
     )
 
 
 SQL_EXRIGHTS_ADJUST = """
 SELECT user_id, event_id,
-       round(back_factor, 6) AS back_factor,
-       round(value * back_factor, 6) AS adjusted_value
+       back_factor,
+       ((CAST(round(value * 1e6) AS BIGINT) * CAST(round(back_factor * 1e6) AS BIGINT)
+         + 500000) // 1000000) / 1e6 AS adjusted_value
 FROM (
   SELECT user_id, event_id, value,
-         exp(sum(ln(ratio)) OVER (
+         round(exp(sum(ln(ratio)) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS back_factor
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS back_factor
   FROM (
     SELECT user_id, ts, event_id, value, 1.0 AS ratio
     FROM events WHERE event_type = 'purchase'
@@ -4161,6 +4177,41 @@ GROUP BY CUBE(source, lang)
 """
 
 
+def q_table_profile(spark, sf_dir):
+    """Per-column completeness/cardinality profile of the orders table —
+    the integrity-check summary (K6 family) a warehouse publishes per
+    ingest. Exact distinct counts here (one Expand pass); profile_table
+    (operators/profile.py) swaps to HLL approx_count_distinct at scale."""
+    from simtradedata_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "orders"))
+
+
+SQL_TABLE_PROFILE = """
+SELECT c.column, c.n_rows, c.n_null, c.n_distinct
+FROM (
+  SELECT 'o_orderkey' AS column, count(*) AS n_rows,
+         count(*) - count(o_orderkey) AS n_null,
+         count(DISTINCT o_orderkey) AS n_distinct FROM orders
+  UNION ALL
+  SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+         count(DISTINCT o_custkey) FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+         count(DISTINCT o_orderstatus) FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+         count(DISTINCT o_totalprice) FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+         count(DISTINCT o_orderdate) FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+         count(DISTINCT o_orderpriority) FROM orders
+) c
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -4292,6 +4343,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -4314,6 +4366,7 @@ _FRONT_WINDOW = [
     "balance_statement_asof",
     "cashflow_statement_asof",
     "eps_asof",
+    "table_profile",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",

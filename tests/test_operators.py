@@ -428,3 +428,19 @@ def test_cross_sectional_factor_hand_oracle(spark):
     top = top_n_by_factor(df, "dt", "f", 2, tiebreaks=["sym"]).collect()
     got = {(r["dt"], r["sym"]) for r in top}
     assert got == {(d1, "d"), (d1, "b"), (d2, "a"), (d2, "b")}
+
+
+def test_profile_table_exact_and_approx(spark):
+    from simtradedata_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k int, v string",
+    )
+    prof = {r.column: r for r in profile_table(df).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_null == 1
+    assert prof["k"].n_distinct == 3
+    assert prof["v"].n_null == 1 and prof["v"].n_distinct == 2
+    # approx path (HLL, the 100 TB variant): same schema, estimates close
+    ap = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert ap["v"].n_distinct in (1, 2, 3)
