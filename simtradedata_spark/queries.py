@@ -4212,6 +4212,185 @@ FROM (
 """
 
 
+def q_conversion_funnel(spark, sf_dir):
+    """Multi-step event funnel: signup → first view within 7 days → first
+    purchase within 7 days of that view, per user. Three chained window
+    minima over ONE user_id exchange (each step's timestamp is a per-user
+    constant the next window can reference), then a single global rollup —
+    no self-joins, no step×step blow-up."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    step1 = ev.withColumn(
+        "s_ts", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    step2 = step1.withColumn(
+        "v_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("ts") >= F.col("s_ts"))
+                & (F.col("ts") <= F.col("s_ts") + F.expr("INTERVAL 7 DAYS")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step3 = step2.withColumn(
+        "p_ts",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("v_ts"))
+                & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 7 DAYS")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = step3.groupBy("user_id").agg(
+        F.max(F.col("s_ts").isNotNull()).alias("signed"),
+        F.max(F.col("v_ts").isNotNull()).alias("viewed"),
+        F.max(F.col("p_ts").isNotNull()).alias("purchased"),
+    )
+    return per_user.agg(
+        F.sum(F.col("signed").cast("long")).alias("n_signup"),
+        F.sum(F.col("viewed").cast("long")).alias("n_view_7d"),
+        F.sum(F.col("purchased").cast("long")).alias("n_purchase_7d"),
+    )
+
+
+SQL_CONVERSION_FUNNEL = """
+WITH s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+              OVER (PARTITION BY user_id) AS s_ts
+  FROM events
+), s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND ts >= s_ts
+                      AND ts <= s_ts + INTERVAL 7 DAY THEN ts END)
+              OVER (PARTITION BY user_id) AS v_ts
+  FROM s1
+), s3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= v_ts
+                      AND ts <= v_ts + INTERVAL 7 DAY THEN ts END)
+              OVER (PARTITION BY user_id) AS p_ts
+  FROM s2
+), per_user AS (
+  SELECT user_id, max(s_ts IS NOT NULL) AS signed,
+         max(v_ts IS NOT NULL) AS viewed,
+         max(p_ts IS NOT NULL) AS purchased
+  FROM s3 GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN signed THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT) AS n_view_7d,
+       CAST(sum(CASE WHEN purchased THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_7d
+FROM per_user
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type bigram (Markov transition) counts: lag over one
+    (user, time) exchange, then a tiny (≤25-row) aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.withColumn("from_type", F.lag("event_type").over(w)).filter(
+        F.col("from_type").isNotNull()
+    )
+    return pairs.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT from_type, to_type, count(*) AS n
+FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+)
+WHERE from_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+def q_value_histogram(spark, sf_dir):
+    """20-bin equal-width histogram of purchase values: bounds from one
+    tiny aggregate broadcast back, width_bucket per row, one small
+    groupBy — the profiling primitive behind any distribution check."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    # Explicit bucket arithmetic (not width_bucket): the identical IEEE
+    # expression — same operand order — runs in both engines, so boundary
+    # values land in the same bin by construction.
+    binned = ev.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo")) * 20.0 / (F.col("hi") - F.col("lo"))
+            ).cast("long")
+            + 1,
+            F.lit(20).cast("long"),
+        ).alias("bucket")
+    )
+    return binned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH p AS (SELECT value FROM events WHERE event_type = 'purchase'),
+b AS (SELECT min(value) AS lo, max(value) AS hi FROM p)
+SELECT least(CAST(floor((p.value - b.lo) * 20.0 / (b.hi - b.lo)) AS BIGINT) + 1,
+             20) AS bucket,
+       count(*) AS n
+FROM p, b GROUP BY 1
+"""
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation: quintiles of recency/frequency/monetary per
+    customer via the scale-safe global NTILE (operators/topk.py — exact
+    SQL NTILE semantics, no single-partition window), rolled up to segment
+    counts. Money in exact integer cents; every ntile key carries the
+    custkey tie-break so both engines rank identically."""
+    from simtradedata_spark.operators.topk import global_ntile
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+    )
+    r = global_ntile(per_cust, 5, ["last_order", "o_custkey"], ntile_col="r")
+    f = global_ntile(r, 5, ["n_orders", "o_custkey"], ntile_col="f")
+    m = global_ntile(f, 5, ["spend_cents", "o_custkey"], ntile_col="m")
+    return (
+        m.groupBy(
+            # long casts: DuckDB ntile() yields BIGINT and the driver's
+            # value hash is dtype-sensitive
+            F.col("r").cast("long").alias("r"),
+            F.col("f").cast("long").alias("f"),
+            F.col("m").cast("long").alias("m"),
+        ).agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+SQL_RFM_SEGMENTS = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(CAST(o_orderdate AS DATE)) AS last_order,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY n_orders, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY spend_cents, o_custkey) AS m
+  FROM per_cust
+)
+SELECT r, f, m, count(*) AS n_customers FROM t GROUP BY r, f, m
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -4344,6 +4523,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "conversion_funnel": (q_conversion_funnel, SQL_CONVERSION_FUNNEL),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -4367,6 +4550,10 @@ _FRONT_WINDOW = [
     "cashflow_statement_asof",
     "eps_asof",
     "table_profile",
+    "conversion_funnel",
+    "event_transitions",
+    "value_histogram",
+    "rfm_segments",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",
