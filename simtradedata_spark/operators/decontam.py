@@ -75,3 +75,56 @@ def remove_contaminated(
         F.col("n_hits") >= min_hits
     )
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def char_ngram_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 50,
+    hash_fn: str = "xxhash64",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Exact-substring decontamination: flag corpus documents sharing at
+    least one length-``n`` CHARACTER window with any benchmark document —
+    the stricter check published pipelines (Dolma-style) run after
+    word-gram overlap, immune to tokenization differences.
+
+    Every window is HASHED at the generator (``_hash64``) so the exploded
+    relation carries 8-byte longs, never the substrings themselves — a
+    50 k-char document explodes to 50 k longs, not 2.5 MB of strings. Same
+    inverted-index shape as ``ngram_overlap``: benchmark window-hash set
+    broadcast (distinct, eval-set-sized), corpus exploded once, one
+    shuffle on the doc id. md5 backend for oracle parity."""
+    from simtradedata_spark.operators.dedup import _hash64
+
+    def windows(col):
+        return F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {n} + 1, 1)),"
+            f" i -> substring({col}, i, {n}))"
+        )
+
+    posts = corpus.select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(windows(text_col), lambda s: _hash64(s, hash_fn))
+            )
+        ).alias("wh"),
+    )
+    bench = (
+        benchmark.select(
+            F.explode(
+                F.transform(windows(text_col), lambda s: _hash64(s, hash_fn))
+            ).alias("wh")
+        )
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
+    return (
+        posts.join(bench, "wh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_windows_hit"))
+    )

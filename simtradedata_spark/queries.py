@@ -4391,6 +4391,72 @@ SELECT r, f, m, count(*) AS n_customers FROM t GROUP BY r, f, m
 """
 
 
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Embedding-space duplicate clusters: connected components over the
+    exact cosine near-dup pair graph (threshold 0.45) — the composition a
+    curation pipeline runs to drop all-but-canonical of each duplicate
+    group. Pairs from the broadcast-GEMM path, components via the same
+    min-label propagation as dedup_clusters; oracle = exact cosine pairs +
+    recursive reachability CTE."""
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+    from simtradedata_spark.operators.graph import dedup_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dups(emb, "vec_id", "embedding", threshold=0.45)
+    return dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
+
+
+SQL_EMBEDDING_DUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({SQL_COSINE_NEAR_DUPS}) t
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.u
+)
+SELECT u AS vec_id, min(r) AS cluster_id,
+       (u = min(r)) AS is_canonical
+FROM reach GROUP BY u
+"""
+
+
+def q_char_contamination(spark, sf_dir):
+    """Exact-substring decontamination (the stricter char-level check run
+    after word-gram overlap): corpus docs sharing ≥1 50-char window with
+    the 'src0' benchmark slice. Windows are hashed AT the generator so the
+    exploded relation carries 8-byte longs, never substrings
+    (operators/decontam.py::char_ngram_overlap); md5 backend so DuckDB
+    recomputes identical window hashes."""
+    from simtradedata_spark.operators.decontam import char_ngram_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    return char_ngram_overlap(
+        corpus, bench, "text", "doc_id", n=50, hash_fn="md5"
+    )
+
+
+SQL_CHAR_CONTAMINATION = f"""
+WITH bench AS (
+  SELECT DISTINCT {_duck_h60("substr(text, i, 50)")} AS wh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 49, 1))) t(i)
+  WHERE source = 'src0'
+), posts AS (
+  SELECT DISTINCT doc_id, {_duck_h60("substr(text, i, 50)")} AS wh
+  FROM documents, unnest(generate_series(1, greatest(len(text) - 49, 1))) t(i)
+  WHERE source <> 'src0'
+)
+SELECT p.doc_id, count(*) AS n_windows_hit
+FROM posts p JOIN bench b USING (wh)
+GROUP BY p.doc_id
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -4527,6 +4593,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "value_histogram": (q_value_histogram, SQL_VALUE_HISTOGRAM),
     "rfm_segments": (q_rfm_segments, SQL_RFM_SEGMENTS),
+    "char_contamination": (q_char_contamination, SQL_CHAR_CONTAMINATION),
+    "embedding_dup_clusters": (
+        q_embedding_dup_clusters,
+        SQL_EMBEDDING_DUP_CLUSTERS,
+    ),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -4554,6 +4625,8 @@ _FRONT_WINDOW = [
     "event_transitions",
     "value_histogram",
     "rfm_segments",
+    "char_contamination",
+    "embedding_dup_clusters",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",
