@@ -227,3 +227,30 @@ def test_weighted_mixture_rates(spark):
     a = weighted_mixture(base, ["doc_id"], F.lit(0.7))
     b = weighted_mixture(base.repartition(7), ["doc_id"], F.lit(0.7))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_char_ngram_overlap_exact_substring(spark):
+    from simtradedata_spark.operators.decontam import char_ngram_overlap
+
+    shared60 = "x" * 10 + "the exact benchmark passage that must be caught" + "y" * 3
+    assert len(shared60) == 60
+    bench = spark.createDataFrame(
+        [(100, f"benchmark doc holds {shared60} inside")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, f"training doc quoting {shared60} verbatim"),       # hit
+            (2, "completely unrelated training text with no overlap at all"),
+            # prefix ends in 'Z' (absent from the benchmark), so the only
+            # 50-char windows contain it; the shared run itself is 49 < n
+            (3, "short shared bitZ" + shared60[:49]),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.n_windows_hit
+        for r in char_ngram_overlap(corpus, bench, n=50).collect()
+    }
+    assert 1 in got and got[1] >= 1
+    assert 2 not in got
+    assert 3 not in got  # sub-window-length overlap must NOT flag

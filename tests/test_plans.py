@@ -150,3 +150,26 @@ def test_tfidf_df_table_broadcast(spark):
     p = plan(QUERIES["tfidf_top_terms"][0](spark, SF))
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_conversion_funnel_single_exchange(spark):
+    # three chained window minima share the user_id partitioning: ONE
+    # exchange feeds all three WindowExecs, plus the final tiny rollup
+    p = plan(QUERIES["conversion_funnel"][0](spark, SF))
+    assert p.count("Exchange hashpartitioning(user_id") <= 1
+
+
+def test_char_contamination_broadcasts_benchmark(spark):
+    p = plan(QUERIES["char_contamination"][0](spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_value_histogram_broadcasts_bounds(spark):
+    p = plan(QUERIES["value_histogram"][0](spark, SF))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_rfm_segments_no_single_partition_window(spark):
+    p = plan(QUERIES["rfm_segments"][0](spark, SF))
+    assert "SinglePartition" not in p
