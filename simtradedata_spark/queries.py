@@ -4391,6 +4391,74 @@ SELECT r, f, m, count(*) AS n_customers FROM t GROUP BY r, f, m
 """
 
 
+def q_strategy_equity_curve(spark, sf_dir):
+    """The §3.3 backtest consumer end-to-end as ONE vectorized query: dual-MA
+    long/flat strategy (long while ma5 > ma20, position entered the day
+    AFTER the signal — no lookahead), daily strategy returns compounded to
+    a per-symbol equity curve summary vs buy-and-hold. Two window passes
+    over one symbol exchange; the day-by-day loop this replaces issues
+    O(days) point queries."""
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    ma = lambda n: F.round(F.avg("close").over(w.rowsBetween(-(n - 1), 0)), 6)
+    base = (
+        bars.select("symbol", "day_idx", "close", "preclose")
+        .withColumn("ma5", ma(5))
+        .withColumn("ma20", ma(20))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "long_now", (F.col("ma5") > F.col("ma20")) & (F.col("rn") >= 20)
+        )
+        .withColumn(
+            "pos", F.coalesce(F.lag("long_now").over(w), F.lit(False)).cast("int")
+        )
+        .withColumn(
+            "flip",
+            (F.col("pos") != F.coalesce(F.lag("pos").over(w), F.lit(0))).cast("int"),
+        )
+        .withColumn("ret", F.log(F.col("close") / F.col("preclose")))
+    )
+    return base.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("pos").alias("n_long_days"),
+        F.sum("flip").alias("n_trades"),
+        F.round(F.exp(F.sum(F.col("pos") * F.col("ret"))), 6).alias("strat_equity"),
+        F.round(F.exp(F.sum("ret")), 6).alias("buyhold_equity"),
+    )
+
+
+SQL_STRATEGY_EQUITY_CURVE = _SQL_MARKET_CTES + """
+, base AS (
+  SELECT symbol, day_idx, close, preclose,
+         round(avg(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS ma5,
+         round(avg(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS ma20,
+         row_number() OVER (PARTITION BY symbol ORDER BY day_idx) AS rn
+  FROM bars_out
+), pos AS (
+  SELECT symbol, day_idx, close, preclose,
+         CAST(coalesce(lag(ma5 > ma20 AND rn >= 20)
+                         OVER (PARTITION BY symbol ORDER BY day_idx),
+                       false) AS INT) AS pos,
+         ln(close / preclose) AS ret
+  FROM base
+), flips AS (
+  SELECT *,
+         CAST(pos <> coalesce(lag(pos) OVER (PARTITION BY symbol ORDER BY day_idx), 0)
+              AS INT) AS flip
+  FROM pos
+)
+SELECT symbol,
+       count(*) AS n_days,
+       CAST(sum(pos) AS BIGINT) AS n_long_days,
+       CAST(sum(flip) AS BIGINT) AS n_trades,
+       round(exp(sum(pos * ret)), 6) AS strat_equity,
+       round(exp(sum(ret)), 6) AS buyhold_equity
+FROM flips GROUP BY symbol
+"""
+
+
 def q_embedding_dup_clusters(spark, sf_dir):
     """Embedding-space duplicate clusters: connected components over the
     exact cosine near-dup pair graph (threshold 0.45) — the composition a
@@ -4598,6 +4666,10 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_embedding_dup_clusters,
         SQL_EMBEDDING_DUP_CLUSTERS,
     ),
+    "strategy_equity_curve": (
+        q_strategy_equity_curve,
+        SQL_STRATEGY_EQUITY_CURVE,
+    ),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -4627,6 +4699,7 @@ _FRONT_WINDOW = [
     "rfm_segments",
     "char_contamination",
     "embedding_dup_clusters",
+    "strategy_equity_curve",
     # the 35 entries invisible to the r02 driver window
     "train_val_test_split",
     "tfidf_top_terms",
