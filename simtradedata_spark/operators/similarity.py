@@ -109,9 +109,17 @@ def lsh_bucket_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
-    Same output shape as cosine_top_k; recall < 1 by design."""
+    Same output shape as cosine_top_k; recall < 1 by design.
+
+    ``multi_probe=p`` additionally probes the p single-bit-flip neighbor
+    buckets of each QUERY (the standard multi-probe LSH recall lever:
+    near-threshold vectors most often differ in exactly one hyperplane
+    sign). Cost grows only on the broadcast query side — the corpus is
+    never re-bucketed — so recall rises without touching the big relation;
+    p = bits probes every Hamming-1 bucket."""
     planes = _hyperplanes(dim, bits, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -123,12 +131,29 @@ def lsh_bucket_top_k(
         F.col(vec_col).alias("__qvec"),
         lsh_bucket_key(F.col(vec_col), planes).alias("__bucket"),
     )
-    scored = c.join(F.broadcast(q), ["__bucket"]).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    ).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    if multi_probe > 0:
+        probes = F.array_distinct(
+            F.array(
+                F.col("__bucket"),
+                *[
+                    F.col("__bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(min(multi_probe, bits))
+                ],
+            )
+        )
+        q = q.select(
+            "query_id", "__qvec", F.explode(probes).alias("__bucket")
+        )
+    scored = (
+        c.join(F.broadcast(q), ["__bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+        )
+        # multi-probe can surface the same pair via several buckets
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id")

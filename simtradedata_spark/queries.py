@@ -4353,11 +4353,15 @@ def q_rfm_segments(spark, sf_dir):
     from simtradedata_spark.operators.topk import global_ntile
 
     orders = _t(spark, sf_dir, "orders")
+    # persist: the three global_ntiles each run two bounded collect jobs
+    # (split-point sample + per-bucket counts) — without this the orders
+    # scan+aggregate re-executes up to 9x. The frame is one narrow row per
+    # customer, the right thing to pin at any scale.
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("spend_cents"),
-    )
+    ).persist()
     r = global_ntile(per_cust, 5, ["last_order", "o_custkey"], ntile_col="r")
     f = global_ntile(r, 5, ["n_orders", "o_custkey"], ntile_col="f")
     m = global_ntile(f, 5, ["spend_cents", "o_custkey"], ntile_col="m")

@@ -444,3 +444,35 @@ def test_profile_table_exact_and_approx(spark):
     # approx path (HLL, the 100 TB variant): same schema, estimates close
     ap = {r.column: r for r in profile_table(df, approx=True).collect()}
     assert ap["v"].n_distinct in (1, 2, 3)
+
+
+def test_lsh_multi_probe_improves_recall(spark):
+    from simtradedata_spark.operators.similarity import (
+        cosine_top_k,
+        lsh_bucket_top_k,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.rand(300, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_top_k(df, queries, k=5).collect()
+    }
+
+    def recall(multi_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in lsh_bucket_top_k(
+                df, queries, dim=16, k=5, bits=6, multi_probe=multi_probe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r6 = recall(0), recall(6)
+    assert r6 >= r0, (r0, r6)
+    assert r6 > 0.5  # Hamming-1 probing should recover most neighbors
