@@ -55,6 +55,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(8 * 1024 * 1024)),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The oracle harness collects full results for value comparison; at
+        # the 30x scale replica a 54M-row frame tops Spark's 1 GB default.
+        # Local-harness knob only — production code never collects results.
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events table stores TIMESTAMP(NANOS); Spark has no nanos
