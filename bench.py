@@ -78,6 +78,18 @@ def main() -> None:
         ),
     )
     _prod("simhash_signatures@xxh64", lambda: simhash(docs, "doc_id", "text"))
+    from simtradedata_spark.operators.decontam import char_ngram_overlap
+
+    _prod(
+        "char_contamination@xxh64",
+        lambda: char_ngram_overlap(
+            docs.filter("source <> 'src0'"),
+            docs.filter("source = 'src0'"),
+            "text",
+            "doc_id",
+            n=50,
+        ),
+    )
     # The registered cosine_near_dups is the oracle-exact GEMM path —
     # quadratic in corpus size by definition (measured 64x at a 10x scale-up).
     # The production 100 TB path is the LSH-bucketed per-bucket-GEMM variant
