@@ -173,3 +173,61 @@ def test_value_histogram_broadcasts_bounds(spark):
 def test_rfm_segments_no_single_partition_window(spark):
     p = plan(QUERIES["rfm_segments"][0](spark, SF))
     assert "SinglePartition" not in p
+
+
+def test_filtered_revenue_pure_scan_aggregate(spark):
+    """Q6 shape: every predicate reaches the parquet scan; no join at all."""
+    p = plan(QUERIES["filtered_revenue"][0](spark, SF))
+    assert "Join" not in p
+    pushed = p.split("PushedFilters")[1][:300]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_nation_pair_volume_one_fact_shuffle(spark):
+    """Q7 shape: supplier/customer/nation all broadcast; only
+    lineitem ⋈ orders may shuffle."""
+    p = plan(QUERIES["nation_pair_volume"][0](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_customer_order_distribution_preserves_outer(spark):
+    """Q13 shape: the priority filter must stay in the join (LeftOuter),
+    never collapse the outer join to inner."""
+    p = plan(QUERIES["customer_order_distribution"][0](spark, SF))
+    assert "LeftOuter" in p
+
+
+def test_part_supplier_diversity_anti_join(spark):
+    """Q16 shape: the NOT-IN decorrelates to a broadcast LeftAnti."""
+    p = plan(QUERIES["part_supplier_diversity"][0](spark, SF))
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_waiting_suppliers_reuses_orderkey_partitioning(spark):
+    """Q21 shape: per-(order,supplier) agg, per-order rollup, and the join
+    back all hang off l_orderkey hash partitioning — Catalyst must not
+    insert a second full-width exchange on the same key for the rollup."""
+    p = plan(QUERIES["waiting_suppliers"][0](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    # the whole quantifier chain (per-supplier agg → per-order window →
+    # filter) hangs off ONE l_orderkey exchange, and lineitem is scanned once
+    assert p.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert p.count("lineitem.parquet") <= 1
+
+
+def test_dormant_rich_customers_broadcast_scalar_and_anti(spark):
+    """Q22 shape: the integer-exact threshold arrives as a broadcast scalar
+    (nested-loop on a 1-row build is fine); dormancy is a LeftAnti."""
+    p = plan(QUERIES["dormant_rich_customers"][0](spark, SF))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_min_cost_supplier_reuses_partkey_exchange(spark):
+    """Q2 shape: the per-part min and the join back share the
+    (l_partkey, l_suppkey)→l_partkey partitioning chain; part and supplier
+    dims broadcast."""
+    p = plan(QUERIES["min_cost_supplier"][0](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p or p.count("SortMergeJoin") <= 2
