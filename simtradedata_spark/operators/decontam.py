@@ -36,6 +36,9 @@ def ngram_overlap(
     """Per-corpus-document overlap stats vs the benchmark n-gram set:
     ``(id_col, n_hits, n_grams, hit_ratio)`` — only documents with ≥1 hit
     appear (inner join; the clean majority never leaves the map side)."""
+    from simtradedata_spark.functions.partitioning import spread
+
+    corpus = spread(corpus)  # shingle explode is the hot map
     corp_tok = corpus.select(id_col, tokens(text_col).alias("_tok"))
     corp = corp_tok.select(id_col, shingles_of(F.col("_tok"), n).alias("_g"))
     posts = corp.select(
@@ -96,8 +99,16 @@ def char_ngram_overlap(
     50 k-char document explodes to 50 k longs, not 2.5 MB of strings. Same
     inverted-index shape as ``ngram_overlap``: benchmark window-hash set
     broadcast (distinct, eval-set-sized), corpus exploded once, one
-    shuffle on the doc id. md5 backend for oracle parity."""
+    shuffle on the doc id. md5 backend for oracle parity.
+
+    Both inputs are ``spread`` first: the per-character window hashing is
+    the hot map, and a single-row-group corpus file would otherwise run it
+    in one task (measured 3.4 s → sub-second at sf0.1, 32 cores)."""
+    from simtradedata_spark.functions.partitioning import spread
     from simtradedata_spark.operators.dedup import _hash64
+
+    corpus = spread(corpus)
+    benchmark = spread(benchmark)
 
     def windows(col):
         return F.expr(

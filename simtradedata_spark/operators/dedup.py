@@ -147,6 +147,11 @@ def minhash_signatures(
     map-side, so the shuffle moves one 64-long array per document regardless
     of document length — the layout that survives 100 TB corpora. Documents
     with no shingles get a null signature."""
+    from simtradedata_spark.functions.partitioning import spread
+
+    # The shingle hash is the hot map — spread a coarse scan across cores
+    # first (no-op when the input already has >= parallelism partitions).
+    df = spread(df)
     # Hash inside the generator (see simhash note): the 64 min-aggregates
     # below each reference __h; a post-explode hash projection would be
     # collapsed into all of them, re-hashing every shingle 64 times.
@@ -274,6 +279,9 @@ def simhash(
     session), not a regression. The 21-bit slot caps documents at 2^21
     tokens (a 2M-token doc is a pathology to split upstream, not a real
     chunk). Documents with no tokens get signature 0."""
+    from simtradedata_spark.functions.partitioning import spread
+
+    df = spread(df)  # token hashing is the hot map; see partitioning.spread
     nbits = 64 if hash_fn == "xxhash64" else 60
     groups = (nbits + 2) // 3
     # Hash INSIDE the generator: explode's output is a materialized

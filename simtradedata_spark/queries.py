@@ -862,7 +862,9 @@ def q_token_jaccard_pairs(spark, sf_dir):
     rows; at near-dup thresholds (>= ~0.5) the rarest-first prefix filter
     in operators.dedup.jaccard_pairs_prefix bounds that — identical output,
     tested."""
-    docs = _t(spark, sf_dir, "documents")
+    from simtradedata_spark.functions.partitioning import spread
+
+    docs = spread(_t(spark, sf_dir, "documents"))
     base = docs.select(
         "source",
         "lang",
@@ -4350,21 +4352,29 @@ def q_rfm_segments(spark, sf_dir):
     SQL NTILE semantics, no single-partition window), rolled up to segment
     counts. Money in exact integer cents; every ntile key carries the
     custkey tie-break so both engines rank identically."""
-    from simtradedata_spark.operators.topk import global_ntile
+    from simtradedata_spark.operators.topk import multi_ntile
 
     orders = _t(spark, sf_dir, "orders")
-    # persist: the three global_ntiles each run two bounded collect jobs
-    # (split-point sample + per-bucket counts) — without this the orders
-    # scan+aggregate re-executes up to 9x. The frame is one narrow row per
-    # customer, the right thing to pin at any scale.
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("spend_cents"),
-    ).persist()
-    r = global_ntile(per_cust, 5, ["last_order", "o_custkey"], ntile_col="r")
-    f = global_ntile(r, 5, ["n_orders", "o_custkey"], ntile_col="f")
-    m = global_ntile(f, 5, ["spend_cents", "o_custkey"], ntile_col="m")
+    )
+    # ONE extra Spark job for all three exact NTILEs (multi_ntile's shared
+    # approxQuantile split points + broadcast offsets) — the chained
+    # global_ntile form cost 6 driver jobs and 5.4 s steady-state at sf0.1.
+    m = multi_ntile(
+        per_cust,
+        5,
+        {
+            "r": (
+                F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date")),
+                ["last_order", "o_custkey"],
+            ),
+            "f": (F.col("n_orders"), ["n_orders", "o_custkey"]),
+            "m": (F.col("spend_cents"), ["spend_cents", "o_custkey"]),
+        },
+    )
     return (
         m.groupBy(
             # long casts: DuckDB ntile() yields BIGINT and the driver's

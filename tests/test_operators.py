@@ -476,3 +476,64 @@ def test_lsh_multi_probe_improves_recall(spark):
     r0, r6 = recall(0), recall(6)
     assert r6 >= r0, (r0, r6)
     assert r6 > 0.5  # Hamming-1 probing should recover most neighbors
+
+
+def test_multi_ntile_matches_window(spark):
+    """multi_ntile's one-job/three-orderings path ≡ single-partition
+    F.ntile for every spec, including ties, N % n != 0, and a
+    fewer-rows-than-tiles frame."""
+    from pyspark.sql.window import Window
+
+    from simtradedata_spark.operators.topk import multi_ntile
+
+    rng = np.random.RandomState(23)
+    n = 233
+    pdf = pd.DataFrame(
+        {
+            "id": range(n),
+            "a": rng.randint(0, 25, n).astype(float),  # heavy ties
+            "b": rng.normal(size=n),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    wa = Window.orderBy(F.col("a"), F.col("id"))
+    wb = Window.orderBy(F.col("b"), F.col("id"))
+    expect = (
+        sdf.select(
+            "id",
+            F.ntile(5).over(wa).alias("ta"),
+            F.ntile(7).over(wb).alias("tb"),
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    got = (
+        multi_ntile(
+            sdf,
+            5,
+            {"ta": (F.col("a"), ["a", "id"])},
+            num_buckets=8,
+        )
+    )
+    got = (
+        multi_ntile(
+            got,
+            7,
+            {"tb": (F.col("b"), ["b", "id"])},
+            num_buckets=8,
+        )
+        .select("id", "ta", "tb")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert (got["ta"] == expect["ta"]).all()
+    assert (got["tb"] == expect["tb"]).all()
+    # fewer rows than tiles
+    few = spark.createDataFrame([(float(i), i) for i in range(3)], "v double, id int")
+    r = {
+        row["id"]: row["t"]
+        for row in multi_ntile(few, 10, {"t": (F.col("v"), ["v", "id"])}).collect()
+    }
+    assert r == {0: 1, 1: 2, 2: 3}

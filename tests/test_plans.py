@@ -171,8 +171,18 @@ def test_value_histogram_broadcasts_bounds(spark):
 
 
 def test_rfm_segments_no_single_partition_window(spark):
+    """The per-customer frame must never funnel through one task. The only
+    SinglePartition exchanges multi_ntile allows are the ≤num_buckets-row
+    per-bucket count frames feeding the broadcast offsets."""
+    import re
+
     p = plan(QUERIES["rfm_segments"][0](spark, SF))
-    assert "SinglePartition" not in p
+    # per-customer ranking shuffles are hash-partitioned by bucket: one per
+    # tile window plus one per per-bucket count aggregate
+    assert 3 <= p.count("Exchange hashpartitioning(__bkt") <= 6
+    for m in re.finditer(r"Exchange SinglePartition", p):
+        tail = p[m.end() : m.end() + 500]
+        assert "__cnt" in tail or "__bkt" in tail
 
 
 def test_filtered_revenue_pure_scan_aggregate(spark):
