@@ -5078,6 +5078,87 @@ WHERE unit_cents = mc AND p_size <= 15 AND p_type = 'STANDARD'
 """
 
 
+def q_rollup_refresh(spark, sf_dir):
+    """Hypertable continuous-aggregate path, oracle-certified end-to-end:
+    build hourly rollup STATE on events before Jan 20, fold the rest in
+    with ``refresh_rollup`` (cost O(new + touched buckets), never a
+    history rescan), then read derived values. The oracle is a flat
+    full-history SQL aggregate — so the incremental merge must be exactly
+    equivalent to recomputing from scratch. Values aggregate in integer
+    cents: mergeable integer state is also what survives cross-engine
+    float-summation-order differences."""
+    from simtradedata_spark.operators.hypertable import (
+        refresh_rollup,
+        rollup_read,
+        time_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("vc", cents("value"))
+    old = ev.filter(F.col("ts") < F.lit("2024-01-20"))
+    new = ev.filter(F.col("ts") >= F.lit("2024-01-20"))
+    state = time_rollup(old, ["event_type"], "ts", "vc", "hour")
+    state = refresh_rollup(state, new, ["event_type"], "ts", "vc", "hour")
+    out = rollup_read(state)
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        (F.col("total") / 100.0).alias("total_value"),
+        F.col("n").alias("n_events"),
+        F.round(F.col("total") / F.col("n") / 100.0, 6).alias("avg_value"),
+        (F.col("low") / 100.0).alias("min_value"),
+        (F.col("high") / 100.0).alias("max_value"),
+    )
+
+
+SQL_ROLLUP_REFRESH = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       sum(CAST(round(value*100) AS BIGINT))/100.0 AS total_value,
+       count(*) AS n_events,
+       round(sum(CAST(round(value*100) AS BIGINT))/count(*)/100.0, 6)
+         AS avg_value,
+       min(CAST(round(value*100) AS BIGINT))/100.0 AS min_value,
+       max(CAST(round(value*100) AS BIGINT))/100.0 AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_salted_priority_revenue(spark, sf_dir):
+    """Skew-salted fact⋈dim join, oracle-certified: lineitem ⋈ orders via
+    ``salted_join`` (hot keys split across 8 salts, dim side exploded ×8)
+    must return EXACTLY what the plain join returns — the oracle is the
+    unsalted SQL join. This is the mitigation for a hot orderkey at 100 TB
+    when AQE's skew split can't kick in (e.g. a broadcast-ineligible dim)."""
+    from simtradedata_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        salted_join(li, o, ["o_orderkey"], n_salts=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / 100.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_SALTED_PRIORITY_REVENUE = """
+SELECT o_orderpriority,
+       sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -5244,6 +5325,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_DORMANT_RICH_CUSTOMERS,
     ),
     "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "rollup_refresh": (q_rollup_refresh, SQL_ROLLUP_REFRESH),
+    "salted_priority_revenue": (
+        q_salted_priority_revenue,
+        SQL_SALTED_PRIORITY_REVENUE,
+    ),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
