@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from simtradedata_spark.functions.caching import release_scratch
 from simtradedata_spark.queries import QUERIES
 from simtradedata_spark.session import get_spark
 
@@ -23,7 +24,17 @@ from simtradedata_spark.session import get_spark
 def run_query(fn, spark, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+    dt = time.time() - t0
+    # Several operators persist()/localCheckpoint() intermediates (minhash
+    # signatures, CC edge lists, the RFM frame). Across a 120+-query session
+    # those pile up in storage memory and slow LATER queries by seconds
+    # (measured +30 s on the bench tail) — free the scratch between queries
+    # so each number reflects the query, not its predecessors' leftovers.
+    # Session-lifetime memos (synthetic-market checkpoint, PTrade pinned
+    # tables) are protected and survive; blanket clearCache() killed those
+    # and cost the market-query family +3 s each.
+    release_scratch(spark)
+    return dt
 
 
 def main() -> None:

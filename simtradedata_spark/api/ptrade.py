@@ -125,7 +125,16 @@ class PTradeDataAPI:
         if not self._cache_tables:
             return self.wh.read(name)
         if name not in self._cached:
-            self._cached[name] = self.wh.read(name).persist()
+            from simtradedata_spark.functions.caching import protect_new, snapshot
+
+            spark = self.wh.spark if hasattr(self.wh, "spark") else None
+            df = self.wh.read(name)
+            spark = spark or df.sparkSession
+            before = snapshot(spark)
+            df = df.persist()
+            df.count()  # materialize so the pinned blocks can be protected
+            protect_new(spark, before)
+            self._cached[name] = df
         return self._cached[name]
 
     def _table_range(self, name: str, start=None, end=None) -> DataFrame:

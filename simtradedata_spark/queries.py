@@ -1256,7 +1256,13 @@ def _market_bars(spark):
     key = _session_key(spark)
     df = _MARKET_BARS_MEMO.get(key)
     if df is None:
+        from simtradedata_spark.functions.caching import protect_new, snapshot
+
+        before = snapshot(spark)
         df = _small_market(spark).bars().localCheckpoint()
+        # session-lifetime cache: must survive release_scratch (freeing a
+        # checkpoint's blocks is unrecoverable — lineage is truncated)
+        protect_new(spark, before)
         _MARKET_BARS_MEMO[key] = df
     return df
 
