@@ -123,6 +123,41 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Offline-trained linear quality classifier (the fastText-proxy stage of a
+# curation pipeline). Coefficients ship as constants — at 100 TB the model
+# trains once on a labeled sample and INFERENCE is the distributed problem;
+# expressing it as columnar exprs keeps scoring inside whole-stage codegen,
+# no UDF, no model server in the hot path.
+QUALITY_LOGIT_WEIGHTS: dict[str, float] = {
+    "bias": -1.0,
+    "log_tokens": 0.45,
+    "punct_ratio": -6.0,
+    "digit_ratio": -4.0,
+}
+
+
+def logit_quality_score(
+    df: DataFrame, text_col: str = "text", weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Append ``quality_logit`` / ``quality_p`` / ``keep`` from a linear
+    model over the cheap text features. Features are rounded to 6dp BEFORE
+    the dot product so the logit is reproducible bit-for-bit across
+    engines/runs (the keep threshold sits on the raw logit's sign)."""
+    w = weights or QUALITY_LOGIT_WEIGHTS
+    d = char_stats(df, text_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.round(F.log1p(F.col("n_tokens")), 6)
+        + F.lit(w["punct_ratio"]) * F.round(F.col("punct_ratio"), 6)
+        + F.lit(w["digit_ratio"]) * F.round(F.col("digit_ratio"), 6)
+    )
+    return (
+        d.withColumn("quality_logit", z)
+        .withColumn("quality_p", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("quality_logit"))))
+        .withColumn("keep", (F.col("quality_logit") > 0).cast("int"))
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     key_col: str = "doc_id",
