@@ -260,12 +260,26 @@ def upsert_batch(
         merged = incremental_merge(batch_df.limit(0), batch_df, keys, order_by)
     else:
         merged = incremental_merge(existing, batch_df, keys, order_by)
+    _publish_version(merged, target, batch_id)
+
+
+def _publish_version(df: DataFrame, target: str, batch_id: int) -> None:
+    """Write a new snapshot dir and atomically repoint ``_CURRENT``."""
     version = f"v{batch_id:012d}"
-    merged.write.mode("overwrite").parquet(os.path.join(target, version))
+    df.write.mode("overwrite").parquet(os.path.join(target, version))
     tmp = _snapshot_pointer(target) + ".tmp"
     with open(tmp, "w") as fh:
         fh.write(version)
     os.replace(tmp, _snapshot_pointer(target))
+
+
+def _committed_batch(target: str) -> int:
+    """Highest batch id already folded into the published snapshot, or -1."""
+    ptr = _snapshot_pointer(target)
+    if not os.path.exists(ptr):
+        return -1
+    with open(ptr) as fh:
+        return int(fh.read().strip().lstrip("v"))
 
 
 def streaming_upsert(
@@ -291,6 +305,70 @@ def streaming_upsert(
     return (
         stream.writeStream.foreachBatch(
             lambda df, bid: upsert_batch(df, bid, target, keys, order_by)
+        )
+        .queryName(query_name)
+        .start()
+    )
+
+
+def rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    target: str,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    width: str = "hour",
+) -> None:
+    """Fold one micro-batch into the continuous-aggregate state
+    (operators/hypertable): union-merge the mergeable (sum, cnt, min, max)
+    state with the batch's delta rollup, publish, repoint.
+
+    Unlike ``upsert_batch`` (idempotent by key merge), a FOLD replayed
+    after a crash would double-count — so a batch id at or below the
+    committed pointer is skipped, which is the standard foreachBatch
+    exactly-once guard: Spark replays a failed batch with the SAME id,
+    and the pointer only advances after a durable publish."""
+    from simtradedata_spark.operators.hypertable import refresh_rollup, time_rollup
+
+    if batch_id <= _committed_batch(target):
+        return
+    spark = batch_df.sparkSession
+    existing = read_current(spark, target)
+    if existing is None:
+        state = time_rollup(batch_df, keys, ts_col, value_col, width)
+    else:
+        state = refresh_rollup(existing, batch_df, keys, ts_col, value_col, width)
+    _publish_version(state, target, batch_id)
+
+
+def streaming_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target: str,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    width: str = "hour",
+    query_name: str = "stream_rollup",
+):
+    """Continuous aggregate as a stream: file source → ``foreachBatch`` fold
+    into hypertable state. Readers hit the small state table (one row per
+    (keys, bucket)) through ``rollup_read`` — O(buckets), never the raw
+    stream history; the batch and streaming paths share the identical
+    merge code, so stream ≡ batch by construction (and by test)."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: rollup_batch(
+                df, bid, target, keys, ts_col, value_col, width
+            )
         )
         .queryName(query_name)
         .start()

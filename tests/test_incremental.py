@@ -244,3 +244,58 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     }
     assert closed, "watermark cut everything — fixture too small"
     assert got == closed
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    """Stream-folded hypertable state == one-shot batch rollup, and the
+    replay guard makes re-folding a committed batch a no-op."""
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.hypertable import rollup_read, time_rollup
+    from simtradedata_spark.streaming.incremental import (
+        read_current,
+        rollup_batch,
+        streaming_rollup,
+    )
+
+    src = str(tmp_path / "roll_src")
+    target = str(tmp_path / "roll_state")
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "vc", F.round(F.col("value") * 100).cast("long")
+    )
+    events.select("ts", "event_type", "vc").coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    q = streaming_rollup(
+        spark, src, schema, target, ["event_type"], "ts", "vc", "hour"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["event_type"], str(r["bucket"])): (r["total"], r["n"], r["low"], r["high"])
+        for r in rollup_read(read_current(spark, target)).collect()
+    }
+    want = {
+        (r["event_type"], str(r["bucket"])): (r["total"], r["n"], r["low"], r["high"])
+        for r in rollup_read(
+            time_rollup(
+                spark.read.parquet(src), ["event_type"], "ts", "vc", "hour"
+            )
+        ).collect()
+    }
+    assert got == want and len(got) > 10
+
+    # replaying an already-committed batch must not double-count
+    before = got
+    rollup_batch(
+        spark.read.parquet(src), 0, target, ["event_type"], "ts", "vc", "hour"
+    )
+    after = {
+        (r["event_type"], str(r["bucket"])): (r["total"], r["n"], r["low"], r["high"])
+        for r in rollup_read(read_current(spark, target)).collect()
+    }
+    assert after == before
