@@ -537,3 +537,30 @@ def test_multi_ntile_matches_window(spark):
         for row in multi_ntile(few, 10, {"t": (F.col("v"), ["v", "id"])}).collect()
     }
     assert r == {0: 1, 1: 2, 2: 3}
+
+
+def test_delta_join_refresh_properties(spark):
+    """IVM delta rule: refresh == full recompute for arbitrary splits,
+    including empty deltas and duplicate join keys (bag semantics)."""
+    from simtradedata_spark.operators.ivm import delta_join_refresh
+
+    a = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (3, "v")], "k int, av string"
+    )
+    b = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (2, 21.0), (4, 40.0)], "k int, bv double"
+    )
+    full = sorted(map(tuple, a.join(b, "k").collect()))
+
+    for pred_a, pred_b in [
+        (F.col("av") < "w", F.col("bv") < 20.5),   # both sides split
+        (F.lit(False), F.col("bv") < 20.5),        # empty old A
+        (F.col("av") < "w", F.lit(True)),          # empty delta B
+    ]:
+        a_old, da = a.filter(pred_a), a.filter(~pred_a)
+        b_old, db = b.filter(pred_b), b.filter(~pred_b)
+        view = a_old.join(b_old, "k")
+        got = sorted(
+            map(tuple, delta_join_refresh(view, a_old, da, b_old, db, "k").collect())
+        )
+        assert got == full
