@@ -1,0 +1,109 @@
+"""Registry-wide physical-plan linter.
+
+Builds (does not execute) every registered query's plan at the given sf dir
+and flags the structures that kill 100 TB runs:
+
+  - ``CartesianProduct``       — hard fail, no exceptions
+  - ``BroadcastNestedLoopJoin`` — fail unless allowlisted (legit only for
+    1-row scalar broadcasts, e.g. global thresholds / histogram bounds)
+  - ``Exchange SinglePartition`` — fail unless allowlisted (legit only for
+    bounded frames: per-bucket offset counts, global top-k merge, final
+    1-row aggregates)
+
+Per-query pushdown/broadcast specifics stay in tests/test_plans.py; this is
+the safety net that covers every NEW query automatically the moment it is
+registered.
+
+Usage: python tools/plan_lint.py [sf_dir]   (exit 1 on any finding)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from simtradedata_spark.queries import QUERIES
+from simtradedata_spark.session import get_spark
+
+# 1-row / bounded-scalar broadcasts where a nested-loop build is the point.
+ALLOW_BNLJ = {
+    "important_parts",       # global HAVING threshold (1 row)
+    "top_supplier_revenue",  # global max scalar (1 row)
+    "value_histogram",       # min/max bounds (1 row)
+    "dormant_rich_customers",  # integer-exact mean threshold (1 row)
+    "corpus_datacard",       # grand-total row for shares (1 row)
+    "table_profile",         # per-column totals vs table count (1 row)
+    # market-generator seed cross-joins: symbols × trading-days (both
+    # bounded dimensions — they ARE the row source, never fact × fact)
+    "synthetic_bars", "exrights_events", "valuation_table",
+    "fundamentals_asof", "income_statement_asof", "balance_statement_asof",
+    "cashflow_statement_asof", "eps_asof", "index_membership", "tick_vwap",
+    "rolling_beta", "factor_ic", "adjusted_bars_post",
+    # calendar densification: dates × group dims, both bounded (J6)
+    "region_daily_ffill",
+    # documented quadratic BASELINE path; lsh_ann/ivf_ann are the scale path
+    "cosine_top5",
+}
+
+# Bounded frames that legitimately pass through one partition.
+ALLOW_SINGLE_PARTITION = {
+    "rfm_segments",          # ≤num_buckets-row ntile offset frames
+    "sequence_packing",      # same two-pass cumsum offset frames
+    "price_quantiles",       # global sort-merge of 32 boundary rows
+    "customer_spend_deciles",  # ntile offsets (global_ntile)
+    "daily_factor_top3",     # bounded top-k driver merge
+    "region_daily_ffill",    # distinct-dates dim for the calendar seed
+    "conversion_funnel",     # final funnel rollup (few step-count rows)
+}
+
+
+def lint(sf_dir: str) -> dict[str, list[str]]:
+    spark = get_spark("plan-lint")
+    findings: dict[str, list[str]] = {}
+    for name, (fn, _sql) in QUERIES.items():
+        try:
+            plan = (
+                fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # a broken plan is itself a finding
+            findings.setdefault(name, []).append(f"plan build failed: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            findings.setdefault(name, []).append("CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in ALLOW_BNLJ:
+            findings.setdefault(name, []).append(
+                "BroadcastNestedLoopJoin (not allowlisted)"
+            )
+        n_sp = plan.count("Exchange SinglePartition")
+        if n_sp and name not in ALLOW_SINGLE_PARTITION:
+            # Auto-allow the unavoidable class: a KEYLESS (global scalar)
+            # aggregate merges its map-side partial buffers in one
+            # partition — bounded by #partitions, not by data. Each
+            # partial/final pair shows two "HashAggregate(keys=[]" nodes
+            # around one SinglePartition exchange.
+            keyless_pairs = plan.count("HashAggregate(keys=[]") // 2
+            if n_sp > keyless_pairs:
+                findings.setdefault(name, []).append(
+                    "Exchange SinglePartition (not allowlisted, "
+                    f"{n_sp} found vs {keyless_pairs} keyless-agg merges)"
+                )
+    return findings
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    findings = lint(sf_dir)
+    for name, flags in sorted(findings.items()):
+        for f in flags:
+            print(f"LINT {name}: {f}")
+    print(f"checked {len(QUERIES)} queries, {len(findings)} with findings")
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
