@@ -239,6 +239,31 @@ def read_current(spark: SparkSession, target: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target, version))
 
 
+def list_versions(target: str) -> list[int]:
+    """Committed snapshot versions, oldest first (the minimal transaction
+    log the pointer-commit protocol accumulates — every publish keeps its
+    ``v<batch_id>`` directory)."""
+    if not os.path.isdir(target):
+        return []
+    return sorted(
+        int(d.lstrip("v"))
+        for d in os.listdir(target)
+        if d.startswith("v") and d.lstrip("v").isdigit()
+    )
+
+
+def read_version(spark: SparkSession, target: str, batch_id: int) -> DataFrame:
+    """Time-travel read: the snapshot AS OF a committed batch id — the
+    store-level dual of the SCD2 ``at_time`` row-level slice. Reads the
+    greatest committed version ≤ ``batch_id`` (the state that batch saw
+    published), so replayed/skipped ids resolve like timestamps, not exact
+    keys."""
+    versions = [v for v in list_versions(target) if v <= batch_id]
+    if not versions:
+        raise ValueError(f"no committed version <= {batch_id} in {target}")
+    return spark.read.parquet(os.path.join(target, f"v{versions[-1]:012d}"))
+
+
 def upsert_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -299,3 +299,34 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         for r in rollup_read(read_current(spark, target)).collect()
     }
     assert after == before
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_version resolves the greatest committed version <= batch_id;
+    earlier snapshots stay readable after later commits (time travel)."""
+    from simtradedata_spark.streaming.incremental import (
+        list_versions,
+        read_version,
+        upsert_batch,
+    )
+
+    target = str(tmp_path / "tt_store")
+    b0 = spark.createDataFrame([("a", 1, 10.0)], "symbol string, d int, v double")
+    b1 = spark.createDataFrame(
+        [("a", 1, 11.0), ("b", 1, 20.0)], "symbol string, d int, v double"
+    )
+    upsert_batch(b0, 0, target, ["symbol", "d"])
+    upsert_batch(b1, 3, target, ["symbol", "d"])
+    assert list_versions(target) == [0, 3]
+
+    v0 = {(r["symbol"], r["v"]) for r in read_version(spark, target, 0).collect()}
+    assert v0 == {("a", 10.0)}
+    # ids 1/2 were never committed: resolve to the state as of batch 0
+    v2 = {(r["symbol"], r["v"]) for r in read_version(spark, target, 2).collect()}
+    assert v2 == v0
+    v3 = {(r["symbol"], r["v"]) for r in read_version(spark, target, 3).collect()}
+    assert v3 == {("a", 11.0), ("b", 20.0)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, target, -1)
