@@ -35,6 +35,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 UNIFIED_SCHEMA = (
@@ -178,11 +179,74 @@ class ProviderReader(DataSourceReader):
             )
 
 
+class ProviderStreamReader(SimpleDataSourceStreamReader):
+    """The provider scan as a STREAMING source (Spark 4
+    ``simpleStreamReader``): each micro-batch delivers one trading day's
+    rows for every requested symbol — the live-feed shape of the same
+    unified scan (a real deployment polls the provider for "what closed
+    today"; the offset is simply the last delivered date).
+
+    Replay safety comes from the provider's range-invariance: rows are a
+    pure function of (seed, symbol, date), so ``readBetweenOffsets`` —
+    Spark's crash-recovery path — regenerates EXACTLY the rows the lost
+    batch contained. Past ``end`` the reader returns an empty batch with an
+    unchanged offset, so ``processAllAvailable`` terminates (and a bounded
+    backtest feed can be streamed to completion)."""
+
+    def __init__(self, options):
+        self.symbols = [s for s in options.get("symbols", "").split(",") if s]
+        if not self.symbols:
+            raise ValueError("option 'symbols' (comma-separated) is required")
+        self.start = options.get("start", "2022-01-03")
+        self.end = options.get("end", "2022-12-30")
+        self.seed = int(options.get("seed", "42"))
+
+    def initialOffset(self) -> dict:
+        # offset = last delivered date (exclusive start for the next read)
+        first = _dt.date.fromisoformat(self.start)
+        return {"date": _prev_weekday(first).isoformat()}
+
+    def _next_day(self, after: str) -> _dt.date | None:
+        d = _dt.date.fromisoformat(after) + _dt.timedelta(days=1)
+        while d.weekday() >= 5:
+            d += _dt.timedelta(days=1)
+        return d if d <= _dt.date.fromisoformat(self.end) else None
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        # iter(list), never a generator: Spark's prefetch cache copy.copy()s
+        # the iterator and next()-probes the empty case — list iterators
+        # support both, generators neither
+        d = self._next_day(start["date"])
+        if d is None:
+            return iter([]), start
+        return iter(self._rows_between(start["date"], d.isoformat())), {
+            "date": d.isoformat()
+        }
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return iter(self._rows_between(start["date"], end["date"]))
+
+    def _rows_between(self, after: str, upto: str) -> list[tuple]:
+        out: list[tuple] = []
+        d = self._next_day(after)
+        while d is not None and d.isoformat() <= upto:
+            for sym in self.symbols:
+                out.extend(
+                    synthetic_provider_rows(
+                        sym, d.isoformat(), d.isoformat(), self.seed
+                    )
+                )
+            d = self._next_day(d.isoformat())
+        return out
+
+
 class ProviderDataSource(DataSource):
     """``spark.dataSource.register(ProviderDataSource)`` then
-    ``spark.read.format("simtrade_provider").option("symbols", "a,b").load()``.
-    Options: symbols (required, comma-separated), start, end, seed,
-    batch_size (symbols per input partition)."""
+    ``spark.read.format("simtrade_provider").option("symbols", "a,b").load()``
+    (batch) or ``spark.readStream.format("simtrade_provider")...`` (one
+    trading day per micro-batch). Options: symbols (required,
+    comma-separated), start, end, seed, batch_size (symbols per input
+    partition, batch reads only)."""
 
     @classmethod
     def name(cls) -> str:
@@ -193,3 +257,6 @@ class ProviderDataSource(DataSource):
 
     def reader(self, schema) -> ProviderReader:
         return ProviderReader(self.options)
+
+    def simpleStreamReader(self, schema) -> ProviderStreamReader:
+        return ProviderStreamReader(self.options)
