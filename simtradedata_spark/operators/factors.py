@@ -69,3 +69,24 @@ def top_n_by_factor(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    p: float = 0.05,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [p, 1−p] percentile band — the
+    standard outlier guard before cross-sectional z-scores (a fat-fingered
+    tick would otherwise own the whole z-scale). The exact interpolated
+    percentiles ride the SAME group window as any later moments: one
+    exchange on ``group_col`` total."""
+    w = Window.partitionBy(group_col)
+    lo = F.percentile(F.col(value_col), F.lit(p)).over(w)
+    hi = F.percentile(F.col(value_col), F.lit(1 - p)).over(w)
+    return df.withColumn(
+        out_col or f"{value_col}_wins",
+        F.least(F.greatest(F.col(value_col), lo), hi),
+    )

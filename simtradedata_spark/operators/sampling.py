@@ -81,3 +81,34 @@ def weighted_mixture(
         < frac * buckets
     )
     return exploded.filter((F.col("copy_idx") < n_full) | keep_frac)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample WITHOUT replacement, size k
+    (Efraimidis–Spirakis A-ES): each row draws a seeded uniform u from its
+    key and competes with key ``-ln(u)/w``; the k smallest win, which
+    selects each row with probability proportional to its weight. Executes
+    as TakeOrdered (per-partition k-heap, driver merge of k·p rows) — no
+    global sort, and the seeded u makes the sample partition/retry/
+    engine-invariant, the property ``rand()``-based sampling lacks at
+    100 TB."""
+    cs = [F.col(c) for c in key_cols]
+    if salt:
+        cs = [F.lit(salt)] + cs
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *cs)), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (h + 1.0) / (F.lit(float(2**32)) + 1.0)  # (0, 1], never ln(0)
+    es_key = -F.log(u) / weight
+    return (
+        df.withColumn("__esk", es_key)
+        .orderBy("__esk", *key_cols)
+        .limit(k)
+        .drop("__esk")
+    )

@@ -5308,6 +5308,118 @@ GROUP BY 1
 """
 
 
+def q_weighted_sample_docs(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling (operators/sampling.py):
+    200 docs drawn ∝ length, via seeded-uniform keys -ln(u)/w and a
+    TakeOrdered top-k — no global sort, no rand(), identical sample on any
+    partitioning/retry/engine. The oracle recomputes the identical md5
+    uniforms and ordering in SQL."""
+    from simtradedata_spark.operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = F.length("text").cast("double")
+    return weighted_sample(
+        docs.select("doc_id", F.length("text").alias("n_chars")),
+        ["doc_id"],
+        F.col("n_chars").cast("double"),
+        200,
+        salt="ws1",
+    )
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = """
+SELECT doc_id, n_chars
+FROM (
+  SELECT doc_id, length(text) AS n_chars,
+         -ln((('0x' || substr(md5(concat_ws('|', 'ws1',
+                CAST(doc_id AS VARCHAR))), 1, 8))::BIGINT + 1.0)
+             / (4294967296.0 + 1.0))
+           / CAST(length(text) AS DOUBLE) AS esk
+  FROM documents
+)
+ORDER BY esk, doc_id
+LIMIT 200
+"""
+
+
+def q_monthly_winsorized(spark, sf_dir):
+    """Cross-sectional winsorization (operators/factors.py): per ship
+    month, clip l_extendedprice to its exact interpolated [5%, 95%] band,
+    then compare raw vs winsorized means. Percentile and clip share one
+    month window; means go through integer cents so the cross-engine
+    comparison is exact (the clip bounds are identical doubles: both
+    engines interpolate lo + frac·(hi − lo) over the same sorted values)."""
+    from simtradedata_spark.operators.factors import winsorize
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_extendedprice",
+    )
+    wz = winsorize(li, "ship_month", "l_extendedprice", p=0.05)
+    return wz.groupBy("ship_month").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        (F.sum(cents("l_extendedprice")) / F.count(F.lit(1)) / 100.0)
+        .alias("raw_mean_approx"),
+        (F.sum(cents("l_extendedprice_wins")) / F.count(F.lit(1)) / 100.0)
+        .alias("wins_mean_approx"),
+    ).select(
+        "ship_month",
+        "n_items",
+        F.round("raw_mean_approx", 6).alias("raw_mean"),
+        F.round("wins_mean_approx", 6).alias("wins_mean"),
+    )
+
+
+SQL_MONTHLY_WINSORIZED = """
+WITH base AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_extendedprice
+  FROM lineitem
+), bounds AS (
+  SELECT ship_month,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM base GROUP BY 1
+)
+SELECT ship_month, count(*) AS n_items,
+       round(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+             / count(*) / 100.0, 6) AS raw_mean,
+       round(sum(CAST(round(least(greatest(l_extendedprice, lo), hi)*100)
+                 AS BIGINT)) / count(*) / 100.0, 6) AS wins_mean
+FROM base JOIN bounds USING (ship_month)
+GROUP BY ship_month
+"""
+
+
+def q_frequent_tokens(spark, sf_dir):
+    """Exact heavy hitters: tokens appearing in more than n/500 of all
+    token occurrences — one explode + count, threshold via broadcast
+    scalar. This is the exact dual of the bounded-memory sketch
+    (``df.freqItems`` / Misra–Gries, tested as a superset in
+    tests/test_operators.py); at 100 TB you run the sketch first and this
+    exact pass only over its candidates."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 500 > F.col("_total"))
+        .select("tok", "n")
+    )
+
+
+SQL_FREQUENT_TOKENS = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY 1
+), total AS (
+  SELECT count(*) AS t FROM toks
+)
+SELECT tok, n FROM counts, total WHERE n * 500 > t
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
@@ -5482,6 +5594,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "nearest_centroid": (q_nearest_centroid, SQL_NEAREST_CENTROID),
     "quality_classifier": (q_quality_classifier, SQL_QUALITY_CLASSIFIER),
     "ivm_join_view": (q_ivm_join_view, SQL_IVM_JOIN_VIEW),
+    "weighted_sample_docs": (q_weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
+    "monthly_winsorized": (q_monthly_winsorized, SQL_MONTHLY_WINSORIZED),
+    "frequent_tokens": (q_frequent_tokens, SQL_FREQUENT_TOKENS),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry

@@ -564,3 +564,52 @@ def test_delta_join_refresh_properties(spark):
             map(tuple, delta_join_refresh(view, a_old, da, b_old, db, "k").collect())
         )
         assert got == full
+
+
+def test_freq_items_sketch_superset_of_exact(spark):
+    """Misra–Gries-style freqItems (bounded memory) must contain every
+    exact heavy hitter — false positives allowed, false negatives never."""
+    from simtradedata_spark.operators.textstats import tokens as _tokens
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+    total = toks.count()
+    exact = {
+        r["tok"]
+        for r in toks.groupBy("tok").count().filter(F.col("count") * 100 > total).collect()
+    }
+    sketch = set(toks.freqItems(["tok"], support=0.01).first()["tok_freqItems"])
+    assert exact and exact <= sketch
+
+
+def test_winsorize_bounds_and_interior(spark):
+    """Winsorized values live inside the [p, 1-p] percentile band; interior
+    values pass through untouched; groups are independent."""
+    from simtradedata_spark.operators.factors import winsorize
+
+    rows = [("g1", float(v)) for v in range(1, 101)] + [("g2", 5.0)] * 10
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "g", "v", p=0.10).collect()
+    g1 = sorted(r["v_wins"] for r in out if r["g"] == "g1")
+    # exact interpolated percentiles of 1..100 at 0.10/0.90
+    lo, hi = 10.9, 90.1
+    assert abs(g1[0] - lo) < 1e-9 and abs(g1[-1] - hi) < 1e-9
+    assert 50.0 in g1  # interior untouched
+    assert all(r["v_wins"] == 5.0 for r in out if r["g"] == "g2")
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows are overrepresented; same seed → same sample; disjoint
+    salt → different sample."""
+    from simtradedata_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 100.0 if i % 10 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = {r["id"] for r in weighted_sample(df, ["id"], F.col("w"), 200).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, ["id"], F.col("w"), 200).collect()}
+    s3 = {r["id"] for r in weighted_sample(df, ["id"], F.col("w"), 200, salt="x").collect()}
+    assert s1 == s2 and s1 != s3 and len(s1) == 200
+    heavy_frac = sum(1 for i in s1 if i % 10 == 0) / 200
+    # heavy rows are 10% of the population with 100x weight → they should
+    # dominate the sample (population share of weight ≈ 91.7%)
+    assert heavy_frac > 0.5
