@@ -33,6 +33,7 @@ ALLOW_BNLJ = {
     "top_supplier_revenue",  # global max scalar (1 row)
     "value_histogram",       # min/max bounds (1 row)
     "dormant_rich_customers",  # integer-exact mean threshold (1 row)
+    "frequent_tokens",       # global token-count threshold (1 row)
     "corpus_datacard",       # grand-total row for shares (1 row)
     "table_profile",         # per-column totals vs table count (1 row)
     # market-generator seed cross-joins: symbols × trading-days (both
