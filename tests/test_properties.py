@@ -148,3 +148,73 @@ def test_asof_join_matches_merge_asof(spark, case):
     ).sort_values("t")
     expect = pd.merge_asof(lp, rp, on="t", by="symbol").reset_index(drop=True)
     assert list(got["val"].fillna(-1)) == list(expect["val"].fillna(-1))
+
+
+@st.composite
+def ivm_case(draw):
+    """Random bags for both join sides + random boolean split masks."""
+    n_a = draw(st.integers(2, 25))
+    n_b = draw(st.integers(2, 25))
+    a = [
+        (draw(st.integers(0, 6)), draw(st.integers(0, 99)))
+        for _ in range(n_a)
+    ]
+    b = [
+        (draw(st.integers(0, 6)), draw(st.integers(100, 199)))
+        for _ in range(n_b)
+    ]
+    ma = [draw(st.booleans()) for _ in range(n_a)]
+    mb = [draw(st.booleans()) for _ in range(n_b)]
+    return a, b, ma, mb
+
+
+@given(ivm_case())
+@RELAXED
+def test_delta_join_refresh_random_splits(spark, case):
+    """IVM delta rule == full recompute for ANY split of either side,
+    duplicate keys and all (bag semantics)."""
+    from simtradedata_spark.operators.ivm import delta_join_refresh
+
+    a_rows, b_rows, ma, mb = case
+    a = spark.createDataFrame(a_rows, "k int, av int")
+    b = spark.createDataFrame(b_rows, "k int, bv int")
+    full = sorted(map(tuple, a.join(b, "k").collect()))
+
+    a_pd = pd.DataFrame(a_rows, columns=["k", "av"])
+    b_pd = pd.DataFrame(b_rows, columns=["k", "bv"])
+    a_old = spark.createDataFrame(a_pd[pd.Series(ma)], "k int, av int") if any(ma) else a.limit(0)
+    da = spark.createDataFrame(a_pd[~pd.Series(ma)], "k int, av int") if not all(ma) else a.limit(0)
+    b_old = spark.createDataFrame(b_pd[pd.Series(mb)], "k int, bv int") if any(mb) else b.limit(0)
+    db = spark.createDataFrame(b_pd[~pd.Series(mb)], "k int, bv int") if not all(mb) else b.limit(0)
+
+    view = a_old.join(b_old, "k")
+    got = sorted(
+        map(tuple, delta_join_refresh(view, a_old, da, b_old, db, "k").collect())
+    )
+    assert got == full
+
+
+@given(
+    st.lists(st.integers(0, 15), min_size=1, max_size=120),
+    st.integers(2, 9),
+)
+@RELAXED
+def test_multi_ntile_random_ties(spark, values, n):
+    """multi_ntile == single-partition F.ntile for random tie-heavy data
+    and arbitrary tile counts (including n > N)."""
+    from pyspark.sql.window import Window
+
+    from simtradedata_spark.operators.topk import multi_ntile
+
+    pdf = pd.DataFrame({"id": range(len(values)), "v": [float(v) for v in values]})
+    sdf = spark.createDataFrame(pdf)
+    w = Window.orderBy(F.col("v"), F.col("id"))
+    expect = (
+        sdf.select("id", F.ntile(n).over(w).alias("t"))
+        .toPandas().set_index("id").sort_index()
+    )
+    got = (
+        multi_ntile(sdf, n, {"t": (F.col("v"), ["v", "id"])}, num_buckets=4)
+        .select("id", "t").toPandas().set_index("id").sort_index()
+    )
+    assert (got["t"] == expect["t"]).all()
