@@ -114,12 +114,28 @@ class PTradeDataAPI:
     mattering because the scan is already in memory; leave it off for
     one-shot analytical queries over cold data."""
 
-    def __init__(self, warehouse: Warehouse, cache_tables: bool = False):
+    def __init__(
+        self,
+        warehouse: Warehouse,
+        cache_tables: bool = False,
+        point_cache: bool = False,
+    ):
         self.wh = warehouse
         self.spark = warehouse.spark
         self._table_cache: dict[str, bool] = {}
         self._cache_tables = cache_tables
         self._cached: dict[str, DataFrame] = {}
+        # Client-side per-symbol daily-bar cache for POINT queries: the
+        # reference's v1.0 architecture is exactly this (SQLite + LRU,
+        # 30 ms point lookups); a Spark job floor is ~250 ms however small
+        # the data, so repeated get_price point calls — the backtest event
+        # loop's access pattern — pull each symbol's bounded daily history
+        # ONCE through the normal Spark path (fq handling included) and
+        # slice it in pandas after that (~1 ms). Strictly a client-edge
+        # cache: per-symbol history is a few thousand rows; the 100 TB
+        # answer remains the vectorized batch path.
+        self._point_cache = point_cache
+        self._sym_bars: dict[tuple[str, str], pd.DataFrame] = {}
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache_tables:
@@ -262,6 +278,12 @@ class PTradeDataAPI:
             fields = fields or BAR_FIELDS
         start = _to_date_str(start_date) if (start_date and count is None) else None
         end = _to_date_str(end_date) if end_date else None
+        if (
+            self._point_cache
+            and freq is None
+            and set(fields) <= set(BAR_FIELDS)
+        ):
+            return self._point_get_price(securities, fq, start, end, fields, count)
         bars = self._bars(securities, fq, start, end)
         if count is not None:
             if end:
@@ -330,6 +352,55 @@ class PTradeDataAPI:
                 for s in securities
             }
         return self._shape(pdf, securities, fields)
+
+    def _point_frame(self, symbol: str, fq) -> pd.DataFrame:
+        """One symbol's FULL daily history via the normal Spark path
+        (adjusted-cache / fq join included), pulled once and kept sorted by
+        trade_date with a string date column for slicing."""
+        key = (symbol, fq or "none")
+        pdf = self._sym_bars.get(key)
+        if pdf is None:
+            pdf = (
+                self._bars([symbol], fq, None, None)
+                .select("symbol", "trade_date", *BAR_FIELDS)
+                .orderBy("trade_date")
+                .toPandas()
+            )
+            pdf["__d"] = pdf["trade_date"].astype(str).str[:10]
+            self._sym_bars[key] = pdf
+        return pdf
+
+    def _point_get_price(
+        self,
+        securities: list[str],
+        fq,
+        start: str | None,
+        end: str | None,
+        fields: list[str],
+        count: int | None,
+    ):
+        """Pandas slice of the per-symbol cache, reproducing get_price's
+        daily range/count semantics exactly (count = bars strictly BEFORE
+        end, spec :1977)."""
+        parts = []
+        for sym in securities:
+            pdf = self._point_frame(sym, fq)
+            if count is not None:
+                if end:
+                    pdf = pdf[pdf["__d"] < end]
+                pdf = pdf.tail(count)
+            else:
+                if start:
+                    pdf = pdf[pdf["__d"] >= start]
+                if end:
+                    pdf = pdf[pdf["__d"] <= end]
+            parts.append(pdf)
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["trade_date", "symbol"], kind="mergesort")
+            .reset_index(drop=True)[["symbol", "trade_date", *fields]]
+        )
+        return self._shape(out, securities, fields)
 
     @staticmethod
     def _shape(pdf: pd.DataFrame, securities: list[str], fields: list[str]):

@@ -515,3 +515,43 @@ def test_ticks_respect_bar_envelope(api, market):
     susp = api.get_tick_direction(
         "000003.SZ", data_count=10, query_date=int(days[105].replace("-", "")))
     assert susp == {} or "000003.SZ" not in susp
+
+
+def test_point_cache_parity_and_no_spark_after_warm(api, warehouse):
+    """point_cache=True serves get_price point queries from the per-symbol
+    pandas cache: results identical to the Spark path (range, count, fq,
+    multi-security shapes), and after warm-up the cache path never touches
+    Spark again (proven by breaking _bars)."""
+    import pandas as pd
+
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+
+    pc = PTradeDataAPI(warehouse, point_cache=True)
+    sym, sym2 = "600000.SS", "600001.SS"
+    cases = [
+        dict(security=sym, start_date="2022-03-01", end_date="2022-03-31"),
+        dict(security=sym, end_date="2022-06-30", count=10),
+        dict(security=sym, start_date="2022-03-01", end_date="2022-03-31", fq="post"),
+        dict(security=[sym, sym2], start_date="2022-03-01", end_date="2022-03-15",
+             fields=["close"]),
+    ]
+    for kw in cases:
+        a = api.get_price(**kw)
+        b = pc.get_price(**kw)
+        pd.testing.assert_frame_equal(
+            a if isinstance(a, pd.DataFrame) else a["close"],
+            b if isinstance(b, pd.DataFrame) else b["close"],
+        )
+
+    # warm for both fq variants used above, then sever the Spark path
+    pc._bars = None  # any further Spark access would raise TypeError
+    got = pc.get_price(sym, start_date="2022-05-01", end_date="2022-05-31")
+    want = api.get_price(sym, start_date="2022-05-01", end_date="2022-05-31")
+    pd.testing.assert_frame_equal(got, want)
+    # resampled/minute frequencies and non-bar fields still go to Spark:
+    # the cache must NOT have hijacked them
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        pc.get_price(sym, start_date="2022-05-01", end_date="2022-05-31",
+                     frequency="1w")
