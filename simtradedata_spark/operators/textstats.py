@@ -365,3 +365,48 @@ def tfidf_top_terms(
     return top_k_per_group(
         scored, [id_col], k, F.col("tfidf").desc(), F.col("term").asc()
     ).select(id_col, "term", "tf", "df", "tfidf", F.col("rk").alias("rank"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nll_threshold: float = 3.45,
+) -> DataFrame:
+    """Unigram language-model document scoring — the CCNet/KenLM-style
+    perplexity filter at its order-0 baseline (beyond-reference LLM-pipeline
+    mandate). Train token probabilities on the corpus itself with one
+    aggregation over the exploded token stream, then score each document by
+    the mean negative log-likelihood of its tokens: high-NLL documents are
+    "surprising" under the corpus LM (OCR noise, symbol soup, off-language
+    text) and get ``keep = 0``.
+
+    Plan: explode → per-token counts with map-side combine. The trained LM
+    is VOCABULARY-sized — the only global state; at 100 TB it is a few
+    hundred MB and broadcasts, exactly like the TF-IDF dictionary above —
+    so scoring is a broadcast hash join on the token, and the per-doc mean
+    is the single corpus-sized shuffle (on the doc id). The corpus total N
+    folds in algebraically as ``ln N − avg(ln c)``, so no second corpus
+    pass and no per-row division by a global.
+
+    Returns (id_col, n_tokens, avg_nll, ppl, keep); zero-token documents
+    carry no likelihood and are excluded in both engines.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
+    freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    n_total = int(freq.agg(F.sum("__c")).collect()[0][0] or 0)
+    nll = F.log(F.lit(float(n_total))) - F.avg(
+        F.log(F.col("__c").cast("double"))
+    )
+    scored = (
+        tok.join(F.broadcast(freq), "__t")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), nll.alias("__nll"))
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round("__nll", 6).alias("avg_nll"),
+        F.round(F.exp("__nll"), 3).alias("ppl"),
+        (F.round("__nll", 6) <= F.lit(nll_threshold)).cast("int").alias("keep"),
+    )

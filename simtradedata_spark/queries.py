@@ -5420,7 +5420,180 @@ SELECT tok, n FROM counts, total WHERE n * 500 > t
 """
 
 
+def q_perplexity_scores(spark, sf_dir):
+    """Unigram-LM perplexity filter (textstats::unigram_logprob) — the
+    CCNet/KenLM-style model-based quality stage at its order-0 baseline:
+    the corpus trains its own token LM (vocabulary-sized, broadcast), each
+    doc is scored by mean token NLL, and the keep threshold (3.45 nats)
+    sits in a measured gap of the score distribution so the flag is
+    rounding-tie-proof cross-engine."""
+    from simtradedata_spark.operators.textstats import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
+
+
+SQL_PERPLEXITY_SCORES = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+), freq AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), n AS (
+  SELECT count(*) AS n_total FROM tok
+), scored AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         ln(CAST(n.n_total AS DOUBLE)) - avg(ln(CAST(freq.c AS DOUBLE))) AS nll
+  FROM tok JOIN freq USING (t) CROSS JOIN n
+  GROUP BY tok.doc_id, n.n_total
+)
+SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
+       round(exp(nll), 3) AS ppl,
+       CAST(round(nll, 6) <= 3.45 AS INT) AS keep
+FROM scored
+"""
+
+
+def q_momentum_portfolio(spark, sf_dir):
+    """Cross-sectional momentum portfolio — the rebalance-join pattern a
+    factor backtest needs: at each month-end, rank symbols by trailing
+    20-day return, hold the top quintile equal-weighted until the next
+    month-end, report the portfolio's holding-period return. Two per-symbol
+    sort windows (momentum on the daily grid, holding return on the
+    month-end grid) + one per-date rank window; ranking compares doubles
+    produced by identical algebra on identical 4dp inputs, so it is exact
+    cross-engine, and only the final equal-weight mean is rounded."""
+    m = _small_market(spark)
+    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    ws = Window.partitionBy("symbol").orderBy("day_idx")
+    b = (
+        bars.select("symbol", "trade_date", "day_idx", "close")
+        .withColumn("mom", F.col("close") / F.lag("close", 20).over(ws) - 1)
+        .withColumn("month", F.date_format("trade_date", "yyyy-MM"))
+    )
+    wme = Window.partitionBy("symbol", "month").orderBy(F.col("day_idx").desc())
+    me = b.withColumn("rn_me", F.row_number().over(wme)).filter(F.col("rn_me") == 1)
+    held = me.withColumn(
+        "hold_ret", F.lead("close").over(ws) / F.col("close") - 1
+    ).filter(F.col("mom").isNotNull() & F.col("hold_ret").isNotNull())
+    wd = Window.partitionBy("trade_date").orderBy(F.col("mom").desc(), "symbol")
+    wn = Window.partitionBy("trade_date")
+    ranked = held.withColumn("rk", F.row_number().over(wd)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    return (
+        ranked.filter(F.col("rk") * 5 <= F.col("n"))
+        .groupBy(F.col("trade_date").alias("formation_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.avg("hold_ret"), 6).alias("port_ret"),
+        )
+    )
+
+
+SQL_MOMENTUM_PORTFOLIO = _SQL_MARKET_CTES + """
+, b AS (
+  SELECT symbol, trade_date, day_idx, close,
+         close / lag(close, 20) OVER (PARTITION BY symbol ORDER BY day_idx) - 1
+           AS mom,
+         strftime(trade_date, '%Y-%m') AS month
+  FROM bars_out
+), me AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY symbol, month
+                                 ORDER BY day_idx DESC) AS rn_me
+    FROM b) WHERE rn_me = 1
+), held AS (
+  SELECT *, lead(close) OVER (PARTITION BY symbol ORDER BY day_idx) / close - 1
+              AS hold_ret
+  FROM me
+), ranked AS (
+  SELECT trade_date, mom, hold_ret,
+         row_number() OVER (PARTITION BY trade_date
+                            ORDER BY mom DESC, symbol) AS rk,
+         count(*) OVER (PARTITION BY trade_date) AS n
+  FROM held WHERE mom IS NOT NULL AND hold_ret IS NOT NULL
+)
+SELECT trade_date AS formation_date, count(*) AS n_members,
+       round(avg(hold_ret), 6) AS port_ret
+FROM ranked WHERE rk * 5 <= n GROUP BY trade_date
+"""
+
+
+def q_cluster_representatives(spark, sf_dir):
+    """Quality-aware duplicate retention: for each near-dup cluster
+    (MinHash-LSH candidates transitively closed, graph::dedup_clusters),
+    keep the HIGHEST-quality member (textstats::quality_score, ties → min
+    doc id) instead of the blind keep-first policy — the selection step a
+    real dedup pipeline runs between clustering and the cleaned-corpus
+    write. quality_score is 6dp-rounded in both engines before comparison,
+    so the rank is exact."""
+    from simtradedata_spark.operators.graph import dedup_clusters
+    from simtradedata_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5,
+        hash_fn="md5",
+    )
+    clusters = dedup_clusters(pairs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id").select("cluster_id", "doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    ranked = j.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n_members", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("doc_id").alias("rep_doc"),
+        F.col("quality_score").alias("rep_score"),
+        (F.col("doc_id") != F.col("cluster_id")).cast("int").alias(
+            "quality_beats_first"
+        ),
+    )
+
+
+SQL_CLUSTER_REPRESENTATIVES = f"""
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}), qs AS (
+  SELECT doc_id,
+         round(least(len({_DUCK_TOKENS}) / 20.0, 1.0)
+               * least(2000.0 / greatest(len({_DUCK_TOKENS}), 1), 1.0)
+               * greatest(0.0, 1.0 - punct_ratio * 5)
+               * greatest(0.0, 1.0 - digit_ratio * 3), 6) AS quality_score
+  FROM (
+    SELECT doc_id, text,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio
+    FROM documents)
+), j AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+  FROM clusters c JOIN qs q USING (doc_id)
+)
+SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       doc_id AS rep_doc, quality_score AS rep_score,
+       CAST(doc_id <> cluster_id AS INT) AS quality_beats_first
+FROM j WHERE rk = 1
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
+    "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
+    "cluster_representatives": (
+        q_cluster_representatives,
+        SQL_CLUSTER_REPRESENTATIVES,
+    ),
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "brand_type_revenue": (q_brand_type_revenue, SQL_BRAND_TYPE_REVENUE),
     "region_revenue": (q_region_revenue, SQL_REGION_REVENUE),
@@ -5608,6 +5781,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
     # round-3 additions first
+    "perplexity_scores",
+    "momentum_portfolio",
+    "cluster_representatives",
     "income_statement_asof",
     "baostock_fixture_bars",
     "return_correlations",

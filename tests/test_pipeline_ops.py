@@ -254,3 +254,65 @@ def test_char_ngram_overlap_exact_substring(spark):
     assert 1 in got and got[1] >= 1
     assert 2 not in got
     assert 3 not in got  # sub-window-length overlap must NOT flag
+
+
+def test_unigram_logprob_hand_oracle(spark):
+    from math import log
+
+    from simtradedata_spark.operators.textstats import unigram_logprob
+
+    # corpus: "a a b" + "a c" → counts a=3, b=1, c=1, N=5
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    # doc 3 is whitespace-only → no tokens → excluded
+    assert set(out) == {1, 2}
+    nll1 = log(5) - (log(3) + log(3) + log(1)) / 3
+    nll2 = log(5) - (log(3) + log(1)) / 2
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert abs(out[1]["avg_nll"] - round(nll1, 6)) < 1e-9
+    assert abs(out[2]["avg_nll"] - round(nll2, 6)) < 1e-9
+    # rarer-token doc scores higher NLL (more "surprising")
+    assert out[2]["avg_nll"] > out[1]["avg_nll"]
+
+
+def test_unigram_logprob_keep_threshold(spark):
+    from simtradedata_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x x x x x"), (2, "q w e r t y u i")],
+        "doc_id long, text string",
+    )
+    # doc 1 repeats one dominant token (low NLL); doc 2 is all hapaxes
+    out = {r["doc_id"]: r for r in unigram_logprob(docs, nll_threshold=1.0).collect()}
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+    assert out[2]["ppl"] > out[1]["ppl"]
+
+
+def test_cluster_representatives_prefers_quality(spark):
+    """The quality-aware retention step: given a chain cluster, the rep is
+    the highest-quality member, not the min id."""
+    from simtradedata_spark.operators.graph import dedup_clusters
+    from simtradedata_spark.operators.textstats import quality_score
+    from pyspark.sql import Window
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    # doc 3 has the best length score (closest to the 20-token sweet spot)
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, " ".join("word" for _ in range(20)))],
+        "doc_id long, text string",
+    )
+    clusters = dedup_clusters(pairs)
+    q = quality_score(docs).select("doc_id", "quality_score")
+    j = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    )
+    assert len(top) == 1
+    assert top[0]["cluster_id"] == 1 and top[0]["doc_id"] == 3

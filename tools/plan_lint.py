@@ -41,7 +41,7 @@ ALLOW_BNLJ = {
     "synthetic_bars", "exrights_events", "valuation_table",
     "fundamentals_asof", "income_statement_asof", "balance_statement_asof",
     "cashflow_statement_asof", "eps_asof", "index_membership", "tick_vwap",
-    "rolling_beta", "factor_ic", "adjusted_bars_post",
+    "rolling_beta", "factor_ic", "adjusted_bars_post", "momentum_portfolio",
     # calendar densification: dates × group dims, both bounded (J6)
     "region_daily_ffill",
     # documented quadratic BASELINE path; lsh_ann/ivf_ann are the scale path
