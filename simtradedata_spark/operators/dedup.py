@@ -177,34 +177,20 @@ def minhash_signatures(
     return df.select(id_col).join(sigs, id_col, "left")
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
+def minhash_band_postings(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.7,
-    seed: int = 7,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash-LSH.
-
-    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
-    rows → explode (band_id, band_hash) → self-equi-join on the band bucket →
-    verify estimated Jaccard (signature agreement) ≥ threshold.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
-    """
+    """(id, minhash) → (id, minhash, band_id, band_hash) LSH postings: split
+    the signature into ``bands`` bands of ``num_hashes/bands`` rows, hash
+    each band. This IS the dedup index layout — written to a warehouse
+    table it serves incremental probes (``minhash_probe_index``) without
+    re-signing the corpus."""
     r = num_hashes // bands
-    # Persist the signatures: the band bucket join is a SELF-join, and without
-    # materialization Spark recomputes the whole shingle→hash→agg pipeline for
-    # both sides. Signature storage is 8·num_hashes bytes/doc — always cheap.
-    sigd = (
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
-        .filter(F.col("minhash").isNotNull())
-        .persist()
-    )
-    banded = sigd.select(
+    return sigs.select(
         F.col(id_col),
         F.col("minhash"),
         F.explode(
@@ -226,6 +212,113 @@ def minhash_lsh_candidates(
             )
         ).alias("band"),
     ).select(id_col, "minhash", "band.band_id", "band.band_hash")
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Build the persistent LSH index of a curated corpus: signature + band
+    postings per document. At 100 TB this table is what incremental ingest
+    probes — 8·num_hashes bytes of signature and ``bands`` posting rows per
+    doc, partitionable by band_hash — instead of re-shingling the whole
+    corpus every batch (the N2 resume property, applied to near-dup state).
+    """
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    ).filter(F.col("minhash").isNotNull())
+    return minhash_band_postings(sigs, id_col, num_hashes, bands, hash_fn)
+
+
+def minhash_probe_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup detection: sign a NEW batch and probe it against
+    an existing corpus index (``minhash_index`` output, same parameters).
+    Returns (new_id, indexed_id, est_jaccard) — batch-internal duplicates
+    are deliberately NOT reported (run the self-join ``minhash_lsh_candidates``
+    on the batch for those; a batch is tiny next to the corpus).
+
+    Plan: only the batch is re-shingled; the corpus contributes its stored
+    postings through one equi-join on (band_id, band_hash). With the index
+    bucketed on band_hash the join co-locates and the probe cost scales with
+    the BATCH, not the corpus — the property that makes daily ingest dedup
+    feasible at 100 TB.
+    """
+    probe = minhash_index(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_n, seed, hash_fn
+    )
+    a = probe.alias("a")
+    b = index.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("new_id"),
+            F.col(f"b.{id_col}").alias("indexed_id"),
+            F.col("a.minhash").alias("sig_a"),
+            F.col("b.minhash").alias("sig_b"),
+        )
+        .dropDuplicates(["new_id", "indexed_id"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    return (
+        pairs.withColumn("est_jaccard", agree / F.lit(float(num_hashes)))
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("new_id", "indexed_id", "est_jaccard")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    seed: int = 7,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH.
+
+    Pipeline: signature → split into ``bands`` bands of ``num_hashes/bands``
+    rows → explode (band_id, band_hash) → self-equi-join on the band bucket →
+    verify estimated Jaccard (signature agreement) ≥ threshold.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
+    """
+    # Persist the signatures: the band bucket join is a SELF-join, and without
+    # materialization Spark recomputes the whole shingle→hash→agg pipeline for
+    # both sides. Signature storage is 8·num_hashes bytes/doc — always cheap.
+    sigd = (
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
+        .filter(F.col("minhash").isNotNull())
+        .persist()
+    )
+    banded = minhash_band_postings(sigd, id_col, num_hashes, bands, hash_fn)
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -99,6 +99,58 @@ class Warehouse:
             if os.path.isdir(os.path.join(self.root, d))
         )
 
+    def compact(self, table: str, target_file_bytes: int = 128 << 20) -> dict:
+        """Small-file compaction — the operational fix for incremental
+        ingest's 100 TB killer: every append/merge batch leaves files far
+        below row-group-efficient size, and scans then pay a per-file
+        open + footer + task cost that dwarfs the data read. Each partition
+        directory is rewritten into ``ceil(bytes / target_file_bytes)``
+        files, preserving the (symbol, trade_date) in-file sort so parquet
+        min/max stats keep pruning symbol predicates. Partitions already at
+        or below the target file count are left untouched (idempotent; a
+        scheduled run costs nothing once the table is compact). The rewrite
+        is per-partition dir-swap — the same non-transactional replace
+        semantics as ``write(mode="overwrite")``; pair with table-level
+        locking or a metastore for concurrent readers.
+        """
+        import math
+        import shutil
+
+        root = self.path(table)
+        part_dirs = sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)) and "=" in d
+        ) or [root]
+        stats = {"files_before": 0, "files_after": 0, "partitions_rewritten": 0}
+        sort_cols = [
+            c for c in ("symbol", "trade_date")
+            if c in self.spark.read.parquet(root).columns
+        ]
+        for pdir in part_dirs:
+            files = [
+                f for f in os.listdir(pdir) if f.endswith(".parquet")
+            ]
+            nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+            n_target = max(1, math.ceil(nbytes / target_file_bytes))
+            stats["files_before"] += len(files)
+            if n_target >= len(files):
+                stats["files_after"] += len(files)
+                continue
+            df = self.spark.read.parquet(pdir)
+            staging = pdir + ".compact-tmp"
+            w = df.repartition(n_target)
+            if sort_cols:
+                w = w.sortWithinPartitions(*sort_cols)
+            w.write.mode("overwrite").parquet(staging)
+            shutil.rmtree(pdir)
+            os.rename(staging, pdir)
+            stats["files_after"] += sum(
+                1 for f in os.listdir(pdir) if f.endswith(".parquet")
+            )
+            stats["partitions_rewritten"] += 1
+        return stats
+
 
 def build_warehouse(
     spark: SparkSession, root: str, market=None, warehouse: Warehouse | None = None

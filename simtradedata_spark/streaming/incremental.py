@@ -252,6 +252,28 @@ def list_versions(target: str) -> list[int]:
     )
 
 
+def vacuum_versions(target: str, keep: int = 2) -> list[int]:
+    """Retention for the versioned snapshot store: delete committed version
+    directories older than the newest ``keep``, NEVER the one ``_CURRENT``
+    points to, and sweep orphaned ``_staging-*`` dirs from crashed writers.
+    Shrinks the time-travel horizon to the retained versions (the Delta
+    VACUUM trade-off, stated rather than hidden). Returns removed ids."""
+    import shutil
+
+    versions = list_versions(target)
+    current = _committed_batch(target)
+    retained = set(versions[-keep:]) | ({current} if current >= 0 else set())
+    removed = []
+    for v in versions:
+        if v not in retained:
+            shutil.rmtree(os.path.join(target, f"v{v:012d}"))
+            removed.append(v)
+    for d in os.listdir(target) if os.path.isdir(target) else []:
+        if d.startswith("_staging-"):
+            shutil.rmtree(os.path.join(target, d))
+    return removed
+
+
 def read_version(spark: SparkSession, target: str, batch_id: int) -> DataFrame:
     """Time-travel read: the snapshot AS OF a committed batch id — the
     store-level dual of the SCD2 ``at_time`` row-level slice. Reads the

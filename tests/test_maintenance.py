@@ -1,0 +1,92 @@
+"""Operational maintenance surfaces: small-file compaction (Warehouse) and
+snapshot-store retention (vacuum_versions) — the jobs a 100 TB deployment
+schedules nightly."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from simtradedata_spark.sources.tables import Warehouse
+from simtradedata_spark.streaming.incremental import (
+    list_versions,
+    read_current,
+    read_version,
+    upsert_batch,
+    vacuum_versions,
+)
+
+
+def _parquet_files(root):
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_merges_small_files_preserving_data(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.range(2000).select(
+        F.concat(F.lit("S"), (F.col("id") % 7).cast("string")).alias("symbol"),
+        F.date_add(F.lit("2022-01-01").cast("date"), (F.col("id") % 600).cast("int")).alias(
+            "trade_date"
+        ),
+        (F.col("id") * 1.5).alias("close"),
+        F.col("id"),
+    )
+    # simulate incremental ingest debris: 12 append batches → 12 tiny
+    # files per year partition
+    wh.write("bars", df.filter(F.col("id") % 12 == 0))
+    for i in range(1, 12):
+        wh.write("bars", df.filter(F.col("id") % 12 == i), mode="append")
+    before = wh.read("bars").orderBy("id").collect()
+    n_before = len(_parquet_files(wh.path("bars")))
+    assert n_before >= 20
+
+    stats = wh.compact("bars", target_file_bytes=128 << 20)
+    n_after = len(_parquet_files(wh.path("bars")))
+    assert stats["partitions_rewritten"] >= 1
+    assert n_after < n_before
+    # one file per year partition at this size
+    years = [d for d in os.listdir(wh.path("bars")) if d.startswith("trade_year=")]
+    assert n_after == len(years)
+    # data identical, partition column intact, pruned reads still work
+    assert wh.read("bars").orderBy("id").collect() == before
+    pruned = wh.read_range("bars", "2022-01-01", "2022-12-31")
+    assert pruned.select(F.min("trade_date"), F.max("trade_date")).first()[1].year == 2022
+
+    # idempotent: second run rewrites nothing
+    again = wh.compact("bars", target_file_bytes=128 << 20)
+    assert again["partitions_rewritten"] == 0
+    assert again["files_after"] == again["files_before"]
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh2"))
+    dim = spark.range(500).select(F.col("id"), (F.col("id") % 3).alias("grp"))
+    wh.write("stock_metadata", dim.repartition(16))
+    assert len(_parquet_files(wh.path("stock_metadata"))) >= 16
+    wh.compact("stock_metadata")
+    assert len(_parquet_files(wh.path("stock_metadata"))) == 1
+    assert wh.read("stock_metadata").count() == 500
+
+
+def test_vacuum_keeps_current_and_horizon(spark, tmp_path):
+    tgt = str(tmp_path / "snap")
+    for b in range(4):
+        batch = spark.createDataFrame(
+            [(1, f"v{b}"), (b + 10, "x")], "k long, payload string"
+        )
+        upsert_batch(batch, b, tgt, keys=["k"])
+    assert list_versions(tgt) == [0, 1, 2, 3]
+    # orphaned staging dir from a crashed sink writer gets swept
+    os.makedirs(os.path.join(tgt, "_staging-deadbeef"))
+
+    removed = vacuum_versions(tgt, keep=2)
+    assert removed == [0, 1]
+    assert list_versions(tgt) == [2, 3]
+    assert not any(d.startswith("_staging-") for d in os.listdir(tgt))
+    # the published table is untouched
+    cur = read_current(spark, tgt)
+    assert {r["payload"] for r in cur.filter("k = 1").collect()} == {"v3"}
+    # time travel still works within the retained horizon
+    assert read_version(spark, tgt, 2).filter("k = 1").first()["payload"] == "v2"

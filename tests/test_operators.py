@@ -613,3 +613,44 @@ def test_weighted_sample_bias_and_determinism(spark):
     # heavy rows are 10% of the population with 100x weight → they should
     # dominate the sample (population share of weight ≈ 91.7%)
     assert heavy_frac > 0.5
+
+
+def test_minhash_probe_index_incremental(spark):
+    """Incremental dedup: a new batch probed against the persisted corpus
+    index finds cross near-dups without re-signing the corpus, and agrees
+    with the full self-join restricted to cross pairs."""
+    from simtradedata_spark.operators.dedup import minhash_index, minhash_probe_index
+
+    corpus_rows = [
+        (i, f"unique corpus document number {i} with distinct content piece {i * 7}")
+        for i in range(20)
+    ]
+    corpus_rows.append(
+        (100, "the quick brown fox jumps over the lazy dog in the morning sun")
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (200, "the quick brown fox jumps over the lazy dog in the morning light"),
+            (201, "a completely fresh document about structured streaming state"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+    hits = minhash_probe_index(
+        batch, idx, "doc_id", "text", num_hashes=64, bands=16, jaccard_threshold=0.5
+    ).collect()
+    assert {(r["new_id"], r["indexed_id"]) for r in hits} == {(200, 100)}
+    assert all(r["est_jaccard"] >= 0.5 for r in hits)
+
+    # parity with the monolithic self-join on corpus ∪ batch (cross pairs)
+    full = minhash_lsh_candidates(
+        corpus.union(batch), "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5,
+    ).collect()
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in full
+        if (r["id_a"] >= 200) != (r["id_b"] >= 200)
+    }
+    assert cross == {(r["new_id"], r["indexed_id"]) for r in hits}
