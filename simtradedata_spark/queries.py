@@ -5537,7 +5537,11 @@ def q_cluster_representatives(spark, sf_dir):
         hash_fn="md5",
     )
     clusters = dedup_clusters(pairs)
-    q = quality_score(docs).select("doc_id", "quality_score")
+    # Score only cluster MEMBERS: quality over the full corpus is O(corpus),
+    # membership is O(duplicates) — semi-filter first so the tokenizing
+    # feature scan touches only docs that need a retention decision.
+    members = docs.join(clusters.select("doc_id"), "doc_id", "left_semi")
+    q = quality_score(members).select("doc_id", "quality_score")
     j = clusters.join(q, "doc_id").select("cluster_id", "doc_id", "quality_score")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()

@@ -66,6 +66,7 @@ def streaming_interval_join(
     lookback: str = "30 seconds",
     watermark: str = "2 minutes",
     query_name: str = "stream_ijoin",
+    how: str = "inner",
 ):
     """interval_join over two file streams → memory sink (same harness shape
     as streaming_minute_bars)."""
@@ -81,7 +82,7 @@ def streaming_interval_join(
         .option("maxFilesPerTrigger", 1)
         .load(right_dir)
     )
-    out = interval_join(l, r, keys, left_ts, right_ts, lookback, watermark)
+    out = interval_join(l, r, keys, left_ts, right_ts, lookback, watermark, how)
     return (
         out.writeStream.outputMode("append")
         .format("memory")

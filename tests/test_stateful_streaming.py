@@ -213,3 +213,73 @@ def test_session_exact_gap_merges(spark):
     assert rows["2024-01-01T00:00:00"]["n_events"] == 2
     assert rows["2024-01-01T00:00:00"]["session_end"].isoformat() == "2024-01-01T01:00:00"
     assert rows["2024-01-01T01:30:00"]["n_events"] == 1
+
+
+def test_interval_left_outer_join_stream_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join: a trade with no quote inside
+    its lookback must surface with null bid/ask — in batch immediately, in
+    streaming once the watermark closes its window. Same function, same
+    results."""
+    import datetime
+    import time
+
+    from simtradedata_spark.streaming.joins import (
+        interval_join,
+        streaming_interval_join,
+    )
+
+    base = datetime.datetime(2024, 1, 2, 9, 30)
+    sec = lambda s: base + datetime.timedelta(seconds=s)
+    trades = spark.createDataFrame(
+        [
+            ("600000.SS", sec(10), 100.0),   # quote at sec(5) is in lookback
+            ("600000.SS", sec(300), 101.0),  # nearest quote 295s stale → null
+            ("000001.SZ", sec(40), 50.0),    # other-symbol quotes must not match
+        ],
+        "symbol string, t_ts timestamp, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            ("600000.SS", sec(5), 99.5, 100.5),
+            ("000001.SZ", sec(35), 49.5, 50.5),
+        ],
+        "symbol string, q_ts timestamp, bid double, ask double",
+    )
+
+    expect = interval_join(
+        trades, quotes, ["symbol"], "t_ts", "q_ts",
+        lookback="30 seconds", how="left_outer",
+    )
+    expect_set = {
+        (r["symbol"], r["t_ts"], r["q_ts"], r["bid"]) for r in expect.collect()
+    }
+    assert ("600000.SS", sec(300), None, None) in expect_set
+    assert len(expect_set) == 3
+
+    tdir, qdir = str(tmp_path / "lo_trades"), str(tmp_path / "lo_quotes")
+    trades.coalesce(1).write.mode("overwrite").parquet(tdir)
+    quotes.coalesce(1).write.mode("overwrite").parquet(qdir)
+    time.sleep(1.1)
+    far = sec(36000)
+    spark.createDataFrame([("FLUSH", far, 0.0)], trades.schema).coalesce(
+        1
+    ).write.mode("append").parquet(tdir)
+    spark.createDataFrame(
+        [("FLUSH", far, 0.0, 0.0)], quotes.schema
+    ).coalesce(1).write.mode("append").parquet(qdir)
+
+    q = streaming_interval_join(
+        spark, tdir, qdir, trades.schema, quotes.schema,
+        ["symbol"], "t_ts", "q_ts",
+        lookback="30 seconds", watermark="2 minutes",
+        query_name="t_lojoin", how="left_outer",
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM t_lojoin WHERE symbol != 'FLUSH'")
+        got_set = {
+            (r["symbol"], r["t_ts"], r["q_ts"], r["bid"]) for r in got.collect()
+        }
+    finally:
+        q.stop()
+    assert got_set == expect_set
