@@ -5420,6 +5420,38 @@ SELECT tok, n FROM counts, total WHERE n * 500 > t
 """
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental ingest dedup (dedup.minhash_index / minhash_probe_index):
+    the corpus (doc_id % 10 != 0) is indexed once as LSH band postings; the
+    new batch (doc_id % 10 == 0) is signed and probed through ONE equi-join
+    on (band_id, band_hash) — probe cost scales with the batch, not the
+    corpus. The oracle derives the same answer from the certified full
+    self-join restricted to cross (batch, corpus) pairs — the equivalence
+    the unit test proves, here under the hard gate."""
+    from simtradedata_spark.operators.dedup import minhash_index, minhash_probe_index
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_index(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, hash_fn="md5"
+    )
+    return minhash_probe_index(
+        batch, idx, "doc_id", "text", num_hashes=64, bands=16,
+        jaccard_threshold=0.5, hash_fn="md5",
+    )
+
+
+SQL_INCREMENTAL_DEDUP = f"""
+WITH allp AS ({SQL_MINHASH_NEAR_DUPS})
+SELECT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS new_id,
+       CASE WHEN id_a % 10 = 0 THEN id_b ELSE id_a END AS indexed_id,
+       est_jaccard
+FROM allp
+WHERE (id_a % 10 = 0) <> (id_b % 10 = 0)
+"""
+
+
 def q_perplexity_scores(spark, sf_dir):
     """Unigram-LM perplexity filter (textstats::unigram_logprob) — the
     CCNet/KenLM-style model-based quality stage at its order-0 baseline:
@@ -5592,6 +5624,7 @@ FROM j WHERE rk = 1
 
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
     "cluster_representatives": (
@@ -5785,6 +5818,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
     # round-3 additions first
+    "incremental_dedup",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
