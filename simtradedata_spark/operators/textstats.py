@@ -347,20 +347,26 @@ def tfidf_top_terms(
     global state and it is vocabulary-sized, not corpus-sized."""
     from simtradedata_spark.operators.topk import top_k_per_group
 
-    n_docs = df.select(id_col).distinct().count()
+    # N as a broadcast 1-row aggregate, not a separate driver job — the
+    # corpus count stays inside the plan (same pattern as frequent_tokens).
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     tf = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
-        "tfidf",
-        F.round(
-            F.col("tf")
-            * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0),
-            6,
-        ),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("__n_docs") + 1) / (F.col("df") + 1)) + 1.0),
+                6,
+            ),
+        )
     )
     return top_k_per_group(
         scored, [id_col], k, F.col("tfidf").desc(), F.col("term").asc()

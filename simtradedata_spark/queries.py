@@ -5495,8 +5495,7 @@ def q_momentum_portfolio(spark, sf_dir):
     month-end grid) + one per-date rank window; ranking compares doubles
     produced by identical algebra on identical 4dp inputs, so it is exact
     cross-engine, and only the final equal-weight mean is rounded."""
-    m = _small_market(spark)
-    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
     ws = Window.partitionBy("symbol").orderBy("day_idx")
     b = (
         bars.select("symbol", "trade_date", "day_idx", "close")

@@ -34,6 +34,7 @@ ALLOW_BNLJ = {
     "value_histogram",       # min/max bounds (1 row)
     "dormant_rich_customers",  # integer-exact mean threshold (1 row)
     "frequent_tokens",       # global token-count threshold (1 row)
+    "tfidf_top_terms",       # corpus doc-count scalar (1 row)
     "corpus_datacard",       # grand-total row for shares (1 row)
     "table_profile",         # per-column totals vs table count (1 row)
     # market-generator seed cross-joins: symbols × trading-days (both
@@ -41,7 +42,7 @@ ALLOW_BNLJ = {
     "synthetic_bars", "exrights_events", "valuation_table",
     "fundamentals_asof", "income_statement_asof", "balance_statement_asof",
     "cashflow_statement_asof", "eps_asof", "index_membership", "tick_vwap",
-    "rolling_beta", "factor_ic", "adjusted_bars_post", "momentum_portfolio",
+    "rolling_beta", "factor_ic", "adjusted_bars_post",
     # calendar densification: dates × group dims, both bounded (J6)
     "region_daily_ffill",
     # documented quadratic BASELINE path; lsh_ann/ivf_ann are the scale path
