@@ -252,6 +252,52 @@ def list_versions(target: str) -> list[int]:
     )
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    target: str,
+    from_batch: int,
+    to_batch: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change data feed between two committed snapshot versions — what a
+    downstream consumer replays instead of re-reading the whole table
+    (Delta CDF's table_changes analog on the pointer-commit store). Emits
+    one row per changed key with ``_change_type`` ∈ insert/update/delete
+    and the TO-side values (FROM-side values for deletes).
+
+    Plan: one full-outer join on the keys; change classification is a
+    null-pattern projection. Both sides are snapshot reads, so the diff
+    prunes columns/partitions like any other scan. Cost is O(|v_from| +
+    |v_to|) — at 100 TB run it on key + a hash of the compared columns, or
+    pair with partition pruning, rather than diffing every column of every
+    row."""
+    old = read_version(spark, target, from_batch)
+    new = read_version(spark, target, to_batch)
+    vals = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *keys, F.struct(*[F.col(c) for c in vals]).alias("__old")
+    ).alias("o")
+    n = new.select(
+        *keys, F.struct(*[F.col(c) for c in vals]).alias("__new")
+    ).alias("n")
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__old").isNull(), F.lit("insert"))
+        .when(F.col("__new").isNull(), F.lit("delete"))
+        .when(F.col("__old") != F.col("__new"), F.lit("update"))
+    )
+    payload = F.coalesce(F.col("__new"), F.col("__old"))
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(
+            *keys,
+            *[payload.getField(c).alias(c) for c in vals],
+            "_change_type",
+        )
+    )
+
+
 def vacuum_versions(target: str, keep: int = 2) -> list[int]:
     """Retention for the versioned snapshot store: delete committed version
     directories older than the newest ``keep``, NEVER the one ``_CURRENT``

@@ -90,3 +90,38 @@ def test_vacuum_keeps_current_and_horizon(spark, tmp_path):
     assert {r["payload"] for r in cur.filter("k = 1").collect()} == {"v3"}
     # time travel still works within the retained horizon
     assert read_version(spark, tgt, 2).filter("k = 1").first()["payload"] == "v2"
+
+
+def test_snapshot_diff_change_feed(spark, tmp_path):
+    """CDF between two committed versions: inserts/updates classified,
+    unchanged keys absent, null fields compare as values."""
+    from simtradedata_spark.streaming.incremental import snapshot_diff
+
+    tgt = str(tmp_path / "cdf")
+    b0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    upsert_batch(b0, 0, tgt, keys=["k"])
+    b1 = spark.createDataFrame(
+        [(2, "b", None), (3, "c2", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    upsert_batch(b1, 1, tgt, keys=["k"])
+
+    diff = {r["k"]: r for r in snapshot_diff(spark, tgt, 0, 1, ["k"]).collect()}
+    # 1 unchanged (carried forward by the merge), 2 unchanged incl. null v,
+    # 3 updated, 4 inserted
+    assert set(diff) == {3, 4}
+    assert diff[3]["_change_type"] == "update" and diff[3]["name"] == "c2"
+    assert diff[4]["_change_type"] == "insert" and diff[4]["v"] == 40.0
+
+    # delete surfaces when a version drops a key (a delete-capable writer)
+    from simtradedata_spark.streaming.incremental import _publish_version
+
+    _publish_version(
+        spark.createDataFrame([(3, "c2", 30.0)], b0.schema), tgt, 2
+    )
+    d2 = {r["k"]: r for r in snapshot_diff(spark, tgt, 1, 2, ["k"]).collect()}
+    assert {k for k, r in d2.items() if r["_change_type"] == "delete"} == {1, 2, 4}
+    assert d2[1]["name"] == "a"  # delete carries the FROM-side values

@@ -218,3 +218,40 @@ def test_multi_ntile_random_ties(spark, values, n):
         .select("id", "t").toPandas().set_index("id").sort_index()
     )
     assert (got["t"] == expect["t"]).all()
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "yz"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@RELAXED
+def test_unigram_logprob_matches_python_model(spark, corpora):
+    """unigram_logprob == the pure-python model on arbitrary corpora: same
+    doc coverage (token-less docs excluded), same counts, same mean NLL."""
+    import math
+    from collections import Counter
+
+    from simtradedata_spark.operators.textstats import unigram_logprob
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpora)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+
+    counts = Counter(t for toks in corpora for t in toks)
+    n_total = sum(counts.values())
+    expect = {
+        i: (len(toks), math.log(n_total) - sum(math.log(counts[t]) for t in toks) / len(toks))
+        for i, toks in enumerate(corpora)
+        if toks
+    }
+    assert set(got) == set(expect)
+    for i, (n_tokens, nll) in expect.items():
+        assert got[i]["n_tokens"] == n_tokens
+        assert abs(got[i]["avg_nll"] - round(nll, 6)) < 1e-6
