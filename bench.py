@@ -117,6 +117,14 @@ def main() -> None:
         ),
     )
     _prod(
+        "embedding_dup_clusters@lsh",
+        lambda: dedup_clusters(
+            cosine_near_dups(
+                emb, "vec_id", "embedding", threshold=0.45, bits="auto", dim=64
+            )
+        ),
+    )
+    _prod(
         "dedup_clusters@xxh64",
         lambda: dedup_clusters(
             minhash_lsh_candidates(
