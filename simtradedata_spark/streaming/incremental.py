@@ -383,11 +383,17 @@ def streaming_upsert(
     keys: list[str],
     order_by=None,
     query_name: str = "stream_upsert",
+    checkpoint: str | None = None,
 ):
     """N1 as a continuous job: every micro-batch upserts into the snapshot
     store via ``foreachBatch`` (exactly the Structured-Streaming + MERGE
     pattern SURVEY §2.10 calls for; with a Delta/Iceberg jar the body of
     ``upsert_batch`` becomes a real MERGE INTO and the pointer goes away).
+
+    Pass ``checkpoint`` for restartability: a restarted query resumes from
+    the committed source offsets with CONTINUING batch ids, so already-
+    folded files are never re-read and the snapshot version log stays
+    monotone (tested end-to-end across a stop/restart).
     """
     stream = (
         spark.readStream.format("parquet")
@@ -395,13 +401,12 @@ def streaming_upsert(
         .option("maxFilesPerTrigger", 1)
         .load(source_dir)
     )
-    return (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: upsert_batch(df, bid, target, keys, order_by)
-        )
-        .queryName(query_name)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: upsert_batch(df, bid, target, keys, order_by)
+    ).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
 
 
 def rollup_batch(

@@ -125,3 +125,57 @@ def test_snapshot_diff_change_feed(spark, tmp_path):
     d2 = {r["k"]: r for r in snapshot_diff(spark, tgt, 1, 2, ["k"]).collect()}
     assert {k for k, r in d2.items() if r["_change_type"] == "delete"} == {1, 2, 4}
     assert d2[1]["name"] == "a"  # delete carries the FROM-side values
+
+
+def test_streaming_upsert_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Crash/restart exactly-once: a restarted streaming_upsert with the
+    same checkpoint resumes from committed offsets — already-folded files
+    are not re-read, batch ids continue, and the final table equals the
+    batch ground truth."""
+    import time
+
+    from simtradedata_spark.streaming.incremental import streaming_upsert
+
+    src = str(tmp_path / "ck_src")
+    tgt = str(tmp_path / "ck_tgt")
+    ckpt = str(tmp_path / "ck_ckpt")
+    schema = "k long, v string"
+    spark.createDataFrame([(1, "a0"), (2, "b0")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    time.sleep(1.1)
+    spark.createDataFrame([(2, "b1"), (3, "c0")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = streaming_upsert(
+        spark, src, schema, tgt, keys=["k"], checkpoint=ckpt, query_name="ck1"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    v_first = list_versions(tgt)
+    assert len(v_first) >= 1
+    # "crash": the query is gone; new files land while it is down
+    time.sleep(1.1)
+    spark.createDataFrame([(1, "a2"), (4, "d0")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q2 = streaming_upsert(
+        spark, src, schema, tgt, keys=["k"], checkpoint=ckpt, query_name="ck2"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    v_all = list_versions(tgt)
+    # restart CONTINUED the batch id sequence: exactly one more version,
+    # strictly greater id — no replays of folded batches
+    assert len(v_all) == len(v_first) + 1
+    assert v_all[-1] > v_first[-1]
+    got = {
+        r["k"]: r["v"] for r in read_current(spark, tgt).collect()
+    }
+    assert got == {1: "a2", 2: "b1", 3: "c0", 4: "d0"}
