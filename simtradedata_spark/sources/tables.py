@@ -53,8 +53,17 @@ class Warehouse:
         else:
             df.write.mode(mode).parquet(self.path(table))
 
-    def read(self, table: str) -> DataFrame:
-        df = self.spark.read.parquet(self.path(table))
+    def read(self, table: str, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions the footers of every file so a
+        column added by a later ingest batch is visible table-wide (older
+        files yield nulls) — parquet-level schema evolution, the additive
+        half of what a metastore would track. Off by default: footer-union
+        costs one extra listing pass, and the common read wants the latest
+        writer's schema."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path(table))
         return df.drop("trade_year") if "trade_year" in df.columns else df
 
     def read_range(

@@ -179,3 +179,30 @@ def test_streaming_upsert_restart_resumes_from_checkpoint(spark, tmp_path):
         r["k"]: r["v"] for r in read_current(spark, tgt).collect()
     }
     assert got == {1: "a2", 2: "b1", 3: "c0", 4: "d0"}
+
+
+def test_warehouse_schema_evolution_additive_column(spark, tmp_path):
+    """A later ingest batch adds a column: merge_schema=True surfaces it
+    table-wide with nulls for pre-evolution rows; the default read keeps
+    working; compaction preserves the evolved schema per partition."""
+    wh = Warehouse(spark, str(tmp_path / "evo"))
+    v1 = spark.createDataFrame(
+        [("S1", "2022-03-01", 10.0), ("S2", "2022-03-01", 11.0)],
+        "symbol string, trade_date string, close double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    wh.write("bars", v1)
+    # ingest evolves: a vendor adds turnover_rate
+    v2 = spark.createDataFrame(
+        [("S1", "2023-03-01", 12.0, 0.5)],
+        "symbol string, trade_date string, close double, turnover_rate double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    wh.write("bars", v2, mode="append")
+
+    merged = wh.read("bars", merge_schema=True)
+    assert "turnover_rate" in merged.columns
+    got = {r["symbol"]: r["turnover_rate"] for r in merged.collect()}
+    assert got["S2"] is None and got["S1"] in (None, 0.5)
+    assert merged.filter("turnover_rate = 0.5").count() == 1
+    # date-pruned reads see the evolved column only where it exists
+    y2023 = wh.read_range("bars", "2023-01-01", "2023-12-31")
+    assert y2023.count() == 1
