@@ -146,8 +146,15 @@ class Warehouse:
             if n_target >= len(files):
                 stats["files_after"] += len(files)
                 continue
-            df = self.spark.read.parquet(pdir)
-            staging = pdir + ".compact-tmp"
+            # mergeSchema: a partition whose files straddle a schema
+            # evolution must keep the union schema, not one random footer.
+            df = self.spark.read.option("mergeSchema", "true").parquet(pdir)
+            # dot-prefixed staging: hidden to Spark's file listing, so a
+            # concurrent reader never parses a half-written sibling as a
+            # bogus partition value.
+            staging = os.path.join(
+                os.path.dirname(pdir), "." + os.path.basename(pdir) + ".compact-tmp"
+            )
             w = df.repartition(n_target)
             if sort_cols:
                 w = w.sortWithinPartitions(*sort_cols)

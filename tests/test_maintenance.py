@@ -206,3 +206,26 @@ def test_warehouse_schema_evolution_additive_column(spark, tmp_path):
     # date-pruned reads see the evolved column only where it exists
     y2023 = wh.read_range("bars", "2023-01-01", "2023-12-31")
     assert y2023.count() == 1
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Compacting a partition whose files straddle a schema evolution keeps
+    the union schema (mergeSchema read), not one random footer."""
+    wh = Warehouse(spark, str(tmp_path / "evo2"))
+    v1 = spark.createDataFrame(
+        [("S1", "2022-03-01", 10.0)],
+        "symbol string, trade_date string, close double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    wh.write("bars", v1)
+    v2 = spark.createDataFrame(
+        [("S2", "2022-06-01", 12.0, 0.5)],
+        "symbol string, trade_date string, close double, turnover_rate double",
+    ).withColumn("trade_date", F.col("trade_date").cast("date"))
+    wh.write("bars", v2, mode="append")  # same trade_year partition
+
+    stats = wh.compact("bars", target_file_bytes=128 << 20)
+    assert stats["partitions_rewritten"] == 1
+    out = wh.read("bars")
+    assert "turnover_rate" in out.columns
+    got = {r["symbol"]: r["turnover_rate"] for r in out.collect()}
+    assert got == {"S1": None, "S2": 0.5}
