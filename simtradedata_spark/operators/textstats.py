@@ -400,13 +400,18 @@ def unigram_logprob(
     """
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__t"))
     freq = tok.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
-    n_total = int(freq.agg(F.sum("__c")).collect()[0][0] or 0)
-    nll = F.log(F.lit(float(n_total))) - F.avg(
+    # The corpus total folds in as a broadcast 1-row aggregate OVER THE
+    # VOCABULARY table (not a second corpus pass, and not an eager driver
+    # job — the whole score stays one lazy plan). Grouping by the constant
+    # __n_total mirrors the oracle's GROUP BY doc_id, n_total exactly.
+    totals = freq.agg(F.sum("__c").alias("__n_total"))
+    nll = F.log(F.col("__n_total").cast("double")) - F.avg(
         F.log(F.col("__c").cast("double"))
     )
     scored = (
         tok.join(F.broadcast(freq), "__t")
-        .groupBy(id_col)
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col, "__n_total")
         .agg(F.count(F.lit(1)).alias("n_tokens"), nll.alias("__nll"))
     )
     return scored.select(

@@ -2914,6 +2914,28 @@ FROM fp GROUP BY chunk_fp HAVING count(DISTINCT doc_id) > 1
 """
 
 
+# Per-document quality score, shared by every oracle that recomputes
+# textstats::quality_score — ONE copy so a weight tweak cannot silently
+# desynchronize queries (cluster_representatives vs quality_scores).
+_SQL_QUALITY_PER_DOC = f"""
+  SELECT doc_id, source,
+         round(least(n_tokens / 20.0, 1.0)
+               * least(2000.0 / greatest(n_tokens, 1), 1.0)
+               * greatest(0.0, 1.0 - punct_ratio * 5)
+               * greatest(0.0, 1.0 - digit_ratio * 3), 6) AS quality_score
+  FROM (
+    SELECT doc_id, source,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+           CASE WHEN length(text) > 0 THEN
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio
+    FROM documents)
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     """Composite quality score per document (textstats::quality_score —
     length sweet-spot × punctuation × digit penalties) with the per-source
@@ -2931,24 +2953,7 @@ def q_quality_scores(spark, sf_dir):
 
 
 SQL_QUALITY_SCORES = f"""
-WITH feat AS (
-  SELECT source,
-         len({_DUCK_TOKENS}) AS n_tokens,
-         CASE WHEN length(text) > 0 THEN
-           (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
-             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-         CASE WHEN length(text) > 0 THEN
-           (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-             / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio
-  FROM documents
-), scored AS (
-  SELECT source,
-         round(least(n_tokens / 20.0, 1.0)
-               * least(2000.0 / greatest(n_tokens, 1), 1.0)
-               * greatest(0.0, 1.0 - punct_ratio * 5)
-               * greatest(0.0, 1.0 - digit_ratio * 3), 6) AS quality_score
-  FROM feat
-)
+WITH scored AS ({_SQL_QUALITY_PER_DOC})
 SELECT source, count(*) AS n_docs,
        round(avg(quality_score), 6) AS avg_score,
        round(min(quality_score), 6) AS min_score,
@@ -5593,22 +5598,7 @@ def q_cluster_representatives(spark, sf_dir):
 
 
 SQL_CLUSTER_REPRESENTATIVES = f"""
-WITH clusters AS ({SQL_DEDUP_CLUSTERS}), qs AS (
-  SELECT doc_id,
-         round(least(len({_DUCK_TOKENS}) / 20.0, 1.0)
-               * least(2000.0 / greatest(len({_DUCK_TOKENS}), 1), 1.0)
-               * greatest(0.0, 1.0 - punct_ratio * 5)
-               * greatest(0.0, 1.0 - digit_ratio * 3), 6) AS quality_score
-  FROM (
-    SELECT doc_id, text,
-           CASE WHEN length(text) > 0 THEN
-             (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
-               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
-           CASE WHEN length(text) > 0 THEN
-             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-               / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS digit_ratio
-    FROM documents)
-), j AS (
+WITH clusters AS ({SQL_DEDUP_CLUSTERS}), qs AS ({_SQL_QUALITY_PER_DOC}), j AS (
   SELECT c.cluster_id, c.doc_id, q.quality_score,
          row_number() OVER (PARTITION BY c.cluster_id
                             ORDER BY q.quality_score DESC, c.doc_id) AS rk,

@@ -58,23 +58,33 @@ def read_jsonl(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
     raw = spark.read.text(path)
-    return raw.select(
+    parsed = raw.select(
+        F.col("value").alias("__raw"),
         F.from_json(
             F.col("value"),
             s,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("__j")
-    ).select("__j.*")
+        ).alias("__j"),
+    )
+    # A blank/whitespace line parses to a NULL struct with no corrupt
+    # record — without this coalesce it would surface as an all-null CLEAN
+    # row (phantom document). Route it to quarantine with the raw line.
+    corrupt = F.coalesce(
+        F.col("__j._corrupt_record"),
+        F.when(F.col("__j").isNull(), F.col("__raw")),
+    )
+    return parsed.select(
+        *[F.col(f"__j.{f.name}").alias(f.name) for f in schema.fields],
+        corrupt.alias("_corrupt_record"),
+    )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantine): rows whose raw line failed to parse go to the
-    quarantine side with the original line intact — the same split contract
-    as operators/quality.py. Requires a PERMISSIVE read."""
+    """(clean, quarantine): rows whose raw line failed to parse — including
+    blank/whitespace lines — go to the quarantine side with the original
+    line intact; the same split contract as operators/quality.py."""
     if "_corrupt_record" not in df.columns:
         return df, df.limit(0)
-    # Spark requires caching/materialization before referencing ONLY the
-    # corrupt column; selecting alongside real columns is fine.
     clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
         "_corrupt_record"

@@ -106,6 +106,7 @@ class Warehouse:
         return sorted(
             d for d in os.listdir(self.root)
             if os.path.isdir(os.path.join(self.root, d))
+            and not d.startswith((".", "_"))
         )
 
     def compact(self, table: str, target_file_bytes: int = 128 << 20) -> dict:
@@ -126,6 +127,32 @@ class Warehouse:
         import shutil
 
         root = self.path(table)
+        # Sweep leftovers from a previous crashed run first: a stranded
+        # .compact-tmp is a fully-written replacement whose swap never
+        # happened (finish the swap if the live dir is gone), and a
+        # stranded .compact-trash is a superseded original (safe to drop).
+        # Partition-level staging lives inside the table dir; table-level
+        # staging (unpartitioned case) lives beside it in the warehouse
+        # root — check both.
+        candidates = [
+            (root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
+        ] + [
+            (self.root, d)
+            for d in os.listdir(self.root)
+            if d.startswith(f".{table}.compact-")
+        ]
+        for parent, d in candidates:
+            p = os.path.join(parent, d)
+            if not os.path.isdir(p):
+                continue
+            if d.endswith(".compact-trash"):
+                shutil.rmtree(p)
+            elif d.endswith(".compact-tmp"):
+                live = os.path.join(parent, d[1:][: -len(".compact-tmp")])
+                if not os.path.isdir(live):
+                    os.rename(p, live)  # finish the interrupted swap
+                else:
+                    shutil.rmtree(p)
         part_dirs = sorted(
             os.path.join(root, d)
             for d in os.listdir(root)
@@ -159,8 +186,18 @@ class Warehouse:
             if sort_cols:
                 w = w.sortWithinPartitions(*sort_cols)
             w.write.mode("overwrite").parquet(staging)
-            shutil.rmtree(pdir)
+            # Rename-aside swap: never a moment where the partition is
+            # simply GONE. A crash between the renames leaves the new data
+            # in .compact-tmp with no live dir — the sweep above finishes
+            # that swap on the next run; a crash after leaves only
+            # .compact-trash, which the sweep drops.
+            trash = os.path.join(
+                os.path.dirname(pdir),
+                "." + os.path.basename(pdir) + ".compact-trash",
+            )
+            os.rename(pdir, trash)
             os.rename(staging, pdir)
+            shutil.rmtree(trash)
             stats["files_after"] += sum(
                 1 for f in os.listdir(pdir) if f.endswith(".parquet")
             )

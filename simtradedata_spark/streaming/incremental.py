@@ -273,13 +273,23 @@ def snapshot_diff(
     row."""
     old = read_version(spark, target, from_batch)
     new = read_version(spark, target, to_batch)
-    vals = [c for c in new.columns if c not in keys]
-    o = old.select(
-        *keys, F.struct(*[F.col(c) for c in vals]).alias("__old")
-    ).alias("o")
-    n = new.select(
-        *keys, F.struct(*[F.col(c) for c in vals]).alias("__new")
-    ).alias("n")
+    # Union of both sides' columns so the diff crosses additive schema
+    # evolutions: a column present on only one side reads as null on the
+    # other (and therefore classifies a value in it as an update).
+    vals = [c for c in new.columns if c not in keys] + [
+        c for c in old.columns if c not in keys and c not in new.columns
+    ]
+
+    def _side(df):
+        return F.struct(
+            *[
+                (F.col(c) if c in df.columns else F.lit(None)).alias(c)
+                for c in vals
+            ]
+        )
+
+    o = old.select(*keys, _side(old).alias("__old")).alias("o")
+    n = new.select(*keys, _side(new).alias("__new")).alias("n")
     j = o.join(n, keys, "full_outer")
     change = (
         F.when(F.col("__old").isNull(), F.lit("insert"))
@@ -298,13 +308,19 @@ def snapshot_diff(
     )
 
 
-def vacuum_versions(target: str, keep: int = 2) -> list[int]:
+def vacuum_versions(
+    target: str, keep: int = 2, staging_ttl_s: float = 24 * 3600
+) -> list[int]:
     """Retention for the versioned snapshot store: delete committed version
     directories older than the newest ``keep``, NEVER the one ``_CURRENT``
-    points to, and sweep orphaned ``_staging-*`` dirs from crashed writers.
-    Shrinks the time-travel horizon to the retained versions (the Delta
-    VACUUM trade-off, stated rather than hidden). Returns removed ids."""
+    points to, and sweep ORPHANED ``_staging-*`` dirs from crashed writers.
+    Orphaned means older than ``staging_ttl_s`` by mtime — a staging dir
+    younger than the TTL may belong to a LIVE in-flight snapshot_sink
+    write, and sweeping it mid-write would fail the batch. Shrinks the
+    time-travel horizon to the retained versions (the Delta VACUUM
+    trade-off, stated rather than hidden). Returns removed ids."""
     import shutil
+    import time
 
     versions = list_versions(target)
     current = _committed_batch(target)
@@ -314,9 +330,11 @@ def vacuum_versions(target: str, keep: int = 2) -> list[int]:
         if v not in retained:
             shutil.rmtree(os.path.join(target, f"v{v:012d}"))
             removed.append(v)
+    now = time.time()
     for d in os.listdir(target) if os.path.isdir(target) else []:
-        if d.startswith("_staging-"):
-            shutil.rmtree(os.path.join(target, d))
+        p = os.path.join(target, d)
+        if d.startswith("_staging-") and now - os.path.getmtime(p) > staging_ttl_s:
+            shutil.rmtree(p)
     return removed
 
 

@@ -33,6 +33,7 @@ def test_jsonl_malformed_lines_quarantined_not_dropped(spark, tmp_path):
     with open(os.path.join(out, "shard0.jsonl"), "w") as fh:
         fh.write('{"doc_id": 1, "text": "good row", "lang": "en", '
                  '"source": "s", "n_chars": 8}\n')
+        fh.write("\n")  # blank line: quarantined, never a phantom null doc
         fh.write("this is not json at all\n")
         fh.write('{"doc_id": 2, "text": "also good", "lang": "en", '
                  '"source": "s", "n_chars": 9}\n')
@@ -41,8 +42,10 @@ def test_jsonl_malformed_lines_quarantined_not_dropped(spark, tmp_path):
     clean, bad = split_corrupt(read_jsonl(spark, out))
     assert {r["doc_id"] for r in clean.collect()} == {1, 2}
     raws = [r["_corrupt_record"] for r in bad.collect()]
-    assert len(raws) == 2
+    assert len(raws) == 3
     assert any("not json" in r for r in raws)
+    assert "" in raws  # the blank line
+    assert clean.filter("doc_id IS NULL").count() == 0
     # extra keys are ignored, missing keys arrive as nulls
     with open(os.path.join(out, "shard1.jsonl"), "w") as fh:
         fh.write('{"doc_id": 3, "text": "no lang", "extra_key": 42}\n')

@@ -78,13 +78,19 @@ def test_vacuum_keeps_current_and_horizon(spark, tmp_path):
         )
         upsert_batch(batch, b, tgt, keys=["k"])
     assert list_versions(tgt) == [0, 1, 2, 3]
-    # orphaned staging dir from a crashed sink writer gets swept
-    os.makedirs(os.path.join(tgt, "_staging-deadbeef"))
+    # two staging dirs: one orphaned (old mtime), one from a LIVE writer
+    orphan = os.path.join(tgt, "_staging-deadbeef")
+    live = os.path.join(tgt, "_staging-live")
+    os.makedirs(orphan)
+    os.makedirs(live)
+    os.utime(orphan, (1, 1))  # ancient mtime → orphaned
 
     removed = vacuum_versions(tgt, keep=2)
     assert removed == [0, 1]
     assert list_versions(tgt) == [2, 3]
-    assert not any(d.startswith("_staging-") for d in os.listdir(tgt))
+    # the orphan is swept; the live writer's staging survives
+    assert not os.path.isdir(orphan)
+    assert os.path.isdir(live)
     # the published table is untouched
     cur = read_current(spark, tgt)
     assert {r["payload"] for r in cur.filter("k = 1").collect()} == {"v3"}
@@ -229,3 +235,60 @@ def test_compact_preserves_evolved_schema(spark, tmp_path):
     assert "turnover_rate" in out.columns
     got = {r["symbol"]: r["turnover_rate"] for r in out.collect()}
     assert got == {"S1": None, "S2": 0.5}
+
+
+def test_snapshot_diff_across_schema_evolution(spark, tmp_path):
+    """CDF crosses an additive schema evolution: the new column classifies
+    as an update where it gained a value, null-for-null stays unchanged."""
+    from simtradedata_spark.streaming.incremental import (
+        _publish_version,
+        snapshot_diff,
+    )
+
+    tgt = str(tmp_path / "cdf_evo")
+    _publish_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, name string"),
+        tgt,
+        0,
+    )
+    _publish_version(
+        spark.createDataFrame(
+            [(1, "a", 0.5), (2, "b", None), (3, "c", 1.0)],
+            "k long, name string, turnover double",
+        ),
+        tgt,
+        1,
+    )
+    diff = {r["k"]: r for r in snapshot_diff(spark, tgt, 0, 1, ["k"]).collect()}
+    # 1 gains a value in the new column → update; 2 is null-for-null →
+    # unchanged; 3 → insert
+    assert set(diff) == {1, 3}
+    assert diff[1]["_change_type"] == "update" and diff[1]["turnover"] == 0.5
+    assert diff[3]["_change_type"] == "insert"
+
+
+def test_compact_crash_recovery_finishes_interrupted_swap(spark, tmp_path):
+    """A crash between the two swap renames leaves new data in .compact-tmp
+    and no live dir; the next compact() finishes the swap instead of losing
+    the partition."""
+    import shutil
+
+    wh = Warehouse(spark, str(tmp_path / "crash"))
+    dim = spark.range(100).select(F.col("id"), (F.col("id") % 3).alias("grp"))
+    wh.write("stock_metadata", dim)
+    root = wh.path("stock_metadata")
+    # simulate the crash window: live dir renamed away (to trash), staging
+    # fully written but not yet swapped in
+    staging = os.path.join(
+        os.path.dirname(root), ".stock_metadata.compact-tmp"
+    )
+    trash = os.path.join(
+        os.path.dirname(root), ".stock_metadata.compact-trash"
+    )
+    shutil.copytree(root, staging)
+    os.rename(root, trash)
+    assert not wh.exists("stock_metadata")
+
+    wh.compact("stock_metadata")
+    assert wh.read("stock_metadata").count() == 100
+    assert not os.path.isdir(staging) and not os.path.isdir(trash)

@@ -35,6 +35,7 @@ ALLOW_BNLJ = {
     "dormant_rich_customers",  # integer-exact mean threshold (1 row)
     "frequent_tokens",       # global token-count threshold (1 row)
     "tfidf_top_terms",       # corpus doc-count scalar (1 row)
+    "perplexity_scores",     # corpus token-total scalar (1 row)
     "corpus_datacard",       # grand-total row for shares (1 row)
     "table_profile",         # per-column totals vs table count (1 row)
     # market-generator seed cross-joins: symbols × trading-days (both
