@@ -2350,6 +2350,94 @@ GROUP BY k.probe_date, c.index_code
 """
 
 
+def q_index_churn(spark, sf_dir):
+    """Constituent churn per index rebalance: symbols added / dropped /
+    kept between consecutive membership samples — the turnover diagnostic
+    an index-tracking strategy monitors (and the churn dual of the S7
+    point-in-time read). One full-outer join of each sample against the
+    previous sample's membership on (index, rank, symbol); all counts
+    integer-exact."""
+    m = _small_market(spark)
+    cons = m.index_constituents()
+    ws = Window.partitionBy("index_code").orderBy("sample_date")
+    sidx = (
+        cons.select("index_code", "sample_date")
+        .distinct()
+        .withColumn("ridx", F.row_number().over(ws))
+    )
+    c = cons.join(sidx, ["index_code", "sample_date"]).select(
+        "index_code", "ridx", "symbol"
+    )
+    cur = c.withColumn("in_cur", F.lit(1))
+    prv = c.select(
+        "index_code", (F.col("ridx") + 1).alias("ridx"), "symbol"
+    ).withColumn("in_prev", F.lit(1))
+    j = cur.join(prv, ["index_code", "ridx", "symbol"], "full_outer")
+    return (
+        j.join(F.broadcast(sidx), ["index_code", "ridx"])  # drops ridx > max
+        .filter(F.col("ridx") >= 2)
+        .groupBy("index_code", "sample_date")
+        .agg(
+            F.sum(
+                (F.col("in_cur").isNotNull() & F.col("in_prev").isNull()).cast("long")
+            ).alias("n_added"),
+            F.sum(
+                (F.col("in_prev").isNotNull() & F.col("in_cur").isNull()).cast("long")
+            ).alias("n_dropped"),
+            F.sum(
+                (F.col("in_cur").isNotNull() & F.col("in_prev").isNotNull()).cast(
+                    "long"
+                )
+            ).alias("n_kept"),
+        )
+    )
+
+
+SQL_INDEX_CHURN = f"""
+WITH samples AS (
+  SELECT unnest([DATE '2022-01-04', DATE '2022-04-01', DATE '2022-07-01',
+                 DATE '2022-10-10', DATE '2023-01-04', DATE '2023-04-03',
+                 DATE '2023-07-03', DATE '2023-10-09']) AS sample_date
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), idx AS (
+  SELECT unnest(['000016.SS', '000300.SS', '000905.SS']) AS index_code
+), cons AS (
+  SELECT i.index_code, s.sample_date, y.symbol
+  FROM idx i CROSS JOIN samples s CROSS JOIN syms y
+  WHERE {_duck_u01('member', 'index_code', 'sample_date', 'sym_idx')} < 0.5
+), sidx AS (
+  SELECT index_code, sample_date,
+         row_number() OVER (PARTITION BY index_code ORDER BY sample_date)
+           AS ridx
+  FROM (SELECT DISTINCT index_code, sample_date FROM cons)
+), c AS (
+  SELECT cons.index_code, sidx.ridx, cons.symbol
+  FROM cons JOIN sidx USING (index_code, sample_date)
+), j AS (
+  SELECT coalesce(cur.index_code, prv.index_code) AS index_code,
+         coalesce(cur.ridx, prv.ridx) AS ridx,
+         cur.symbol IS NOT NULL AS in_cur,
+         prv.symbol IS NOT NULL AS in_prev
+  FROM c cur
+  FULL JOIN (SELECT index_code, ridx + 1 AS ridx, symbol FROM c) prv
+    ON cur.index_code = prv.index_code AND cur.ridx = prv.ridx
+   AND cur.symbol = prv.symbol
+)
+SELECT j.index_code, s.sample_date,
+       CAST(sum(CAST(j.in_cur AND NOT j.in_prev AS INT)) AS BIGINT) AS n_added,
+       CAST(sum(CAST(j.in_prev AND NOT j.in_cur AS INT)) AS BIGINT) AS n_dropped,
+       CAST(sum(CAST(j.in_cur AND j.in_prev AS INT)) AS BIGINT) AS n_kept
+FROM j JOIN sidx s ON s.index_code = j.index_code AND s.ridx = j.ridx
+WHERE j.ridx >= 2
+GROUP BY j.index_code, s.sample_date
+"""
+
+
 def q_fundamentals_asof(spark, sf_dir):
     """J5 point-in-time fundamentals (SURVEY 'what's hard' #1): for every
     21st trading day × symbol, the report visible AT that date — max
@@ -5614,6 +5702,7 @@ FROM j WHERE rk = 1
 
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
+    "index_churn": (q_index_churn, SQL_INDEX_CHURN),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
     "cluster_representatives": (
@@ -5808,6 +5897,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 _FRONT_WINDOW = [
     # round-3 additions first
     "incremental_dedup",
+    "index_churn",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
