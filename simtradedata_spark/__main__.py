@@ -9,6 +9,9 @@ exist). Subcommands:
       # run every registered query, print the one-line bench JSON
   python -m simtradedata_spark check [--sf-dir DIR] [QUERY ...]
       # Spark-vs-DuckDB oracle gate for the named (or all) queries
+  python -m simtradedata_spark maintain --root PATH [--tables T ...]
+      [--target-file-mb N] [--vacuum DIR ...] [--keep N]
+      # nightly maintenance: compact warehouse tables, vacuum snapshot stores
 
 ``bench`` and ``check`` shell out to the repo-root harnesses so the CLI and
 the driver measure the exact same code path.
@@ -67,6 +70,26 @@ def _cmd_check(args: argparse.Namespace) -> int:
     return subprocess.call(cmd)
 
 
+def _cmd_maintain(args: argparse.Namespace) -> int:
+    from simtradedata_spark.session import get_spark
+    from simtradedata_spark.sources.tables import Warehouse
+    from simtradedata_spark.streaming.incremental import vacuum_versions
+
+    spark = get_spark("maintain")
+    wh = Warehouse(spark, args.root)
+    tables = args.tables or wh.tables()
+    for t in tables:
+        stats = wh.compact(t, target_file_bytes=args.target_file_mb << 20)
+        print(
+            f"compact {t}: {stats['files_before']} -> {stats['files_after']} "
+            f"files ({stats['partitions_rewritten']} partitions rewritten)"
+        )
+    for store in args.vacuum or []:
+        removed = vacuum_versions(store, keep=args.keep)
+        print(f"vacuum {store}: removed versions {removed}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="simtradedata_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -88,6 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sf-dir", default=None)
     c.add_argument("queries", nargs="*")
     c.set_defaults(fn=_cmd_check)
+
+    m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")
+    m.add_argument("--root", required=True)
+    m.add_argument("--tables", nargs="*", default=None)
+    m.add_argument("--target-file-mb", type=int, default=128)
+    m.add_argument("--vacuum", nargs="*", default=None)
+    m.add_argument("--keep", type=int, default=2)
+    m.set_defaults(fn=_cmd_maintain)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -34,3 +34,32 @@ def test_cli_parser_shapes():
         main([])  # subcommand required
     with pytest.raises(SystemExit):
         main(["build"])  # --root required
+
+
+def test_cli_maintain_smoke(spark, tmp_path):
+    """maintain compacts every warehouse table and vacuums a snapshot
+    store in one invocation — the nightly job as a command."""
+    from simtradedata_spark.sources.tables import Warehouse
+    from simtradedata_spark.streaming.incremental import (
+        list_versions,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "mwh")
+    rc = main(
+        ["build", "--root", root, "--symbols", "3",
+         "--start", "2022-01-03", "--end", "2022-02-28"]
+    )
+    assert rc == 0
+    store = str(tmp_path / "snap")
+    for b in range(3):
+        upsert_batch(
+            spark.createDataFrame([(1, b)], "k long, v long"), b, store, ["k"]
+        )
+    rc = main(
+        ["maintain", "--root", root, "--vacuum", store, "--keep", "1"]
+    )
+    assert rc == 0
+    assert list_versions(store) == [2]
+    wh = Warehouse(spark, root)
+    assert wh.read("bars").count() > 0
