@@ -5579,6 +5579,61 @@ FROM scored
 """
 
 
+def q_bigram_perplexity(spark, sf_dir):
+    """Interpolated bigram LM scoring (textstats::bigram_logprob) — the
+    order-2 member of the KenLM-style filter family: the model is two count
+    tables joined against the token stream. Interpolation weights embedded
+    as repr-exact literals in the oracle so both engines compute the
+    identical doubles."""
+    from simtradedata_spark.operators.textstats import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+_BI_INTERP = 0.7
+SQL_BIGRAM_PERPLEXITY = f"""
+WITH toked AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS ws FROM documents
+), stream AS (
+  SELECT doc_id, NULL AS prev, ws[1] AS cur FROM toked WHERE len(ws) > 0
+  UNION ALL
+  SELECT doc_id, p['prev'] AS prev, p['cur'] AS cur FROM (
+    SELECT doc_id,
+           unnest([{{'prev': ws[i], 'cur': ws[i+1]}} FOR i IN range(1, len(ws))]) AS p
+    FROM toked)
+), uni AS (
+  SELECT cur, count(*) AS cu FROM stream GROUP BY cur
+), n AS (
+  SELECT count(*) AS n_total FROM stream
+), bi AS (
+  SELECT prev, cur, count(*) AS cb
+  FROM stream WHERE prev IS NOT NULL GROUP BY prev, cur
+), ctx AS (
+  SELECT cur AS prev, cu AS cp FROM uni
+), scored AS (
+  SELECT s.doc_id,
+         CASE WHEN s.prev IS NULL OR bi.cb IS NULL
+              THEN uni.cu / CAST(n.n_total AS DOUBLE)
+              ELSE {_BI_INTERP!r} * (bi.cb / CAST(ctx.cp AS DOUBLE))
+                   + {(1.0 - _BI_INTERP)!r} * (uni.cu / CAST(n.n_total AS DOUBLE))
+         END AS p
+  FROM stream s
+  JOIN uni USING (cur)
+  LEFT JOIN bi ON bi.prev = s.prev AND bi.cur = s.cur
+  LEFT JOIN ctx ON ctx.prev = s.prev
+  CROSS JOIN n
+), agg AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(-ln(p)) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
+       round(exp(nll), 3) AS ppl,
+       CAST(round(nll, 6) <= 3.48 AS INT) AS keep
+FROM agg
+"""
+
+
 def q_momentum_portfolio(spark, sf_dir):
     """Cross-sectional momentum portfolio — the rebalance-join pattern a
     factor backtest needs: at each month-end, rank symbols by trailing
@@ -5703,6 +5758,7 @@ FROM j WHERE rk = 1
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "index_churn": (q_index_churn, SQL_INDEX_CHURN),
+    "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
     "cluster_representatives": (
@@ -5898,6 +5954,7 @@ _FRONT_WINDOW = [
     # round-3 additions first
     "incremental_dedup",
     "index_churn",
+    "bigram_perplexity",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",

@@ -316,3 +316,37 @@ def test_cluster_representatives_prefers_quality(spark):
     )
     assert len(top) == 1
     assert top[0]["cluster_id"] == 1 and top[0]["doc_id"] == 3
+
+
+def test_bigram_logprob_hand_oracle(spark):
+    """bigram_logprob == the hand-computed interpolated model: first token
+    unigram-only, later tokens 0.7·p(cur|prev) + 0.3·p(cur)."""
+    from math import log
+
+    from simtradedata_spark.operators.textstats import bigram_logprob
+
+    # corpus: "a b a b" + "b a" → uni: a=3,b=3, N=6; bi: ab=2, ba=2 (doc2's
+    # "b a" adds one ba)
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2}
+
+    cu = {"a": 3, "b": 3}
+    cb = {("a", "b"): 2, ("b", "a"): 2}
+    N = 6
+
+    def p(prev, cur):
+        pu = cu[cur] / N
+        if prev is None or (prev, cur) not in cb:
+            return pu
+        return 0.7 * (cb[(prev, cur)] / cu[prev]) + (1 - 0.7) * pu
+
+    for doc_id, toks in ((1, ["a", "b", "a", "b"]), (2, ["b", "a"])):
+        pairs = [(None, toks[0])] + list(zip(toks, toks[1:]))
+        nll = sum(-log(p(pr, c)) for pr, c in pairs) / len(pairs)
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert abs(out[doc_id]["avg_nll"] - round(nll, 6)) < 1e-6
+    # repetitive in-context text scores lower NLL than the fragmentary doc
+    assert out[1]["avg_nll"] < out[2]["avg_nll"]

@@ -36,6 +36,7 @@ ALLOW_BNLJ = {
     "frequent_tokens",       # global token-count threshold (1 row)
     "tfidf_top_terms",       # corpus doc-count scalar (1 row)
     "perplexity_scores",     # corpus token-total scalar (1 row)
+    "bigram_perplexity",     # same corpus-total scalar (1 row)
     "corpus_datacard",       # grand-total row for shares (1 row)
     "table_profile",         # per-column totals vs table count (1 row)
     # market-generator seed cross-joins: symbols × trading-days (both
