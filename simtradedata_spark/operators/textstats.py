@@ -500,3 +500,46 @@ def bigram_logprob(
         F.round(F.exp("__nll"), 3).alias("ppl"),
         (F.round("__nll", 6) <= F.lit(nll_threshold)).cast("int").alias("keep"),
     )
+
+
+def feature_hash_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hashing-trick text vectorizer: token → hash-assigned bucket →
+    L2-normalized count vector of fixed ``dim``. The model-free
+    featurization (fastText/CCNet-style bag-of-hashed-words) that bridges
+    the text operators to the embedding family — its output ``embedding``
+    column feeds cosine_top_k / LSH ANN / cosine_near_dups directly, giving
+    an end-to-end text → vector → ANN-dedup path with no external model.
+
+    All JVM: explode → pmod-bucket → one groupBy(id, bucket) with map-side
+    combine → per-doc map assembly. The squared norm is summed in INTEGER
+    arithmetic (counts are ints), so normalization is exact cross-engine up
+    to one sqrt and one division per element. Token-less docs are absent
+    (no vector exists).
+    """
+    from simtradedata_spark.operators.dedup import _hash64
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.pmod(_hash64(F.col("__t"), hash_fn), F.lit(dim)).alias("__b"),
+    )
+    counts = tok.groupBy(id_col, "__b").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__m"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__n2"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i.cast("long")), F.lit(0))
+        / F.sqrt(F.col("__n2").cast("double")),
+    )
+    return per_doc.select(F.col(id_col), emb.alias("embedding"))

@@ -5634,6 +5634,100 @@ FROM agg
 """
 
 
+def q_hashed_embeddings(spark, sf_dir):
+    """Hashing-trick text vectorizer (textstats::feature_hash_embedding):
+    token → md5-bucket → L2-normalized 64-d count vector. Flattened to
+    (doc_id, pos, weight) rows so the comparator hashes scalars; the
+    squared norm is INTEGER arithmetic in both engines, so weights agree
+    to one sqrt + one division."""
+    from simtradedata_spark.operators.textstats import feature_hash_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = feature_hash_embedding(docs, hash_fn="md5")
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "w")
+    ).select("doc_id", "pos", F.round(F.col("w").cast("double"), 6).alias("weight"))
+
+
+_SQL_HASHED_VECS = f"""
+tok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+), bk AS (
+  SELECT doc_id, {_duck_h60('t')} % 64 AS b FROM tok
+), counts AS (
+  SELECT doc_id, b, count(*) AS c FROM bk GROUP BY doc_id, b
+), n2 AS (
+  SELECT doc_id, CAST(sum(c * c) AS BIGINT) AS n2 FROM counts GROUP BY doc_id
+), grid AS (
+  SELECT d.doc_id, t.i
+  FROM (SELECT DISTINCT doc_id FROM counts) d CROSS JOIN range(0, 64) t(i)
+), vec AS (
+  SELECT g.doc_id, g.i,
+         coalesce(c.c, 0) / sqrt(CAST(n.n2 AS DOUBLE)) AS w
+  FROM grid g
+  LEFT JOIN counts c ON c.doc_id = g.doc_id AND c.b = g.i
+  JOIN n2 n ON n.doc_id = g.doc_id
+)"""
+
+SQL_HASHED_EMBEDDINGS = f"""
+WITH {_SQL_HASHED_VECS}
+SELECT doc_id, CAST(i AS INT) AS pos, round(w, 6) AS weight FROM vec
+"""
+
+
+def q_text_ann_top3(spark, sf_dir):
+    """End-to-end text → vector → ANN: cosine top-3 neighbors of the first
+    five documents over the hashed-embedding space — the composition that
+    makes the vectorizer useful (semantic-ish near-dup candidates with no
+    external model). Ranking is on the 6dp-rounded similarity + neighbor id
+    so cross-engine sum-order ulps cannot reorder."""
+    from simtradedata_spark.operators.textstats import feature_hash_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = feature_hash_embedding(docs, hash_fn="md5")
+    q = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("__q")
+    )
+    sim = F.round(
+        F.aggregate(
+            F.zip_with("__q", "embedding", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+SQL_TEXT_ANN_TOP3 = f"""
+WITH {_SQL_HASHED_VECS}
+, sims AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         round(sum(q.w * c.w), 6) AS sim
+  FROM vec q JOIN vec c ON q.i = c.i AND c.doc_id <> q.doc_id
+  WHERE q.doc_id < 5
+  GROUP BY q.doc_id, c.doc_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 3
+"""
+
+
 def q_momentum_portfolio(spark, sf_dir):
     """Cross-sectional momentum portfolio — the rebalance-join pattern a
     factor backtest needs: at each month-end, rank symbols by trailing
@@ -5759,6 +5853,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "index_churn": (q_index_churn, SQL_INDEX_CHURN),
     "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
+    "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
+    "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
     "cluster_representatives": (
@@ -5955,6 +6051,8 @@ _FRONT_WINDOW = [
     "incremental_dedup",
     "index_churn",
     "bigram_perplexity",
+    "hashed_embeddings",
+    "text_ann_top3",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",

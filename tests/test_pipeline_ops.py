@@ -350,3 +350,29 @@ def test_bigram_logprob_hand_oracle(spark):
         assert abs(out[doc_id]["avg_nll"] - round(nll, 6)) < 1e-6
     # repetitive in-context text scores lower NLL than the fragmentary doc
     assert out[1]["avg_nll"] < out[2]["avg_nll"]
+
+
+def test_feature_hash_embedding_properties(spark):
+    """Unit vectors; identical token multisets → identical vectors (any
+    order); disjoint-token docs → orthogonal; empty doc absent."""
+    from simtradedata_spark.operators.textstats import feature_hash_embedding
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha"),
+            (2, "beta alpha alpha"),   # same multiset, different order
+            (3, "gamma delta"),
+            (4, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: list(r["embedding"]) for r in
+           feature_hash_embedding(docs, dim=16).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == out[2]
+    norm = sum(w * w for w in out[1])
+    assert abs(norm - 1.0) < 1e-9
+    dot13 = sum(a * b for a, b in zip(out[1], out[3]))
+    # alpha/beta vs gamma/delta: orthogonal unless a 16-bucket collision
+    assert dot13 < 0.9
+    assert len(out[1]) == 16

@@ -49,6 +49,8 @@ ALLOW_BNLJ = {
     "region_daily_ffill",
     # documented quadratic BASELINE path; lsh_ann/ivf_ann are the scale path
     "cosine_top5",
+    # bounded query-batch broadcast (5 vectors), same class as cosine_top5
+    "text_ann_top3",
 }
 
 # Bounded frames that legitimately pass through one partition.
