@@ -9,6 +9,9 @@ exist). Subcommands:
       # run every registered query, print the one-line bench JSON
   python -m simtradedata_spark check [--sf-dir DIR] [QUERY ...]
       # Spark-vs-DuckDB oracle gate for the named (or all) queries
+  python -m simtradedata_spark export-corpus --sf-dir DIR --out PATH
+      [--sample-pct N] [--shards N]
+      # curate documents and ship JSONL shards + _datacard.json
   python -m simtradedata_spark maintain --root PATH [--tables T ...]
       [--target-file-mb N] [--vacuum DIR ...] [--keep N]
       # nightly maintenance: compact warehouse tables, vacuum snapshot stores
@@ -90,6 +93,24 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_export_corpus(args: argparse.Namespace) -> int:
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.pipeline import export_training_corpus
+    from simtradedata_spark.session import get_spark
+
+    spark = get_spark("export_corpus")
+    docs = load_table(spark, args.sf_dir, "documents")
+    card = export_training_corpus(
+        docs, args.out, n_shards=args.shards, sample_pct=args.sample_pct
+    )
+    t = card["totals"]
+    print(
+        f"corpus exported to {args.out}: {t['n_sampled']}/{t['n_docs']} docs, "
+        f"{t['sampled_tokens']} tokens"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="simtradedata_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -111,6 +132,13 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--sf-dir", default=None)
     c.add_argument("queries", nargs="*")
     c.set_defaults(fn=_cmd_check)
+
+    e = sub.add_parser("export-corpus", help="curate + ship JSONL corpus release")
+    e.add_argument("--sf-dir", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--sample-pct", type=int, default=50)
+    e.add_argument("--shards", type=int, default=4)
+    e.set_defaults(fn=_cmd_export_corpus)
 
     m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")
     m.add_argument("--root", required=True)

@@ -32,7 +32,7 @@ from simtradedata_spark.operators.sampling import hash_bucket
 from simtradedata_spark.operators.textstats import char_stats, fingerprint
 
 
-def training_mix_report(
+def curate_flags(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -44,11 +44,12 @@ def training_mix_report(
     contam_n: int = 5,
     sample_pct: int = 50,
 ) -> DataFrame:
-    """Per-source curation funnel over ``docs``; rows from
-    ``benchmark_source`` act as the held-out benchmark (decontamination
-    target) and are excluded from the corpus.
+    """The curation pipeline as ROW FLAGS (__q/__unique/__clean/__sampled)
+    over the corpus — one pass, each stage implying the previous; shared by
+    the funnel report and the corpus exporter so the two can never
+    disagree about which rows survive.
 
-    Funnel semantics (each stage implies the previous):
+    Funnel semantics:
       quality  — n_tokens ≥ min_tokens, punct/digit density ≤ thresholds
       unique   — first doc (by id) per canonical-form fingerprint among
                  quality passers
@@ -79,11 +80,32 @@ def training_mix_report(
     flagged = flagged.join(hits, id_col, "left").withColumn(
         "__clean", F.col("__unique") & F.col("__hit").isNull()
     )
-    flagged = flagged.withColumn(
+    return flagged.withColumn(
         "__sampled",
         F.col("__clean") & (hash_bucket([id_col], buckets=100) < sample_pct),
     )
 
+
+def training_mix_report(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    benchmark_source: str = "src0",
+    min_tokens: int = 5,
+    max_punct: float = 0.3,
+    max_digit: float = 0.3,
+    contam_n: int = 5,
+    sample_pct: int = 50,
+) -> DataFrame:
+    """Per-source curation funnel over ``docs``; rows from
+    ``benchmark_source`` act as the held-out benchmark (decontamination
+    target) and are excluded from the corpus. See ``curate_flags`` for the
+    stage semantics."""
+    flagged = curate_flags(
+        docs, id_col, text_col, source_col, benchmark_source,
+        min_tokens, max_punct, max_digit, contam_n, sample_pct,
+    )
     n_if = lambda c: F.sum(F.col(c).cast("long"))
     return flagged.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -95,3 +117,52 @@ def training_mix_report(
             "sampled_tokens"
         ),
     )
+
+
+def export_training_corpus(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    **curate_kw,
+) -> dict:
+    """One-command corpus release: curate (quality → dedup → decontam →
+    sample) and write the surviving documents as compressed JSONL shards
+    plus a ``_datacard.json`` manifest (per-source funnel + totals) beside
+    them — the artifact an LLM data drop actually ships. Returns the
+    datacard dict.
+
+    The exporter reuses ``curate_flags`` verbatim, so what lands in the
+    shards is BY CONSTRUCTION the set the funnel report counts as
+    ``n_sampled``. The datacard is driver-side but bounded by the number
+    of sources, not the corpus."""
+    import json
+    import os
+
+    from simtradedata_spark.sources.jsonl import write_jsonl
+
+    flagged = curate_flags(docs, **curate_kw)
+    keep_cols = [c for c in docs.columns]
+    selected = flagged.filter(F.col("__sampled")).select(*keep_cols)
+    write_jsonl(selected, os.path.join(out_dir, "shards"), n_shards=n_shards)
+
+    report = training_mix_report(docs, **curate_kw).collect()
+    card = {
+        "per_source": {
+            r["source"]: {
+                k: r[k]
+                for k in (
+                    "n_docs", "n_quality", "n_unique", "n_clean",
+                    "n_sampled", "sampled_tokens",
+                )
+            }
+            for r in report
+        },
+    }
+    card["totals"] = {
+        k: sum(src[k] for src in card["per_source"].values())
+        for k in ("n_docs", "n_quality", "n_unique", "n_clean",
+                  "n_sampled", "sampled_tokens")
+    }
+    with open(os.path.join(out_dir, "_datacard.json"), "w") as fh:
+        json.dump(card, fh, indent=2, sort_keys=True)
+    return card

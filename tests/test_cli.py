@@ -63,3 +63,29 @@ def test_cli_maintain_smoke(spark, tmp_path):
     assert list_versions(store) == [2]
     wh = Warehouse(spark, root)
     assert wh.read("bars").count() > 0
+
+
+def test_cli_export_corpus(spark, tmp_path):
+    """The corpus-release command: shards + datacard land, the shard
+    contents are exactly the funnel's n_sampled set, benchmark excluded."""
+    import glob
+    import json as _json
+
+    from simtradedata_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    out = str(tmp_path / "release")
+    rc = main(
+        ["export-corpus", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", out, "--shards", "2"]
+    )
+    assert rc == 0
+    card = _json.load(open(f"{out}/_datacard.json"))
+    assert card["totals"]["n_sampled"] > 0
+    assert "src0" not in card["per_source"]  # benchmark never ships
+
+    shards = glob.glob(f"{out}/shards/part-*.json.gz")
+    assert len(shards) == 2
+    back, bad = split_corrupt(read_jsonl(spark, f"{out}/shards"))
+    assert bad.count() == 0
+    assert back.count() == card["totals"]["n_sampled"]
+    assert back.filter("source = 'src0'").count() == 0
