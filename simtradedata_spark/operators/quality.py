@@ -108,3 +108,49 @@ def quarantine(
     clean = tagged.filter(F.size("failed_checks") == 0).drop("failed_checks")
     bad = tagged.filter(F.size("failed_checks") > 0)
     return clean, bad
+
+
+def frame_diff(
+    left,
+    right,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+):
+    """Reconciliation between two relations sharing a key (warehouse vs a
+    provider re-fetch, two store versions, primary vs replica): one
+    full-outer join on the keys, per-column null-safe comparison. Returns
+    only the disagreeing keys with ``_status`` ∈ missing_left /
+    missing_right / mismatch and ``_diff_cols`` naming the fields that
+    differ — the audit a K6-style nightly integrity job runs after an
+    incremental ingest. Cost is O(|L|+|R|) with column pruning to
+    keys + compared columns."""
+    from pyspark.sql import functions as F
+
+    cols = compare_cols or [
+        c for c in left.columns if c in right.columns and c not in keys
+    ]
+    # presence can't be read off nullable value columns alone when a row is
+    # legitimately all-null — tag each side explicitly before the join
+    l = left.select(*keys, *cols, F.lit(1).alias("__lp")).alias("__l")
+    r = right.select(*keys, *cols, F.lit(1).alias("__rp")).alias("__r")
+    j = l.join(r, keys, "full_outer")
+    diff_cols = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__l.{c}").eqNullSafe(F.col(f"__r.{c}")), F.lit(c)
+                )
+                for c in cols
+            ]
+        )
+    )
+    status = (
+        F.when(F.col("__l.__lp").isNull(), F.lit("missing_left"))
+        .when(F.col("__r.__rp").isNull(), F.lit("missing_right"))
+        .when(F.size(diff_cols) > 0, F.lit("mismatch"))
+    )
+    return (
+        j.withColumn("_status", status)
+        .filter(F.col("_status").isNotNull())
+        .select(*keys, "_status", diff_cols.alias("_diff_cols"))
+    )

@@ -64,3 +64,40 @@ def test_anomaly_flags_planted(spark):
     assert got[("a", "2022-01-06")]["is_zero_volume"]
     assert got[("a", "2022-01-07")]["is_extreme_volume"]
     assert not got[("a", "2022-01-03")]["is_extreme_volume"]
+
+
+def test_frame_diff_reconciliation(spark):
+    """Warehouse-vs-provider recon: missing rows on either side and
+    per-column mismatches surface; agreeing keys (incl. null-for-null)
+    don't."""
+    from simtradedata_spark.operators.quality import frame_diff
+
+    wh = spark.createDataFrame(
+        [
+            ("S1", "2022-01-03", 10.0, 100.0),
+            ("S1", "2022-01-04", 11.0, None),    # null matches null
+            ("S2", "2022-01-03", 20.0, 200.0),   # provider disagrees on volume
+            ("S3", "2022-01-03", 30.0, 300.0),   # provider lost this row
+        ],
+        "symbol string, trade_date string, close double, volume double",
+    )
+    prov = spark.createDataFrame(
+        [
+            ("S1", "2022-01-03", 10.0, 100.0),
+            ("S1", "2022-01-04", 11.0, None),
+            ("S2", "2022-01-03", 20.0, 999.0),
+            ("S4", "2022-01-03", 40.0, 400.0),   # warehouse never ingested
+        ],
+        "symbol string, trade_date string, close double, volume double",
+    )
+    out = {
+        (r["symbol"], r["trade_date"]): r
+        for r in frame_diff(wh, prov, ["symbol", "trade_date"]).collect()
+    }
+    assert set(out) == {
+        ("S2", "2022-01-03"), ("S3", "2022-01-03"), ("S4", "2022-01-03")
+    }
+    assert out[("S2", "2022-01-03")]["_status"] == "mismatch"
+    assert out[("S2", "2022-01-03")]["_diff_cols"] == ["volume"]
+    assert out[("S3", "2022-01-03")]["_status"] == "missing_right"
+    assert out[("S4", "2022-01-03")]["_status"] == "missing_left"
