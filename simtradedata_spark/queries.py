@@ -5634,6 +5634,65 @@ FROM agg
 """
 
 
+def q_orders_recon(spark, sf_dir):
+    """Reconciliation audit (quality::frame_diff) certified on a
+    deterministic divergence of the orders table (o_orderkey is unique —
+    the contract a recon key needs): the 'warehouse' misses keys ≡0 mod
+    97, the 'provider' misses ≡0 mod 89 and reports totalprice+1 for ≡0
+    mod 83 — the audit must surface exactly the missing/mismatching keys
+    with the disagreeing column named, and nothing else."""
+    from simtradedata_spark.operators.quality import frame_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    left = o.filter(F.col("o_orderkey") % 97 != 0)
+    right = o.filter(F.col("o_orderkey") % 89 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 83 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    out = frame_diff(left, right, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        F.col("_status").alias("status"),
+        F.array_join("_diff_cols", ",").alias("diff_cols"),
+    )
+
+
+SQL_ORDERS_RECON = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), lft AS (
+  SELECT *, 1 AS lp FROM base WHERE o_orderkey % 97 <> 0
+), rgt AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 83 = 0 THEN o_totalprice + 1
+              ELSE o_totalprice END AS o_totalprice, 1 AS rp
+  FROM base WHERE o_orderkey % 89 <> 0
+), j AS (
+  SELECT o_orderkey, lp, rp,
+         array_to_string(list_filter(
+           [CASE WHEN lft.o_orderstatus IS DISTINCT FROM rgt.o_orderstatus
+                 THEN 'o_orderstatus' END,
+            CASE WHEN lft.o_totalprice IS DISTINCT FROM rgt.o_totalprice
+                 THEN 'o_totalprice' END],
+           x -> x IS NOT NULL), ',') AS diff_cols
+  FROM lft FULL JOIN rgt USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN lp IS NULL THEN 'missing_left'
+            WHEN rp IS NULL THEN 'missing_right'
+            WHEN len(diff_cols) > 0 THEN 'mismatch' END AS status,
+       diff_cols
+FROM j
+WHERE (CASE WHEN lp IS NULL THEN 'missing_left'
+            WHEN rp IS NULL THEN 'missing_right'
+            WHEN len(diff_cols) > 0 THEN 'mismatch' END) IS NOT NULL
+"""
+
+
 def q_hashed_embeddings(spark, sf_dir):
     """Hashing-trick text vectorizer (textstats::feature_hash_embedding):
     token → md5-bucket → L2-normalized 64-d count vector. Flattened to
@@ -5854,6 +5913,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "index_churn": (q_index_churn, SQL_INDEX_CHURN),
     "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
+    "orders_recon": (q_orders_recon, SQL_ORDERS_RECON),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6053,6 +6113,7 @@ _FRONT_WINDOW = [
     "bigram_perplexity",
     "hashed_embeddings",
     "text_ann_top3",
+    "orders_recon",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
