@@ -468,6 +468,7 @@ def streaming_rollup(
     value_col: str,
     width: str = "hour",
     query_name: str = "stream_rollup",
+    checkpoint: str | None = None,
 ):
     """Continuous aggregate as a stream: file source → ``foreachBatch`` fold
     into hypertable state. Readers hit the small state table (one row per
@@ -480,12 +481,11 @@ def streaming_rollup(
         .option("maxFilesPerTrigger", 1)
         .load(source_dir)
     )
-    return (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: rollup_batch(
-                df, bid, target, keys, ts_col, value_col, width
-            )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: rollup_batch(
+            df, bid, target, keys, ts_col, value_col, width
         )
-        .queryName(query_name)
-        .start()
-    )
+    ).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -292,3 +292,56 @@ def test_compact_crash_recovery_finishes_interrupted_swap(spark, tmp_path):
     wh.compact("stock_metadata")
     assert wh.read("stock_metadata").count() == 100
     assert not os.path.isdir(staging) and not os.path.isdir(trash)
+
+
+def test_streaming_rollup_restart_replay_guard(spark, tmp_path):
+    """Restarted streaming_rollup with the same checkpoint must not
+    double-fold already-committed batches (a FOLD, unlike a key-merge,
+    would double-count on replay); final rollup equals the batch ground
+    truth over all files."""
+    import datetime
+    import time
+
+    from simtradedata_spark.operators.hypertable import rollup_read
+    from simtradedata_spark.streaming.incremental import streaming_rollup
+
+    src = str(tmp_path / "r_src")
+    tgt = str(tmp_path / "r_tgt")
+    ckpt = str(tmp_path / "r_ckpt")
+    schema = "k string, ts timestamp, v double"
+    t0 = datetime.datetime(2024, 1, 2, 9, 0)
+    mk = lambda rows: spark.createDataFrame(rows, schema)
+    mk([("a", t0, 1.0), ("a", t0 + datetime.timedelta(minutes=5), 2.0)]).coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    q = streaming_rollup(
+        spark, src, schema, tgt, ["k"], "ts", "v", checkpoint=ckpt,
+        query_name="r1",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    time.sleep(1.1)
+    mk([("a", t0 + datetime.timedelta(hours=1), 10.0), ("b", t0, 5.0)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = streaming_rollup(
+        spark, src, schema, tgt, ["k"], "ts", "v", checkpoint=ckpt,
+        query_name="r2",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {
+        (r["k"], r["bucket"].hour): (r["n"], r["total"])
+        for r in rollup_read(read_current(spark, tgt)).collect()
+    }
+    # hour 9: a has rows 1+2 (first run only — no double-fold), b has 5
+    assert got[("a", 9)] == (2, 3.0)
+    assert got[("a", 10)] == (1, 10.0)
+    assert got[("b", 9)] == (1, 5.0)
