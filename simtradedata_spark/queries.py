@@ -5634,6 +5634,50 @@ FROM agg
 """
 
 
+def q_window_functions(spark, sf_dir):
+    """§2.8 window-function completeness in one oracle: row_number /
+    percent_rank / cume_dist / first_value / nth_value / ntile over one
+    per-customer ordering (unique sort key → rank functions deterministic;
+    ANSI default frame for the value functions, identical in both
+    engines). Customers with ≥3 orders only, to exercise nth_value's
+    null-until-seen behavior without degenerate 1-row groups."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = Window.partitionBy("o_custkey")
+    out = (
+        o.withColumn("n_orders", F.count(F.lit(1)).over(wall))
+        .filter(F.col("n_orders") >= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+    return out
+
+
+SQL_WINDOW_FUNCTIONS = """
+WITH c AS (
+  SELECT *, count(*) OVER (PARTITION BY o_custkey) AS n_orders FROM orders
+)
+SELECT o_custkey, o_orderkey,
+       row_number() OVER w AS rn,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cd,
+       first_value(o_totalprice) OVER w AS first_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price,
+       ntile(4) OVER w AS quartile
+FROM c
+WHERE n_orders >= 3
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
 def q_orders_recon(spark, sf_dir):
     """Reconciliation audit (quality::frame_diff) certified on a
     deterministic divergence of the orders table (o_orderkey is unique —
@@ -5914,6 +5958,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
     "orders_recon": (q_orders_recon, SQL_ORDERS_RECON),
+    "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6114,6 +6159,7 @@ _FRONT_WINDOW = [
     "hashed_embeddings",
     "text_ann_top3",
     "orders_recon",
+    "window_functions",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
