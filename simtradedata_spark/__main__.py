@@ -78,6 +78,8 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     from simtradedata_spark.sources.tables import Warehouse
     from simtradedata_spark.streaming.incremental import vacuum_versions
 
+    if args.target_file_mb < 1:
+        raise SystemExit("--target-file-mb must be >= 1")
     spark = get_spark("maintain")
     wh = Warehouse(spark, args.root)
     tables = args.tables or wh.tables()

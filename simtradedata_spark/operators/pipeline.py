@@ -106,6 +106,13 @@ def training_mix_report(
         docs, id_col, text_col, source_col, benchmark_source,
         min_tokens, max_punct, max_digit, contam_n, sample_pct,
     )
+    return funnel_report(flagged, source_col)
+
+
+def funnel_report(flagged: DataFrame, source_col: str = "source") -> DataFrame:
+    """Aggregate the per-source funnel from an ALREADY-FLAGGED frame — the
+    shared tail of the report and the exporter, so the exporter can run the
+    expensive stages once and derive both artifacts from one frame."""
     n_if = lambda c: F.sum(F.col(c).cast("long"))
     return flagged.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -140,12 +147,17 @@ def export_training_corpus(
 
     from simtradedata_spark.sources.jsonl import write_jsonl
 
-    flagged = curate_flags(docs, **curate_kw)
-    keep_cols = [c for c in docs.columns]
-    selected = flagged.filter(F.col("__sampled")).select(*keep_cols)
-    write_jsonl(selected, os.path.join(out_dir, "shards"), n_shards=n_shards)
-
-    report = training_mix_report(docs, **curate_kw).collect()
+    # One pass over the expensive stages: persist the flagged frame, derive
+    # BOTH the shards and the datacard from it, then release.
+    flagged = curate_flags(docs, **curate_kw).persist()
+    try:
+        keep_cols = [c for c in docs.columns]
+        selected = flagged.filter(F.col("__sampled")).select(*keep_cols)
+        write_jsonl(selected, os.path.join(out_dir, "shards"), n_shards=n_shards)
+        src = curate_kw.get("source_col", "source")
+        report = funnel_report(flagged, src).collect()
+    finally:
+        flagged.unpersist()
     card = {
         "per_source": {
             r["source"]: {

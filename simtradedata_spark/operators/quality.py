@@ -149,8 +149,17 @@ def frame_diff(
         .when(F.col("__r.__rp").isNull(), F.lit("missing_right"))
         .when(F.size(diff_cols) > 0, F.lit("mismatch"))
     )
+    # _diff_cols only means something for mismatches — for missing rows
+    # every populated column on the present side "differs" from null, which
+    # would poison any per-column mismatch aggregation downstream.
     return (
         j.withColumn("_status", status)
         .filter(F.col("_status").isNotNull())
-        .select(*keys, "_status", diff_cols.alias("_diff_cols"))
+        .select(
+            *keys,
+            "_status",
+            F.when(F.col("_status") == "mismatch", diff_cols)
+            .otherwise(F.array().cast("array<string>"))
+            .alias("_diff_cols"),
+        )
     )

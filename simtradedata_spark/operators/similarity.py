@@ -165,6 +165,89 @@ def lsh_bucket_top_k(
     )
 
 
+def _train_centroids(corpus, vec_col, n_lists, seed, max_iter, train_cap=4096):
+    """Driver-side Lloyd's on a bounded reservoir (IVF quantizers always
+    train on a sample, not the corpus). Returns the (k_eff × dim) centroid
+    matrix."""
+    import numpy as np
+
+    mat = np.stack(
+        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    k_eff = min(n_lists, len(mat))
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        # Lloyd step via |x-c|^2 = |x|^2 - 2 x·c + |c|^2 (|x|^2 constant per row)
+        assign = np.argmin(
+            -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1), axis=1
+        )
+        for j in range(k_eff):
+            members = mat[assign == j]
+            cent[j] = members.mean(axis=0) if len(members) else mat[
+                rng.integers(len(mat))
+            ]
+    return cent
+
+
+def _cell_udf(corpus, cent):
+    """Broadcast-centroid cell assignment as an Arrow-batched pandas UDF
+    (narrow — no shuffle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cent_b = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def _cell_fn(vecs):
+        c_ = cent_b.value
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.Series(
+            np.argmin(-2.0 * (m @ c_.T) + (c_ * c_).sum(axis=1), axis=1)
+        ).astype("int32")
+
+    # annotations set explicitly: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf eval-type inference
+    _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    return pandas_udf(_cell_fn, "int")
+
+
+def _probes_frame(queries, id_col, vec_col, cent, n_probe, cell_col):
+    """Rank cells per query driver-side (query batch bounded by contract,
+    centroid matrix tiny) and ship the exploded (query, probe-cell) frame.
+    ``__qvec`` keeps the queries' NATIVE vector element type — truncating
+    to float32 here would break the exhaustive-probe ≡ brute-force
+    contract for double-typed embeddings."""
+    import numpy as np
+
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    qpdf = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).toPandas()
+    qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    order = np.argsort(-(qmat @ cent_n.T), axis=1)[:, :n_probe]
+    spark = queries.sparkSession
+    vec_type = queries.schema[vec_col].dataType.simpleString()
+    return spark.createDataFrame(
+        [(qid, [float(x) for x in vec], [int(c_) for c_ in cells])
+         for qid, vec, cells in zip(qpdf["query_id"], qpdf["__qvec"], order)],
+        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
+        f"__qvec {vec_type}, __cells array<int>",
+    ).select("query_id", "__qvec", F.explode("__cells").alias(cell_col))
+
+
+def _rank_top_k(scored, k):
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
@@ -183,72 +266,21 @@ def ivf_top_k(
     (tested), smaller n_probe trades recall for a ~n_lists/n_probe scan cut.
 
     Scale shape (FAISS-style): the quantizer trains DRIVER-SIDE on a bounded
-    sample (IVF quantizers always train on a reservoir, not the corpus — a
-    few k vectors suffice for coarse cells), so no Spark-ML iteration jobs;
-    assignment is a broadcast-centroid GEMM in Arrow batches (narrow, no
-    shuffle); candidate selection is an equi-join corpus-cell = probed-cell
-    — the same shuffle-join-on-bucket skeleton as the LSH variant, so cell
-    lists can also be written out partitioned-by-cell and pruned at scan
-    time for repeated query batches.
+    sample (no Spark-ML iteration jobs); assignment is a broadcast-centroid
+    GEMM in Arrow batches (narrow, no shuffle); candidate selection is an
+    equi-join corpus-cell = probed-cell — the same shuffle-join-on-bucket
+    skeleton as the LSH variant. For repeated query batches persist the
+    assignment once with ``build_ivf_index`` and probe the cell-partitioned
+    table (``ivf_probe_persisted``) instead.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    train_cap = 4096
-    mat = np.stack(
-        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    k_eff = min(n_lists, len(mat))
-    rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=k_eff, replace=False)]
-    for _ in range(max_iter):
-        # Lloyd step via |x-c|^2 = |x|^2 - 2 x·c + |c|^2 (|x|^2 constant per row)
-        assign = np.argmin(
-            -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1), axis=1
-        )
-        for j in range(k_eff):
-            members = mat[assign == j]
-            cent[j] = members.mean(axis=0) if len(members) else mat[
-                rng.integers(len(mat))
-            ]
-
-    cent_b = corpus.sparkSession.sparkContext.broadcast(cent)
-
-    def _cell_fn(vecs):
-        c_ = cent_b.value
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series(
-            np.argmin(-2.0 * (m @ c_.T) + (c_ * c_).sum(axis=1), axis=1)
-        ).astype("int32")
-
-    # annotations set explicitly: `from __future__ import annotations` would
-    # stringify inline hints and break pandas_udf eval-type inference
-    _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    _cell = pandas_udf(_cell_fn, "int")
-
+    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    _cell = _cell_udf(corpus, cent)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         _cell(F.col(vec_col)).alias("__cell"),
     )
-
-    # Probe-list per query: centroid matrix is tiny (n_lists × dim) — rank
-    # cells driver-side in numpy, ship as a small exploded (query, cell) frame.
-    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-    qpdf = queries.select(F.col(id_col).alias("query_id"),
-                          F.col(vec_col).alias("__qvec")).toPandas()
-    qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    order = np.argsort(-(qmat @ cent_n.T), axis=1)[:, :n_probe]
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        [(qid, [float(x) for x in vec], [int(c_) for c_ in cells])
-         for qid, vec, cells in zip(qpdf["query_id"], qpdf["__qvec"], order)],
-        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
-        f"__qvec array<float>, __cells array<int>",
-    ).select("query_id", "__qvec", F.explode("__cells").alias("__cell"))
-
+    probes = _probes_frame(queries, id_col, vec_col, cent, n_probe, "__cell")
     scored = c.join(F.broadcast(probes), ["__cell"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
@@ -256,14 +288,7 @@ def ivf_top_k(
         "neighbor_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_top_k(scored, k)
 
 
 def quantize_int8(vec: Column, scale: Column) -> Column:
@@ -299,46 +324,14 @@ def build_ivf_index(
     """Persist the IVF index: the corpus written ``partitionBy(cell)`` so a
     probe READS ONLY THE PROBED CELL DIRECTORIES (partition pruning at the
     file listing — the scan-time realization of IVF's "visit n_probe of
-    n_lists" promise), plus the trained centroids as a JSON sidecar. This is
-    the repeated-query-batch path the ivf_top_k docstring promises: train
-    and assign once, then every batch of queries prunes ~(1 − n_probe /
-    n_lists) of the corpus bytes before any I/O happens."""
+    n_lists" promise), plus the trained centroids as a JSON sidecar. Train
+    and assign once; every query batch then prunes ~(1 − n_probe/n_lists)
+    of the corpus bytes before any I/O happens."""
     import json
     import os
 
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    train_cap = 4096
-    mat = np.stack(
-        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
-    ).astype(np.float64)
-    k_eff = min(n_lists, len(mat))
-    rng = np.random.default_rng(seed)
-    cent = mat[rng.choice(len(mat), size=k_eff, replace=False)]
-    for _ in range(max_iter):
-        assign = np.argmin(
-            -2.0 * (mat @ cent.T) + (cent * cent).sum(axis=1), axis=1
-        )
-        for j in range(k_eff):
-            members = mat[assign == j]
-            cent[j] = members.mean(axis=0) if len(members) else mat[
-                rng.integers(len(mat))
-            ]
-
-    cent_b = corpus.sparkSession.sparkContext.broadcast(cent)
-
-    def _cell_fn(vecs):
-        c_ = cent_b.value
-        m = np.stack(vecs.to_numpy()).astype(np.float64)
-        return pd.Series(
-            np.argmin(-2.0 * (m @ c_.T) + (c_ * c_).sum(axis=1), axis=1)
-        ).astype("int32")
-
-    _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    _cell = pandas_udf(_cell_fn, "int")
-
+    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    _cell = _cell_udf(corpus, cent)
     (
         corpus.select(
             F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
@@ -360,12 +353,11 @@ def ivf_probe_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN over a persisted IVF index: rank cells per query against the
-    centroid sidecar (driver-side — the query batch is bounded by contract,
-    the centroid matrix is n_lists × dim), then read ONLY the probed cell
-    partitions and score within them. The ``cell IN (...)`` predicate is a
-    partition filter, so unprobed cells contribute zero input bytes — assert
-    PartitionFilters in the scan to see it."""
+    """ANN over a persisted IVF index (``build_ivf_index`` output): rank
+    cells per query against the centroid sidecar, then read ONLY the probed
+    cell partitions and score within them. The ``cell IN (...)`` predicate
+    is a partition filter, so unprobed cells contribute zero input files
+    (asserted via inputFiles in tests)."""
     import json
     import os
 
@@ -373,28 +365,11 @@ def ivf_probe_persisted(
 
     with open(os.path.join(index_path, "centroids.json")) as fh:
         cent = np.asarray(json.load(fh), dtype=np.float64)
-    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
-
-    qpdf = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).toPandas()
-    qmat = np.stack(qpdf["__qvec"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
-    order = np.argsort(-(qmat @ cent_n.T), axis=1)[:, :n_probe]
-
-    needed = sorted({int(c) for row in order for c in row})
+    probes = _probes_frame(queries, id_col, vec_col, cent, n_probe, "cell")
+    needed = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
     vectors = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
         F.col("cell").isin(needed)
     )
-    probes = spark.createDataFrame(
-        [
-            (qid, [float(x) for x in vec], [int(c) for c in cells])
-            for qid, vec, cells in zip(qpdf["query_id"], qpdf["__qvec"], order)
-        ],
-        f"query_id {queries.schema[id_col].dataType.simpleString()}, "
-        f"__qvec array<float>, __cells array<int>",
-    ).select("query_id", "__qvec", F.explode("__cells").alias("cell"))
-
     scored = (
         vectors.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(probes), ["cell"])
@@ -405,11 +380,4 @@ def ivf_probe_persisted(
             cosine(F.col("__qvec"), F.col(vec_col)).alias("__sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_top_k(scored, k)

