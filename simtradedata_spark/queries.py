@@ -2000,6 +2000,73 @@ FROM cal
 """
 
 
+def q_risk_metrics(spark, sf_dir):
+    """Per-symbol annual risk report: annualized return/vol, Sharpe,
+    downside deviation (Sortino denominator), max drawdown and Calmar —
+    the summary a strategy sheet prints. One per-symbol sort window for
+    the running peak + one aggregation; every ratio derives from group
+    aggregates and rounds at 6dp."""
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy("day_idx")
+    wpeak = w.rowsBetween(Window.unboundedPreceding, 0)
+    r = bars.select(
+        "symbol",
+        "day_idx",
+        F.log(F.col("close") / F.col("preclose")).alias("ret"),
+        (F.col("close") / F.max("close").over(wpeak) - 1).alias("dd"),
+    )
+    agg = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        (F.avg("ret") * 252).alias("__ar"),
+        (F.stddev_samp("ret") * F.lit(252.0) ** F.lit(0.5)).alias("__av"),
+        (
+            F.sqrt(F.avg(F.pow(F.least(F.col("ret"), F.lit(0.0)), 2)))
+            * F.lit(252.0) ** F.lit(0.5)
+        ).alias("__ddev"),
+        F.min("dd").alias("__mdd"),
+    )
+    return agg.select(
+        "symbol",
+        "n_days",
+        F.round("__ar", 6).alias("ann_ret"),
+        F.round("__av", 6).alias("ann_vol"),
+        F.round("__ddev", 6).alias("downside_dev"),
+        F.round(
+            F.when(F.col("__av") > 0, F.col("__ar") / F.col("__av")), 6
+        ).alias("sharpe"),
+        F.round("__mdd", 6).alias("max_drawdown"),
+        F.round(
+            F.when(F.col("__mdd") < 0, F.col("__ar") / -F.col("__mdd")), 6
+        ).alias("calmar"),
+    )
+
+
+SQL_RISK_METRICS = _SQL_MARKET_CTES + """
+, r AS (
+  SELECT symbol, day_idx,
+         ln(close / preclose) AS ret,
+         close / max(close) OVER (PARTITION BY symbol ORDER BY day_idx
+                                  ROWS UNBOUNDED PRECEDING) - 1 AS dd
+  FROM bars_out
+), agg AS (
+  SELECT symbol, count(*) AS n_days,
+         avg(ret) * 252 AS ar,
+         stddev_samp(ret) * power(252.0, 0.5) AS av,
+         sqrt(avg(power(least(ret, 0.0), 2))) * power(252.0, 0.5) AS ddev,
+         min(dd) AS mdd
+  FROM r GROUP BY symbol
+)
+SELECT symbol, n_days,
+       round(ar, 6) AS ann_ret,
+       round(av, 6) AS ann_vol,
+       round(ddev, 6) AS downside_dev,
+       round(CASE WHEN av > 0 THEN ar / av END, 6) AS sharpe,
+       round(mdd, 6) AS max_drawdown,
+       round(CASE WHEN mdd < 0 THEN ar / -mdd END, 6) AS calmar
+FROM agg
+"""
+
+
 def q_realized_vol(spark, sf_dir):
     """Annualized 20-day realized volatility per symbol-day (stddev of log
     returns × √252) — the rolling second-moment window family; full windows
@@ -5960,6 +6027,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "hashed_embeddings": (q_hashed_embeddings, SQL_HASHED_EMBEDDINGS),
     "orders_recon": (q_orders_recon, SQL_ORDERS_RECON),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
+    "risk_metrics": (q_risk_metrics, SQL_RISK_METRICS),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6161,6 +6229,7 @@ _FRONT_WINDOW = [
     "text_ann_top3",
     "orders_recon",
     "window_functions",
+    "risk_metrics",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
