@@ -345,3 +345,64 @@ def test_streaming_rollup_restart_replay_guard(spark, tmp_path):
     assert got[("a", 9)] == (2, 3.0)
     assert got[("a", 10)] == (1, 10.0)
     assert got[("b", 9)] == (1, 5.0)
+
+
+def test_streaming_enrichment_sees_dim_version_swap(spark, tmp_path):
+    """Stream-static enrichment against the versioned snapshot store:
+    foreachBatch resolves _CURRENT per micro-batch, so a dimension publish
+    mid-stream changes enrichment for subsequent batches only — the
+    broadcast-state pattern on the pointer-commit store."""
+    import time
+
+    from simtradedata_spark.streaming.incremental import _publish_version
+
+    dim = str(tmp_path / "dim")
+    src = str(tmp_path / "e_src")
+    _publish_version(
+        spark.createDataFrame([("S1", "tech")], "symbol string, sector string"),
+        dim,
+        0,
+    )
+    schema = "symbol string, qty long"
+    spark.createDataFrame([("S1", 10)], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    out = []
+
+    def enrich(batch_df, bid):
+        d = read_current(spark, dim)
+        rows = (
+            batch_df.join(d, "symbol", "left")
+            .select("symbol", "qty", "sector")
+            .collect()
+        )
+        out.extend((r["symbol"], r["qty"], r["sector"]) for r in rows)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    q = stream.writeStream.foreachBatch(enrich).queryName("enrich").start()
+    try:
+        q.processAllAvailable()
+        # dimension evolves mid-stream: sector reclassified
+        _publish_version(
+            spark.createDataFrame(
+                [("S1", "fintech")], "symbol string, sector string"
+            ),
+            dim,
+            1,
+        )
+        time.sleep(1.1)
+        spark.createDataFrame([("S1", 20)], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert ("S1", 10, "tech") in out       # pre-swap batch used v0
+    assert ("S1", 20, "fintech") in out    # post-swap batch used v1
