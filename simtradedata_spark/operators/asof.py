@@ -39,9 +39,14 @@ def asof_join(
     strict: bool = False,
     tolerance: Column | None = None,
     suffix: str = "",
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right[on] <= left[on]`` (or ``<`` when ``strict``), per ``by`` keys.
+    ``direction="forward"`` attaches the NEAREST FUTURE right row instead
+    (``right[on] >= left[on]``, or ``>`` when strict) — the same single
+    union+window plan with the time ordering reversed; within-timestamp
+    tag semantics are direction-invariant.
 
     Output = all left columns + the chosen ``right_cols`` (suffixed with
     ``suffix`` on name collision) + ``__asof_matched_<on>`` (the matched right
@@ -90,9 +95,14 @@ def asof_join(
 
     # Secondary sort on the payload struct makes equal-ts right rows resolve
     # deterministically; __seq breaks exact full ties.
+    order_ts = (
+        F.col("__asof_on").desc()
+        if direction == "forward"
+        else F.col("__asof_on").asc()
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy("__asof_on", "__tag", "__right", "__seq")
+        .orderBy(order_ts, "__tag", "__right", "__seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(

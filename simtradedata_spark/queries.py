@@ -498,6 +498,46 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
 """
 
 
+def q_asof_next_purchase(spark, sf_dir):
+    """Forward as-of (the conversion-time dual of J5): for each signup, the
+    user's FIRST subsequent purchase and the lag to it — asof_join
+    direction='forward', the same single union+window plan with the time
+    ordering reversed. Oracle: DuckDB ASOF with the inequality flipped."""
+    ev = _t(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        signups, purchases, on="ts", by=["user_id"], direction="forward"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "purchase_event_id",
+        "purchase_value",
+        (
+            F.unix_micros("__asof_matched_ts") - F.unix_micros("ts")
+        ).alias("conversion_us"),
+    )
+
+
+SQL_ASOF_NEXT_PURCHASE = """
+SELECT s.user_id, s.event_id,
+       p.event_id AS purchase_event_id,
+       p.value AS purchase_value,
+       epoch_us(p.ts) - epoch_us(s.ts) AS conversion_us
+FROM (SELECT * FROM events WHERE event_type = 'signup') s
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id AND s.ts <= p.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # Pivot (W5), rollup, sessionize, tumbling window, json, distinct union
 # ---------------------------------------------------------------------------
@@ -6028,6 +6068,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "orders_recon": (q_orders_recon, SQL_ORDERS_RECON),
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "risk_metrics": (q_risk_metrics, SQL_RISK_METRICS),
+    "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6230,6 +6271,7 @@ _FRONT_WINDOW = [
     "orders_recon",
     "window_functions",
     "risk_metrics",
+    "asof_next_purchase",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",

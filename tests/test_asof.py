@@ -60,3 +60,49 @@ def test_asof_no_match_is_null(spark):
     right = spark.createDataFrame([(1, 10, 99.0)], "k int, t int, v double")
     row = asof_join(left, right, on="t", by=["k"]).first()
     assert row["v"] is None
+
+
+def test_asof_forward_matches_pandas(spark):
+    """direction='forward' == pandas merge_asof(direction='forward') on
+    random keyed series (nearest FUTURE row, per key)."""
+    left, right = _mk(spark, seed=7)
+    # drop exact-duplicate (k, t) on the right the same way the backward
+    # test's fixture construction already guarantees
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="t",
+            by=["k"],
+            direction="forward",
+        )
+        .select("lid", "payload")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    expect = pd.merge_asof(
+        left.sort_values("t"),
+        right.sort_values("t"),
+        on="t",
+        by="k",
+        direction="forward",
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["payload"], expect["payload"], check_names=False
+    )
+
+
+def test_asof_forward_strict_and_equal_ts(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, 99.0), (1, 15, 55.0)], "k int, t int, v double"
+    )
+    inclusive = asof_join(
+        left, right, on="t", by=["k"], direction="forward"
+    ).select("v").first()[0]
+    strict = asof_join(
+        left, right, on="t", by=["k"], direction="forward", strict=True
+    ).select("v").first()[0]
+    assert inclusive == 99.0   # equal ts matches
+    assert strict == 55.0      # strict skips to the next future row
