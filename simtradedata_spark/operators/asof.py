@@ -95,8 +95,13 @@ def asof_join(
 
     # Secondary sort on the payload struct makes equal-ts right rows resolve
     # deterministically; __seq breaks exact full ties.
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
+    # desc_nulls_FIRST mirrors backward's asc-nulls-first placement: a left
+    # row with a NULL as-of time must match nothing in either direction
+    # (desc's default nulls-last would hand it the earliest right row).
     order_ts = (
-        F.col("__asof_on").desc()
+        F.col("__asof_on").desc_nulls_first()
         if direction == "forward"
         else F.col("__asof_on").asc()
     )

@@ -65,9 +65,10 @@ def test_asof_no_match_is_null(spark):
 def test_asof_forward_matches_pandas(spark):
     """direction='forward' == pandas merge_asof(direction='forward') on
     random keyed series (nearest FUTURE row, per key)."""
+    # right (k, t) uniqueness comes from _mk's rng.choice(replace=False) —
+    # duplicates would make the Spark payload tie-break diverge from
+    # pandas' row-order tie-break
     left, right = _mk(spark, seed=7)
-    # drop exact-duplicate (k, t) on the right the same way the backward
-    # test's fixture construction already guarantees
     got = (
         asof_join(
             spark.createDataFrame(left),
@@ -106,3 +107,15 @@ def test_asof_forward_strict_and_equal_ts(spark):
     ).select("v").first()[0]
     assert inclusive == 99.0   # equal ts matches
     assert strict == 55.0      # strict skips to the next future row
+
+
+def test_asof_null_timestamp_never_matches_either_direction(spark):
+    left = spark.createDataFrame([(1, None)], "k int, t int")
+    right = spark.createDataFrame([(1, 10, 99.0)], "k int, t int, v double")
+    for d in ("backward", "forward"):
+        got = asof_join(left, right, on="t", by=["k"], direction=d)
+        assert got.select("v").first()[0] is None, d
+    import pytest
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, on="t", by=["k"], direction="nearest")
