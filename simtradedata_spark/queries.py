@@ -5845,6 +5845,64 @@ WHERE (CASE WHEN lp IS NULL THEN 'missing_left'
 """
 
 
+def q_fuzzy_doc_match(spark, sf_dir):
+    """Entity-resolution fuzzy join (operators/fuzzy.py): clean registry =
+    first 24 chars of each document; dirty registry = the same strings
+    under a deterministic corruption (char deleted for ids ≡0 mod 5, char
+    inserted for ≡0 mod 7). The blocked join must return EVERY pair within
+    Levenshtein ≤ 2 — the oracle is the QUADRATIC ground truth, so a green
+    row certifies the q-gram blocking lossless, not just plausible."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    # clean registry scoped to a tenth of the corpus: the synthetic text's
+    # 375-gram vocabulary is the worst case for gram blocking (see
+    # operators/fuzzy.py), so the certified shape is a 1:10 registry match
+    clean = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("clean_id"),
+        F.substring("text", 1, 24).alias("name"),
+    )
+    base = F.substring("text", 1, 24)
+    dirty_name = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.substring("text", 1, 7), F.substring(base, 9, 16)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.substring("text", 1, 3), F.lit("x"), F.substring(base, 4, 21)),
+        )
+        .otherwise(base)
+    )
+    dirty = docs.select(
+        F.col("doc_id").alias("dirty_id"), dirty_name.alias("name")
+    )
+    return fuzzy_join(
+        clean, dirty, "clean_id", "name", "dirty_id", "name", max_dist=2, q=3
+    )
+
+
+SQL_FUZZY_DOC_MATCH = """
+WITH clean AS (
+  SELECT doc_id AS clean_id, substr(text, 1, 24) AS name FROM documents
+  WHERE doc_id % 10 = 0
+), dirty AS (
+  SELECT doc_id AS dirty_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(text, 1, 7) || substr(substr(text, 1, 24), 9, 16)
+              WHEN doc_id % 7 = 0
+              THEN substr(text, 1, 3) || 'x' || substr(substr(text, 1, 24), 4, 21)
+              ELSE substr(text, 1, 24) END AS name
+  FROM documents
+)
+SELECT c.clean_id, d.dirty_id,
+       levenshtein(c.name, d.name) AS dist
+FROM clean c JOIN dirty d
+  ON abs(length(c.name) - length(d.name)) <= 2
+ AND levenshtein(c.name, d.name) <= 2
+"""
+
+
 def q_hashed_embeddings(spark, sf_dir):
     """Hashing-trick text vectorizer (textstats::feature_hash_embedding):
     token → md5-bucket → L2-normalized 64-d count vector. Flattened to
@@ -6069,6 +6127,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "window_functions": (q_window_functions, SQL_WINDOW_FUNCTIONS),
     "risk_metrics": (q_risk_metrics, SQL_RISK_METRICS),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
+    "fuzzy_doc_match": (q_fuzzy_doc_match, SQL_FUZZY_DOC_MATCH),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6272,6 +6331,7 @@ _FRONT_WINDOW = [
     "window_functions",
     "risk_metrics",
     "asof_next_purchase",
+    "fuzzy_doc_match",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",

@@ -654,3 +654,54 @@ def test_minhash_probe_index_incremental(spark):
         if (r["id_a"] >= 200) != (r["id_b"] >= 200)
     }
     assert cross == {(r["new_id"], r["indexed_id"]) for r in hits}
+
+
+def test_fuzzy_join_blocks_losslessly_incl_short_strings(spark):
+    """q-gram blocking + levenshtein verify == quadratic ground truth,
+    including the short-string stratum the gram bound can't cover."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "structured streaming state"),
+            (2, "catalyst optimizer rules"),
+            (3, "ab"),                      # short stratum
+            (4, "shuffle partitions"),
+        ],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "structured streaming statx"),   # dist 1
+            (11, "catalyst optimizer rule"),      # dist 1 (deletion)
+            (12, "completely different thing"),
+            (13, "abc"),                          # dist 1, short
+            (14, "shuffle partitionss"),          # dist 1
+            (15, "shuffle partitions!!!"),        # dist 3 → excluded
+        ],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name", max_dist=2
+        ).collect()
+    }
+    # quadratic ground truth in python
+    import itertools
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[len(b)]
+
+    expect = {
+        (l["lid"], r["rid"], lev(l["name"], r["name"]))
+        for l, r in itertools.product(left.collect(), right.collect())
+        if lev(l["name"], r["name"]) <= 2
+    }
+    assert got == expect
+    assert (3, 13, 1) in got  # the short-stratum pair was not missed
