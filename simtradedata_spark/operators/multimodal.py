@@ -10,9 +10,12 @@ partition like any other scan-shaped op.
 
 The actual codec step is STUBBED (no image/audio libraries in this
 environment): ``decode_media`` raises ``NotImplementedError`` for real
-codecs, while ``fake_decode_features`` computes a deterministic 16-bin byte
-histogram so the Spark-side plumbing — schema, batch shape, partitioning,
-UDF signature — is real and testable end-to-end.
+codecs, while the deterministic fakes (``fake_decode_features`` byte
+histogram, ``fake_decode_image`` bytes→gray-plane) make the Spark-side
+plumbing — schema, batch shape, row expansion, partitioning, UDF
+signature — real and testable end-to-end. ``resize_media`` runs REAL
+nearest-neighbor resampling and ``sample_frames`` REAL frame slicing;
+only bytes→pixels is faked.
 """
 
 from __future__ import annotations
@@ -104,11 +107,123 @@ def extract_features(
     ).mapInPandas(run, schema)
 
 
-def resize_media(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize operator — stub (needs a codec)."""
-    raise NotImplementedError("resize requires a codec; see decode_media")
+def fake_decode_image(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Deterministic stand-in image decoder: bytes → (height, width) uint8
+    gray plane, truncating/cyclic-padding the payload — ONLY the
+    bytes→pixels step a real codec would do; everything downstream of it
+    (resampling, frame slicing) is real math."""
+    need = width * height
+    if need == 0:
+        return np.zeros((0, 0), dtype=np.uint8)
+    arr = np.frombuffer(blob or b"\0", dtype=np.uint8)
+    reps = -(-need // max(len(arr), 1))
+    return np.tile(arr, reps)[:need].reshape(height, width)
 
 
-def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """Video frame-sampling operator — stub (needs a codec)."""
-    raise NotImplementedError("frame sampling requires a codec; see decode_media")
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    batch_format: str = "fake/raw",
+) -> DataFrame:
+    """Image resize as Arrow-batched mapInPandas: decode (fake codec) →
+    REAL nearest-neighbor resample in numpy → re-encode bytes + updated
+    metadata. Real formats route to decode_media (→ NotImplementedError)
+    so misuse fails loudly; the Spark plumbing — schema, per-batch
+    boundary, metadata rewrite — is the production shape."""
+    schema = f"{id_col} long, {blob_col} binary, media_meta {MEDIA_META_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for f in pdf["__fmt"].unique():
+                if f != batch_format:
+                    decode_media(f)
+            out_blobs = []
+            for blob, w, h in zip(pdf[blob_col], pdf["__w"], pdf["__h"]):
+                img = fake_decode_image(blob, int(w) or width, int(h) or height)
+                if img.size == 0:
+                    out_blobs.append(b"")
+                    continue
+                # nearest-neighbor index map — the actual resampling math
+                ys = (np.arange(height) * img.shape[0] // height).clip(
+                    0, img.shape[0] - 1
+                )
+                xs = (np.arange(width) * img.shape[1] // width).clip(
+                    0, img.shape[1] - 1
+                )
+                out_blobs.append(img[np.ix_(ys, xs)].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    blob_col: out_blobs,
+                    "media_meta": [
+                        {
+                            "format": batch_format,
+                            "width": width,
+                            "height": height,
+                            "duration_ms": 0,
+                        }
+                    ]
+                    * len(pdf),
+                }
+            )
+
+    return df.select(
+        id_col,
+        blob_col,
+        F.col("media_meta.format").alias("__fmt"),
+        F.col("media_meta.width").alias("__w"),
+        F.col("media_meta.height").alias("__h"),
+    ).mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int,
+    frame_ms: int = 40,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    batch_format: str = "fake/raw",
+) -> DataFrame:
+    """Video frame sampling as a ROW-EXPANDING mapInPandas: the blob is a
+    concatenation of width×height frames at ``frame_ms`` per frame; emit
+    one row per sampled frame (every ``every_ms``) with its timestamp and
+    frame payload. The output-rows ≠ input-rows contract is the part a
+    generator-style media operator actually needs from Spark; the frame
+    slicing is real byte math, only bytes→pixels stays faked."""
+    schema = (
+        f"{id_col} long, frame_idx int, ts_ms int, frame binary"
+    )
+    stride = max(1, every_ms // frame_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for f in pdf["__fmt"].unique():
+                if f != batch_format:
+                    decode_media(f)
+            ids, idxs, tss, frames = [], [], [], []
+            for rid, blob, w, h in zip(
+                pdf[id_col], pdf[blob_col], pdf["__w"], pdf["__h"]
+            ):
+                fsize = int(w) * int(h)
+                if not blob or fsize == 0:
+                    continue
+                n_frames = len(blob) // fsize
+                for k in range(0, n_frames, stride):
+                    ids.append(rid)
+                    idxs.append(k)
+                    tss.append(k * frame_ms)
+                    frames.append(bytes(blob[k * fsize:(k + 1) * fsize]))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.select(
+        id_col,
+        blob_col,
+        F.col("media_meta.format").alias("__fmt"),
+        F.col("media_meta.width").alias("__w"),
+        F.col("media_meta.height").alias("__h"),
+    ).mapInPandas(run, schema)
