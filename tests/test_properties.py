@@ -255,3 +255,52 @@ def test_unigram_logprob_matches_python_model(spark, corpora):
     for i, (n_tokens, nll) in expect.items():
         assert got[i]["n_tokens"] == n_tokens
         assert abs(got[i]["avg_nll"] - round(nll, 6)) < 1e-6
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=16),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=16),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@RELAXED
+def test_fuzzy_join_equals_quadratic_ground_truth(spark, lnames, rnames):
+    """fuzzy_join == the quadratic python ground truth on adversarial
+    small-alphabet strings whose lengths straddle the short/long stratum
+    boundary (min_safe_len) — the subtle part of the blocking scheme."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(lnames)], "lid long, name string"
+    )
+    right = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(rnames)], "rid long, name string"
+    )
+    got = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name", max_dist=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        m = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1, prev + (ca != cb))
+        return m[len(b)]
+
+    expect = {
+        (i, j, lev(a, b))
+        for i, a in enumerate(lnames)
+        for j, b in enumerate(rnames)
+        if lev(a, b) <= 2
+    }
+    assert got == expect
