@@ -14,10 +14,10 @@ the standard two-phase shape:
 
 Losslessness: a pair within edit distance d must share at least one
 q-gram whenever min_len − q + 1 > q·d (each edit destroys at most q
-grams). Strings too short for that bound are routed through a
-length-proximity block instead (left side explodes its length ±d — a
-bounded 2d+1 expansion on the short stratum only), so no pair is missed
-at any length. The oracle for the certifying query is the QUADRATIC
+grams). Pairs where EITHER side is too short for that bound are routed through
+a symmetric length-proximity block instead (one side explodes its
+length ±d — a bounded 2d+1 expansion), so no pair is missed at any
+length combination. The oracle for the certifying query is the QUADRATIC
 ground truth, which is exactly the losslessness claim under test.
 
 Selectivity caveat (measured): blocking discriminates by gram RARITY.
@@ -96,16 +96,22 @@ def fuzzy_join(
     )
     # one global gram order: document frequency over BOTH sides (the gram
     # dictionary is vocabulary-sized — broadcast back)
+    # persisted: consumed by BOTH prefix joins — without it the full
+    # explode+union+groupBy lineage runs twice (vocabulary-sized to hold)
     freq = (
         lg.select("__g")
         .unionByName(rg.select("__g"))
         .groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__df"))
+        .persist()
     )
     from pyspark.sql.window import Window as _W
 
-    def _prefix(side, id_col):
-        w = _W.partitionBy(id_col).orderBy("__df", "__g")
+    def _prefix(side, id_col, str_col):
+        # partition by (id, string): a duplicated id must not mix two
+        # strings' grams into one ranking and push rare grams past the
+        # prefix
+        w = _W.partitionBy(id_col, str_col).orderBy("__df", "__g")
         return (
             side.join(F.broadcast(freq), "__g")
             .withColumn("__rk", F.row_number().over(w))
@@ -119,27 +125,39 @@ def fuzzy_join(
     # candidate set (with both strings) through a distinct — survivors are
     # answer-sized, so the final distinct is trivial.
     cand_long = (
-        _prefix(lg, "__lid")
-        .join(_prefix(rg, "__rid"), "__g")
+        _prefix(lg, "__lid", "__ls")
+        .join(_prefix(rg, "__rid", "__rs"), "__g")
         .filter(F.abs(F.col("__ll") - F.col("__rl")) <= max_dist)
         .select("__lid", "__ls", "__rid", "__rs")
     )
 
-    # short stratum: length-proximity block (bounded 2d+1 explode on the
-    # left). A short left string may still match a right string that sits
-    # just above the long threshold, so the right side filters on length
-    # < min_safe_len + max_dist.
-    ls = l.filter(F.col("__ll") < min_safe_len).select(
+    # short stratum: length-proximity block covering every pair where
+    # EITHER side is below min_safe_len (the gram stratum requires BOTH
+    # sides long — a long-left/short-right pair is in neither without the
+    # mirror). Each block explodes ONE side's length ±d (bounded 2d+1) and
+    # equi-joins the other side's short stratum on exact length; the
+    # both-short overlap is deduplicated by the final distinct.
+    ls_all = l.select(
         "__lid",
         "__ls",
         F.explode(
-            F.sequence(
-                F.col("__ll") - max_dist, F.col("__ll") + max_dist
-            )
+            F.sequence(F.col("__ll") - max_dist, F.col("__ll") + max_dist)
         ).alias("__rl"),
     )
-    rs = r.filter(F.col("__rl") < min_safe_len + max_dist)
-    cand_short = ls.join(rs, "__rl").select("__lid", "__ls", "__rid", "__rs")
+    cand_right_short = ls_all.join(
+        r.filter(F.col("__rl") < min_safe_len), "__rl"
+    ).select("__lid", "__ls", "__rid", "__rs")
+    rs_all = r.select(
+        "__rid",
+        "__rs",
+        F.explode(
+            F.sequence(F.col("__rl") - max_dist, F.col("__rl") + max_dist)
+        ).alias("__ll"),
+    )
+    cand_left_short = rs_all.join(
+        l.filter(F.col("__ll") < min_safe_len), "__ll"
+    ).select("__lid", "__ls", "__rid", "__rs")
+    cand_short = cand_right_short.unionByName(cand_left_short)
 
     cands = cand_long.unionByName(cand_short)
     # 3-arg levenshtein = banded O(d·n) DP with early exit (returns -1 past

@@ -142,7 +142,10 @@ def resize_media(
                     decode_media(f)
             out_blobs = []
             for blob, w, h in zip(pdf[blob_col], pdf["__w"], pdf["__h"]):
-                img = fake_decode_image(blob, int(w) or width, int(h) or height)
+                # NULL metadata arrives as NaN through pandas — treat like 0
+                w_i = width if (pd.isna(w) or int(w) == 0) else int(w)
+                h_i = height if (pd.isna(h) or int(h) == 0) else int(h)
+                img = fake_decode_image(blob, w_i, h_i)
                 if img.size == 0:
                     out_blobs.append(b"")
                     continue
@@ -207,6 +210,8 @@ def sample_frames(
             for rid, blob, w, h in zip(
                 pdf[id_col], pdf[blob_col], pdf["__w"], pdf["__h"]
             ):
+                if pd.isna(w) or pd.isna(h):
+                    continue  # NULL metadata: no frame geometry, skip row
                 fsize = int(w) * int(h)
                 if not blob or fsize == 0:
                     continue

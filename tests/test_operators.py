@@ -705,3 +705,37 @@ def test_fuzzy_join_blocks_losslessly_incl_short_strings(spark):
     }
     assert got == expect
     assert (3, 13, 1) in got  # the short-stratum pair was not missed
+
+
+def test_fuzzy_join_cross_stratum_and_duplicate_ids(spark):
+    """The two blocking failure modes a review execution-confirmed: a
+    long-left/short-right pair (len 11 vs 9, dist 2) must not fall between
+    the strata, and a duplicated id must not dilute either string's rarest-
+    gram prefix."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaa"),            # len 11 (>= min_safe_len)
+            (2, "abcdefghijkl"),           # duplicate id 2, two strings
+            (2, "mnopqrstuvwxy"),
+        ],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "aaaaaaaaa"),             # len 9 (< min_safe_len), dist 2
+            (11, "abcdefghijkX"),          # dist 1 to first id-2 string
+            (12, "mnopqrstuvwxyZZ"),       # dist 2 to second id-2 string
+        ],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join(
+            left, right, "lid", "name", "rid", "name", max_dist=2
+        ).collect()
+    }
+    assert (1, 10, 2) in got          # cross-stratum pair found
+    assert (2, 11, 1) in got          # both id-2 strings keep full prefixes
+    assert (2, 12, 2) in got
