@@ -5845,6 +5845,44 @@ WHERE (CASE WHEN lp IS NULL THEN 'missing_left'
 """
 
 
+def q_frame_sampling(spark, sf_dir):
+    """The row-expanding media operator under the hard gate
+    (multimodal::sample_frames): documents' bytes as fake 4×2 'videos',
+    every third 40 ms frame sampled; each emitted frame's md5 must equal
+    the oracle's byte-slice hash (text is pure ASCII, so DuckDB's
+    character substr is byte-exact). Certifies schema, stride arithmetic,
+    timestamps, and the output-rows ≠ input-rows contract — everything but
+    the codec itself."""
+    from simtradedata_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(2).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    frames = sample_frames(media, every_ms=120, frame_ms=40)
+    return frames.select(
+        "doc_id", "frame_idx", "ts_ms", F.md5("frame").alias("frame_md5")
+    )
+
+
+SQL_FRAME_SAMPLING = """
+SELECT doc_id, CAST(k AS INT) AS frame_idx, CAST(k * 40 AS INT) AS ts_ms,
+       md5(substr(text, CAST(k * 8 + 1 AS INT), 8)) AS frame_md5
+FROM (
+  SELECT doc_id, text, unnest(range(0, length(text) // 8)) AS k
+  FROM documents
+)
+WHERE k % 3 = 0
+"""
+
+
 def q_fuzzy_doc_match(spark, sf_dir):
     """Entity-resolution fuzzy join (operators/fuzzy.py): clean registry =
     first 24 chars of each document; dirty registry = the same strings
@@ -6128,6 +6166,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "risk_metrics": (q_risk_metrics, SQL_RISK_METRICS),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
     "fuzzy_doc_match": (q_fuzzy_doc_match, SQL_FUZZY_DOC_MATCH),
+    "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6332,6 +6371,7 @@ _FRONT_WINDOW = [
     "risk_metrics",
     "asof_next_purchase",
     "fuzzy_doc_match",
+    "frame_sampling",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
