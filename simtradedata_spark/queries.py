@@ -5883,6 +5883,46 @@ WHERE k % 3 = 0
 """
 
 
+def q_media_resize(spark, sf_dir):
+    """The resize operator's RESAMPLING MATH under the hard gate: documents'
+    bytes fake-decoded as 8×4 planes (cyclic tiling), nearest-neighbor
+    resampled to 4×2; the oracle recomputes the exact index map
+    (src[y·H/H'][x·W/W'] = byte[(y·8+x) mod len]) character-by-character
+    and must produce the identical md5 per doc."""
+    from simtradedata_spark.operators.multimodal import resize_media
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.lit(8).alias("width"),
+            F.lit(4).alias("height"),
+            F.lit(0).alias("duration_ms"),
+        ).alias("media_meta"),
+    )
+    out = resize_media(media, width=4, height=2)
+    return out.select(
+        "doc_id",
+        F.md5("blob").alias("resized_md5"),
+        F.col("media_meta.width").alias("out_w"),
+        F.col("media_meta.height").alias("out_h"),
+    )
+
+
+# nearest-neighbor source positions for 8x4 -> 4x2: ys = [0, 2], xs =
+# [0, 2, 4, 6]; row-major flat positions y*8+x, each cyclic mod len(text)
+_RESIZE_POS = [y * 8 + x for y in (0, 2) for x in (0, 2, 4, 6)]
+SQL_MEDIA_RESIZE = f"""
+SELECT doc_id,
+       md5({' || '.join(f"substr(text, ({p} % length(text)) + 1, 1)" for p in _RESIZE_POS)})
+         AS resized_md5,
+       4 AS out_w, 2 AS out_h
+FROM documents WHERE length(text) > 0
+"""
+
+
 def q_fuzzy_doc_match(spark, sf_dir):
     """Entity-resolution fuzzy join (operators/fuzzy.py): clean registry =
     first 24 chars of each document; dirty registry = the same strings
@@ -6167,6 +6207,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
     "fuzzy_doc_match": (q_fuzzy_doc_match, SQL_FUZZY_DOC_MATCH),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
+    "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
     "perplexity_scores": (q_perplexity_scores, SQL_PERPLEXITY_SCORES),
     "momentum_portfolio": (q_momentum_portfolio, SQL_MOMENTUM_PORTFOLIO),
@@ -6372,6 +6413,7 @@ _FRONT_WINDOW = [
     "asof_next_purchase",
     "fuzzy_doc_match",
     "frame_sampling",
+    "media_resize",
     "perplexity_scores",
     "momentum_portfolio",
     "cluster_representatives",
