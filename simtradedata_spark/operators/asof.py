@@ -58,6 +58,11 @@ def asof_join(
     ``F.col(on) <= F.expr("__asof_matched_ts + interval 30 days")``.
     """
     by = by or []
+    # A null-timestamped right row has no as-of position — pandas merge_asof
+    # and DuckDB ASOF JOIN both exclude null keys. Without this filter the
+    # nulls-first ordering below would sort such a row ahead of every real
+    # row and carry its payload into left rows that have no true match.
+    right = right.filter(F.col(on).isNotNull())
     payload = right_cols or [c for c in right.columns if c != on and c not in by]
     out_names = {
         c: (c + suffix if (c in left.columns and c != on and c not in by) else c)

@@ -164,7 +164,7 @@ def fuzzy_join(
     # the threshold) — ~5x cheaper than the full O(n²) matrix at d=2, and
     # the verify dominates when blocking selectivity is poor (tiny gram
     # vocabularies — see module note).
-    return (
+    out = (
         cands.withColumn(
             "dist", F.levenshtein("__ls", "__rs", max_dist)
         )
@@ -176,3 +176,11 @@ def fuzzy_join(
         )
         .distinct()
     )
+    # Materialize the answer-sized survivor set eagerly so the persisted
+    # gram-frequency table can be released NOW instead of pinning the cache
+    # for the rest of the session (one pinned vocab table per fuzzy_join call
+    # otherwise). Side benefit: the truncated lineage means downstream
+    # actions never re-run the blocking pipeline.
+    out = out.localCheckpoint(eager=True)
+    freq.unpersist()
+    return out

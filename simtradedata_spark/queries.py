@@ -6401,65 +6401,33 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # round-3 additions first
-    "incremental_dedup",
-    "index_churn",
-    "bigram_perplexity",
-    "hashed_embeddings",
-    "text_ann_top3",
-    "orders_recon",
-    "window_functions",
-    "risk_metrics",
-    "asof_next_purchase",
-    "fuzzy_doc_match",
-    "frame_sampling",
-    "media_resize",
-    "perplexity_scores",
-    "momentum_portfolio",
-    "cluster_representatives",
-    "income_statement_asof",
-    "baostock_fixture_bars",
-    "return_correlations",
-    "amihud_illiquidity",
-    "bollinger_bands",
-    "pii_redaction",
-    "sequence_packing",
-    "corpus_datacard",
-    "balance_statement_asof",
-    "cashflow_statement_asof",
-    "eps_asof",
-    "table_profile",
-    "conversion_funnel",
-    "event_transitions",
-    "value_histogram",
-    "rfm_segments",
-    "char_contamination",
-    "embedding_dup_clusters",
-    "strategy_equity_curve",
-    # the 35 entries invisible to the r02 driver window
-    "train_val_test_split",
-    "tfidf_top_terms",
-    "session_windows",
-    "weekly_bars",
-    "valuation_table",
-    "fundamentals_asof",
-    "index_membership",
-    "ma_crossover_signals",
-    "tick_vwap",
-    "max_drawdown",
-    "realized_vol",
-    "status_transitions",
-    "overnight_gaps",
-    "exrights_events",
-    "trade_calendar_idx",
-    "rolling_beta",
+    # Round-4 rotation: the 33 queries no driver CORRECTNESS artifact has
+    # ever certified (all green in the local 139/139 run, but the hard gate
+    # only sees the first 50 registry entries). After this round every
+    # registered query will have been driver-certified at least once
+    # across r01-r04. Round-4 NEW queries are appended after these so the
+    # same artifact certifies them too (33 + new <= 50).
+    "filtered_revenue",
+    "nation_pair_volume",
+    "market_share",
+    "nation_profit",
+    "priority_lateness",
+    "customer_order_distribution",
+    "part_supplier_diversity",
+    "large_orders",
+    "disjunctive_revenue",
+    "waiting_suppliers",
+    "dormant_rich_customers",
+    "min_cost_supplier",
+    "rollup_refresh",
+    "salted_priority_revenue",
+    "nearest_centroid",
+    "quality_classifier",
+    "ivm_join_view",
+    "weighted_sample_docs",
+    "monthly_winsorized",
+    "frequent_tokens",
     "factor_ic",
-    "synthetic_bars",
-    "adjusted_bars_post",
-    "macd_indicators",
-    "macd_orders",
-    "kdj_orders",
-    "rsi_orders",
     "cci_orders",
     "anomaly_days",
     "customer_spend_deciles",
@@ -6472,6 +6440,7 @@ _FRONT_WINDOW = [
     "user_type_intervals",
     "quantized_embeddings",
     "daily_factor_top3",
+    # round-4 additions (certified for the first time this round)
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -6,9 +6,11 @@ Spark-native end to end: ``spark.read.json`` / ``DataFrameWriter.json``
 with an ENFORCED schema — never schema inference, which (a) runs an extra
 full scan of a 100 TB corpus and (b) silently widens types per-shard (a
 doc_id that happens to look numeric in one shard and not another must not
-produce mixed types). Unknown keys are surfaced in ``_corrupt`` handling
-instead of dropped, so ingest failures are rows you can quarantine
-(operators/quality.py), not exceptions.
+produce mixed types). Unknown keys in an otherwise-valid record are
+IGNORED (standard permissive-mode projection onto the enforced schema);
+only malformed or blank lines reach ``_corrupt_record``, so ingest
+failures are rows you can quarantine (operators/quality.py), not
+exceptions.
 
 Scale notes:
   - gzip is NOT splittable — one task per shard regardless of size. zstd

@@ -135,7 +135,12 @@ class Warehouse:
         # staging (unpartitioned case) lives beside it in the warehouse
         # root — check both.
         candidates = [
-            (root, d) for d in (os.listdir(root) if os.path.isdir(root) else [])
+            (parent, d)
+            for parent, dirs, _files in (
+                os.walk(root) if os.path.isdir(root) else []
+            )
+            for d in dirs
+            if d.endswith((".compact-tmp", ".compact-trash"))
         ] + [
             (self.root, d)
             for d in os.listdir(self.root)
@@ -153,11 +158,24 @@ class Warehouse:
                     os.rename(p, live)  # finish the interrupted swap
                 else:
                     shutil.rmtree(p)
-        part_dirs = sorted(
-            os.path.join(root, d)
-            for d in os.listdir(root)
-            if os.path.isdir(os.path.join(root, d)) and "=" in d
-        ) or [root]
+        # Recurse to LEAF partition dirs: a table partitioned by
+        # (exchange, year) nests key=value dirs two deep, and scanning only
+        # the first level would find zero parquet files and silently report
+        # the table as already compact.
+        def _leaves(base: str) -> list[str]:
+            subs = sorted(
+                d
+                for d in os.listdir(base)
+                if "=" in d and os.path.isdir(os.path.join(base, d))
+            )
+            if not subs:
+                return [base]
+            out: list[str] = []
+            for d in subs:
+                out.extend(_leaves(os.path.join(base, d)))
+            return out
+
+        part_dirs = _leaves(root)
         stats = {"files_before": 0, "files_after": 0, "partitions_rewritten": 0}
         sort_cols = [
             c for c in ("symbol", "trade_date")
