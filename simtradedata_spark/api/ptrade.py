@@ -34,14 +34,25 @@ BAR_FIELDS = ["open", "high", "low", "close", "volume", "money"]
 
 RESAMPLED_FIELDS = ["open", "high", "low", "close", "volume", "money", "n_bars"]
 
-# get_price frequency → resample_ohlc freq (None = native daily bars)
+# get_price frequency → resample_ohlc freq (None = native daily bars);
+# ("min", N) = N-minute intraday bars from the tick-derived minute store
+# (spec :521-694 minute mode — the reference warns and falls back to daily,
+# ptrade_data_api.py:58-61). "1m" (minute) and "1M" (month) are distinct
+# spec spellings — the lookup is deliberately case-sensitive.
 _FREQUENCIES = {
     "1d": None, "daily": None,
     "1w": "W", "weekly": "W",
     "1M": "M", "monthly": "M",
     "1q": "Q", "quarterly": "Q",
     "1y": "Y", "yearly": "Y",
+    "1m": ("min", 1), "minute": ("min", 1),
+    "5m": ("min", 5), "15m": ("min", 15),
+    "30m": ("min", 30), "60m": ("min", 60), "120m": ("min", 120),
 }
+
+MINUTE_FIELDS = [
+    "open", "high", "low", "close", "volume", "money", "vwap", "n_ticks",
+]
 
 VALUATION_FIELDS = [
     "pe_ttm", "pb", "ps_ttm", "pcf", "turnover_rate",
@@ -242,6 +253,111 @@ class PTradeDataAPI:
             "period_start", "trade_date"
         )
 
+    def _minute_bars(
+        self, securities, fq, start, end, minutes: int
+    ) -> DataFrame:
+        """N-minute intraday bars: read the materialized 1-minute rollup
+        when the warehouse has one (coarser widths fold from it via
+        rebucket_minute_bars — never re-reading ticks), else derive from
+        the tick table on the fly. ``fq`` applies the SAME per-day A·x
+        factors as daily bars (OHLC scaled, volume divided); ``money`` is
+        actual turnover and ``vwap`` the raw traded price — neither is
+        restated under adjustment."""
+        from simtradedata_spark.operators.resample import (
+            rebucket_minute_bars,
+            time_bars_from_ticks,
+        )
+
+        if self._has_table("minute_bars"):
+            mb = self._table_range("minute_bars", start, end)
+        else:
+            mb = time_bars_from_ticks(self._table_range("ticks", start, end))
+        if minutes > 1:
+            mb = rebucket_minute_bars(mb, minutes)
+        mb = mb.filter(F.col("symbol").isin(securities))
+        if fq in ("pre", "post"):
+            from simtradedata_spark.operators.adjust import adjust_bars
+
+            mb = adjust_bars(mb, self._table("adjust_factor"), fq)
+        return mb
+
+    def _get_price_minute(
+        self, securities, fq, start, end, fields, count, minutes: int
+    ):
+        """get_price minute mode (spec :521-694). Range mode is
+        date-inclusive; ``count`` mode returns the last ``count`` bars ON
+        OR BEFORE ``end_date`` — unlike daily count mode, the end date's
+        own session is included (minute queries exist to read the current
+        day; completed minutes are final, so there is no exclusive-of-today
+        lookahead hazard). The returned index is a full timestamp
+        (trade_date + bar start time)."""
+        mb = self._minute_bars(securities, fq, start, end, minutes)
+        if count is not None:
+            w = Window.partitionBy("symbol").orderBy(
+                F.col("trade_date").desc(), F.col("bar_time").desc()
+            )
+            mb = (
+                mb.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= count)
+                .drop("__rn")
+            )
+        ts = F.to_timestamp(
+            F.concat(
+                F.date_format("trade_date", "yyyy-MM-dd"),
+                F.lit(" "),
+                F.lpad(F.col("bar_time").cast("string"), 4, "0"),
+            ),
+            "yyyy-MM-dd HHmm",
+        )
+        pdf = (
+            mb.select("symbol", ts.alias("trade_date"), *fields)
+            .orderBy("trade_date", "symbol")
+            .toPandas()
+        )
+        return self._shape(pdf, securities, fields)
+
+    def _get_history_minute(
+        self, securities, fields, count, fq, cur, include, is_dict, minutes: int
+    ):
+        """get_history minute mode: last ``count`` N-minute bars before
+        ``current_date`` (inclusive when ``include``), per symbol, with the
+        same timestamp index as get_price minute mode."""
+        bad = set(fields) - set(MINUTE_FIELDS)
+        if bad:
+            raise ValueError(f"fields {sorted(bad)} unavailable at minute frequency")
+        mb = self._minute_bars(securities, fq, None, cur, minutes)
+        if cur:
+            mb = mb.filter(
+                F.col("trade_date") <= cur if include else F.col("trade_date") < cur
+            )
+        w = Window.partitionBy("symbol").orderBy(
+            F.col("trade_date").desc(), F.col("bar_time").desc()
+        )
+        mb = (
+            mb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= count)
+            .drop("__rn")
+        )
+        ts = F.to_timestamp(
+            F.concat(
+                F.date_format("trade_date", "yyyy-MM-dd"),
+                F.lit(" "),
+                F.lpad(F.col("bar_time").cast("string"), 4, "0"),
+            ),
+            "yyyy-MM-dd HHmm",
+        )
+        pdf = (
+            mb.select("symbol", ts.alias("trade_date"), *fields)
+            .orderBy("trade_date", "symbol")
+            .toPandas()
+        )
+        if is_dict:
+            return {
+                s: pdf[pdf.symbol == s].set_index("trade_date")[fields]
+                for s in securities
+            }
+        return self._shape(pdf, securities, fields)
+
     def get_price(
         self,
         security,
@@ -269,6 +385,20 @@ class PTradeDataAPI:
                 f"frequency={frequency!r} not supported; one of {sorted(_FREQUENCIES)}"
             )
         securities = [security] if isinstance(security, str) else list(security)
+        if isinstance(freq, tuple):
+            fields = fields or BAR_FIELDS
+            bad = set(fields) - set(MINUTE_FIELDS)
+            if bad:
+                raise ValueError(f"fields {sorted(bad)} unavailable at {frequency}")
+            return self._get_price_minute(
+                securities,
+                fq,
+                _to_date_str(start_date) if (start_date and count is None) else None,
+                _to_date_str(end_date) if end_date else None,
+                fields,
+                count,
+                freq[1],
+            )
         if freq is not None:
             fields = fields or RESAMPLED_FIELDS
             bad = set(fields) - set(RESAMPLED_FIELDS)
@@ -326,11 +456,21 @@ class PTradeDataAPI:
         )
         fields = [field] if isinstance(field, str) else list(field)
         cur = _to_date_str(current_date) if current_date else None
+        freq = _FREQUENCIES.get(frequency, KeyError)
+        if freq is KeyError:
+            raise ValueError(
+                f"frequency={frequency!r} not supported; one of {sorted(_FREQUENCIES)}"
+            )
+        if isinstance(freq, tuple):
+            return self._get_history_minute(
+                securities, fields, count, fq, cur, include, is_dict, freq[1]
+            )
         bars = self._bars(securities, fq, end=cur)
         if cur:
             bars = bars.filter(
                 F.col("trade_date") <= cur if include else F.col("trade_date") < cur
             )
+        bars = self._resampled(bars, freq)
         if fill == "pre":
             from simtradedata_spark.operators.align import forward_fill
 

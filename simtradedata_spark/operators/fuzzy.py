@@ -20,12 +20,19 @@ length ±d — a bounded 2d+1 expansion), so no pair is missed at any
 length combination. The oracle for the certifying query is the QUADRATIC
 ground truth, which is exactly the losslessness claim under test.
 
-Selectivity caveat (measured): blocking discriminates by gram RARITY.
-The synthetic documents table draws from ~60 words (375 distinct
-3-grams), so even the rarest prefix grams have hundreds-long postings —
-the worst case for any gram-based blocker; real name/address registries
-have 10³-10⁴× larger gram vocabularies. The banded threshold-Levenshtein
-verify keeps the poor-selectivity case linear-per-candidate.
+Selectivity (measured — tools/fuzzy_selectivity.py, SCALE.md): blocking
+discriminates by gram RARITY, so the corpus vocabulary decides the
+asymptotics. On a realistic registry profile (22-char names, 64-char
+alphabet → 64³-gram space; the certified `fuzzy_match_realistic`
+fixture) candidate growth is EXACTLY LINEAR: 3,044 → 31,506 candidates
+across a 100× cross-size growth (10× rows/side), scan fraction 0.61% →
+0.063%, a constant ~6 candidates per true pair. The synthetic documents
+table (~60 words, 375 distinct 3-grams) is the saturated-vocabulary
+worst case — postings hundreds long, candidates near-quadratic
+(scan fraction ~30%) — where the banded threshold-Levenshtein verify
+keeps cost linear-per-candidate; no gram blocker is sub-quadratic once
+every gram's posting is O(corpus), and real registries are not shaped
+like that.
 """
 
 from __future__ import annotations
@@ -51,7 +58,7 @@ def qgrams(col: Column | str, q: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def fuzzy_join(
+def fuzzy_candidates(
     left: DataFrame,
     right: DataFrame,
     left_id: str,
@@ -60,10 +67,16 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     q: int = 3,
+    _freq_out: list | None = None,
 ) -> DataFrame:
-    """All (left, right) pairs with ``levenshtein ≤ max_dist``, without the
-    quadratic join. Returns (left_id, right_id, dist). See module doc for
-    the blocking scheme and the losslessness argument."""
+    """BLOCK phase only: the candidate pairs (``__lid, __ls, __rid, __rs``,
+    with per-shared-prefix-gram duplicates) that ``fuzzy_join`` verifies.
+    Public so the blocking SELECTIVITY is measurable — candidate count vs
+    true pair count is the number that decides whether the join is
+    sub-quadratic on a given vocabulary (see tools/fuzzy_selectivity.py
+    and SCALE.md). Standalone calls leave the vocabulary-sized gram
+    frequency table cached for the session; ``fuzzy_join`` receives it via
+    ``_freq_out`` and unpersists after its verify materializes."""
     min_safe_len = q * (max_dist + 1) + q - 1  # min_len − q + 1 > q·d
 
     l = left.select(
@@ -160,6 +173,29 @@ def fuzzy_join(
     cand_short = cand_right_short.unionByName(cand_left_short)
 
     cands = cand_long.unionByName(cand_short)
+    if _freq_out is not None:
+        _freq_out.append(freq)
+    return cands
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_col: str,
+    right_id: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 3,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein ≤ max_dist``, without the
+    quadratic join. Returns (left_id, right_id, dist). See module doc for
+    the blocking scheme and the losslessness argument."""
+    holder: list[DataFrame] = []
+    cands = fuzzy_candidates(
+        left, right, left_id, left_col, right_id, right_col,
+        max_dist, q, _freq_out=holder,
+    )
     # 3-arg levenshtein = banded O(d·n) DP with early exit (returns -1 past
     # the threshold) — ~5x cheaper than the full O(n²) matrix at d=2, and
     # the verify dominates when blocking selectivity is poor (tiny gram
@@ -182,5 +218,5 @@ def fuzzy_join(
     # otherwise). Side benefit: the truncated lineage means downstream
     # actions never re-run the blocking pipeline.
     out = out.localCheckpoint(eager=True)
-    freq.unpersist()
+    holder[0].unpersist()
     return out

@@ -43,3 +43,103 @@ def resample_ohlc(
         F.count(F.lit(1)).alias("n_bars"),
     ]
     return bars.groupBy(F.col(symbol_col), bucket).agg(*aggs)
+
+
+def _session_minute(hhmm):
+    """A-share session clock hhmm (0930-1129, 1300-1459) → contiguous
+    session minute 0..239 (lunch gap removed), so fixed-width buckets never
+    straddle the break."""
+    hh, mm = F.floor(hhmm / 100), hhmm % 100
+    return F.when(hh < 12, (hh - 9) * 60 + mm - 30).otherwise(
+        (hh - 13) * 60 + mm + 120
+    )
+
+
+def _session_minute_to_hhmm(m):
+    """Inverse of ``_session_minute`` (same mapping as the tick generator,
+    sources/synthetic.py::ticks)."""
+    morning = (9 + F.floor((m + 30) / 60)) * 100 + (m + 30) % 60
+    afternoon = (13 + F.floor((m - 120) / 60)) * 100 + (m - 120) % 60
+    return F.when(m < 120, morning).otherwise(afternoon)
+
+
+def time_bars_from_ticks(
+    ticks: DataFrame,
+    minutes: int = 1,
+    symbol_col: str = "symbol",
+    date_col: str = "trade_date",
+    ts_col: str = "ts_ms",
+    price_col: str = "price",
+    qty_col: str = "qty",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Tick stream → fixed-width intraday OHLCV bars (the spec's minute
+    frequencies, ``docs/PTrade_API_mini_Reference.md:521-694`` — tick/minute
+    modes the reference declares but never implements).
+
+    ``bar_time`` labels the bucket START as an hhmm int (0930 = the
+    09:30:00-09:3x bar). open/close resolve by ``order_col`` via
+    min_by/max_by — order-insensitive under any partitioning (the same
+    determinism rule as resample_ohlc). ``money`` is summed in integer
+    cents (prices are 2-decimal-quantized) so the total is EXACT and
+    engine/association-order independent, then rescaled; ``vwap`` derives
+    from the same integers. One shuffle on (symbol, day, bucket) with
+    map-side partial aggregation — at 100 TB of ticks this is a single
+    all-map-reduce pass, no windows, no per-day collect.
+    """
+    hhmm = F.floor((F.col(ts_col) % F.lit(10**9)) / F.lit(10**5))
+    bucket = F.floor(_session_minute(hhmm) / minutes).cast("int")
+    cents = F.round(F.col(price_col) * 100).cast("long") * F.col(qty_col)
+    return (
+        ticks.withColumn("__cents", cents)
+        .groupBy(
+            F.col(symbol_col),
+            F.col(date_col),
+            _session_minute_to_hhmm(bucket * minutes).cast("int").alias("bar_time"),
+        )
+        .agg(
+            F.min_by(price_col, order_col).alias("open"),
+            F.max(price_col).alias("high"),
+            F.min(price_col).alias("low"),
+            F.max_by(price_col, order_col).alias("close"),
+            F.sum(qty_col).alias("volume"),
+            (F.sum("__cents") / 100.0).alias("money"),
+            F.sum("__cents").alias("__c"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        # vwap to 6dp by INTEGER half-up division — the exact-cents sums
+        # make half-ties at the 7th decimal common, where double round()
+        # differs across engines (HALF_UP vs half-even). The numerator
+        # exceeds 2^53, so this must be bigint `div`, not double floor.
+        .withColumn(
+            "vwap",
+            F.expr("((2 * __c * 10000 + volume) div (2 * volume)) / 1e6"),
+        )
+        .drop("__c")
+    )
+
+
+def rebucket_minute_bars(mb: DataFrame, minutes: int) -> DataFrame:
+    """1-minute bars → N-minute bars (the hypertable-rollup shape: coarser
+    bars fold from the finest materialized level without re-reading ticks).
+    OHLC-of-OHLC by bar_time; vwap re-derived from the summed money/volume
+    so it stays volume-weighted, not bar-averaged."""
+    sm = _session_minute(F.col("bar_time"))
+    bucket = F.floor(sm / minutes).cast("int")
+    return (
+        mb.groupBy(
+            "symbol",
+            "trade_date",
+            _session_minute_to_hhmm(bucket * minutes).cast("int").alias("bar_time"),
+        )
+        .agg(
+            F.min_by("open", "bar_time").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "bar_time").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("money").alias("money"),
+            F.round(F.sum("money") / F.sum("volume"), 6).alias("vwap"),
+            F.sum("n_ticks").alias("n_ticks"),
+        )
+    )

@@ -2235,6 +2235,59 @@ FROM tick_priced GROUP BY symbol, trade_date
 """
 
 
+def q_minute_bars_vwap(spark, sf_dir):
+    """Minute-frequency bars (spec :521-694 minute mode — declared by the
+    reference, never implemented): tick stream → 30-minute session OHLCV +
+    VWAP bars via the same time_bars_from_ticks operator that backs
+    ``get_price(frequency='30m')``. 240 ticks/day so every bar aggregates
+    30 real trades. money/vwap accumulate in exact integer cents (prices
+    are 2-decimal-quantized) so the sums are association-order- and
+    engine-independent. One shuffle on (symbol, day, bucket), map-side
+    partials — a single all-map-reduce pass over 100 TB of ticks."""
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+
+    m = _small_market(spark)
+    return time_bars_from_ticks(m.ticks(n_per_day=240), minutes=30)
+
+
+SQL_MINUTE_BARS_VWAP = _SQL_MARKET_CTES + f"""
+, t AS (
+  SELECT b.symbol, b.trade_date, b.open, b.high, b.low, b.close,
+         b.sym_idx, b.day_idx, s.seq
+  FROM bars_out b CROSS JOIN (SELECT unnest(range(1, 241)) AS seq) s
+  WHERE b.volume > 0
+), tick_priced AS (
+  SELECT symbol, trade_date, seq,
+         CASE WHEN seq = 240 THEN close
+              ELSE least(greatest(
+                round(open + (close - open) * (seq / 240.0)
+                      + ({_duck_u01('tickpx', 'sym_idx', 'day_idx', 'seq')} - 0.5)
+                        * (high - low) * 0.5, 2), low), high) END AS price,
+         CAST(100 * (1 + floor(50 * {_duck_u01('tickq', 'sym_idx', 'day_idx', 'seq')}))
+              AS BIGINT) AS qty,
+         CAST(seq - 1 AS BIGINT) AS session_min
+  FROM t
+), bucketed AS (
+  SELECT *, (session_min // 30) * 30 AS bm,
+         CAST(round(price * 100) AS BIGINT) * qty AS cents
+  FROM tick_priced
+)
+SELECT symbol, trade_date,
+       CAST(CASE WHEN bm < 120 THEN (9 + (bm + 30) // 60) * 100 + (bm + 30) % 60
+                 ELSE (13 + (bm - 120) // 60) * 100 + (bm - 120) % 60 END AS INT)
+         AS bar_time,
+       arg_min(price, seq) AS open,
+       max(price) AS high,
+       min(price) AS low,
+       arg_max(price, seq) AS close,
+       CAST(sum(qty) AS BIGINT) AS volume,
+       sum(cents) / 100.0 AS money,
+       ((2 * sum(cents) * 10000 + sum(qty)) // (2 * sum(qty))) / 1e6 AS vwap,
+       count(*) AS n_ticks
+FROM bucketed GROUP BY symbol, trade_date, bm
+"""
+
+
 def q_status_transitions(spark, sf_dir):
     """F5/F6 as event detection: days where a symbol's ST flag or trade
     status CHANGES (suspension starts/ends, ST flips) — the transitions the
@@ -5960,6 +6013,81 @@ def q_fuzzy_doc_match(spark, sf_dir):
     )
 
 
+def q_fuzzy_match_realistic(spark, sf_dir):
+    """Fuzzy join on a REALISTIC-vocabulary registry (round-3 verdict watch
+    item, operators/fuzzy.py:22): names are 22-char base64-of-md5
+    strings — a 64-char alphabet giving a 64^3 = 262k-gram space, matching
+    a real name/address registry's length and gram diversity (the 375-gram
+    synthetic corpus was gram blocking's worst case: vocabulary saturated,
+    postings hundreds long). Clean registry = one name per document; dirty registry = 2 rows per doc: a corrupted copy
+    (char deleted for ids ≡0 mod 5, char substituted for ≡0 mod 7, else
+    identical) plus an unrelated random name. The oracle is the QUADRATIC
+    ground truth, so green certifies losslessness on this vocabulary;
+    tools/fuzzy_selectivity.py records the candidate:pair ratio that
+    certifies SUB-QUADRATIC blocking (SCALE.md)."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    name = F.substring(
+        F.base64(F.unhex(F.md5(F.concat_ws("|", F.lit("nm"), F.col("doc_id"))))),
+        1, 22,
+    )
+    clean = docs.select(F.col("doc_id").alias("clean_id"), name.alias("name"))
+    corrupted = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.substring(name, 1, 7), F.substring(name, 9, 14)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.substring(name, 1, 3), F.lit("~"), F.substring(name, 5, 18)),
+        )
+        .otherwise(name)
+    )
+    other = F.substring(
+        F.base64(F.unhex(F.md5(F.concat_ws("|", F.lit("oth"), F.col("doc_id"))))),
+        1, 22,
+    )
+    dirty = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct((F.col("doc_id") * 2).alias("dirty_id"), corrupted.alias("name")),
+                F.struct((F.col("doc_id") * 2 + 1).alias("dirty_id"), other.alias("name")),
+            )
+        ).alias("r"),
+    ).select("r.dirty_id", "r.name")
+    return fuzzy_join(
+        clean, dirty, "clean_id", "name", "dirty_id", "name", max_dist=2, q=3
+    )
+
+
+SQL_FUZZY_MATCH_REALISTIC = """
+WITH clean AS (
+  SELECT doc_id AS clean_id,
+         substr(to_base64(unhex(md5(concat_ws('|', 'nm', CAST(doc_id AS VARCHAR))))), 1, 22) AS name
+  FROM documents
+), named AS (
+  SELECT doc_id,
+         substr(to_base64(unhex(md5(concat_ws('|', 'nm', CAST(doc_id AS VARCHAR))))), 1, 22) AS nm,
+         substr(to_base64(unhex(md5(concat_ws('|', 'oth', CAST(doc_id AS VARCHAR))))), 1, 22) AS oth
+  FROM documents
+), dirty AS (
+  SELECT doc_id * 2 AS dirty_id,
+         CASE WHEN doc_id % 5 = 0 THEN substr(nm, 1, 7) || substr(nm, 9, 14)
+              WHEN doc_id % 7 = 0 THEN substr(nm, 1, 3) || '~' || substr(nm, 5, 18)
+              ELSE nm END AS name
+  FROM named
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS dirty_id, oth AS name FROM named
+)
+SELECT c.clean_id, d.dirty_id, levenshtein(c.name, d.name) AS dist
+FROM clean c JOIN dirty d
+  ON abs(length(c.name) - length(d.name)) <= 2
+ AND levenshtein(c.name, d.name) <= 2
+"""
+
+
 SQL_FUZZY_DOC_MATCH = """
 WITH clean AS (
   SELECT doc_id AS clean_id, substr(text, 1, 24) AS name FROM documents
@@ -6206,6 +6334,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "risk_metrics": (q_risk_metrics, SQL_RISK_METRICS),
     "asof_next_purchase": (q_asof_next_purchase, SQL_ASOF_NEXT_PURCHASE),
     "fuzzy_doc_match": (q_fuzzy_doc_match, SQL_FUZZY_DOC_MATCH),
+    "fuzzy_match_realistic": (q_fuzzy_match_realistic, SQL_FUZZY_MATCH_REALISTIC),
     "frame_sampling": (q_frame_sampling, SQL_FRAME_SAMPLING),
     "media_resize": (q_media_resize, SQL_MEDIA_RESIZE),
     "text_ann_top3": (q_text_ann_top3, SQL_TEXT_ANN_TOP3),
@@ -6303,6 +6432,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
+    "minute_bars_vwap": (q_minute_bars_vwap, SQL_MINUTE_BARS_VWAP),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "realized_vol": (q_realized_vol, SQL_REALIZED_VOL),
     "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
@@ -6441,6 +6571,8 @@ _FRONT_WINDOW = [
     "quantized_embeddings",
     "daily_factor_top3",
     # round-4 additions (certified for the first time this round)
+    "minute_bars_vwap",
+    "fuzzy_match_realistic",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

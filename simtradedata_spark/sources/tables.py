@@ -19,7 +19,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PARTITIONED = {"bars", "valuation", "adjust_factor", "stock_status", "ticks"}
+PARTITIONED = {
+    "bars",
+    "valuation",
+    "adjust_factor",
+    "stock_status",
+    "ticks",
+    "minute_bars",
+}
 DIMENSION = {
     "trade_calendar",
     "exrights",
@@ -246,7 +253,15 @@ def build_warehouse(
     wh.write("stock_status", market.stock_status())
     wh.write("etf_metadata", market.etf_metadata())
     wh.write("cb_metadata", market.cb_metadata())
-    wh.write("ticks", market.ticks())
+    ticks = market.ticks()
+    wh.write("ticks", ticks)
+    # Materialized finest-level intraday rollup: get_price(frequency='1m')
+    # reads this directly; coarser minute frequencies fold from it
+    # (rebucket_minute_bars) without re-reading ticks — the hypertable
+    # continuous-aggregate layout applied to the bar store.
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+
+    wh.write("minute_bars", time_bars_from_ticks(ticks, minutes=1))
     return wh
 
 

@@ -1,0 +1,76 @@
+"""ANN recall as a GATE, not a report (round-3 verdict item 5).
+
+tools/ann_recall.py measures the recall/cost sweep; nothing failed if
+recall collapsed. These tests pin measured floors on the FIXED driver
+corpus (sf0.01 embeddings — random unit sphere plus planted near-dup
+band), so a regression in the hashing, bucketing, probe or k-means code
+breaks `pytest tests/`. Every path is seeded and deterministic on fixed
+data, so the floors sit just under the measured values (r4 measurement:
+ivf 16/2 = 0.424, ivf 16/4 = 0.608, lsh 4/probe4 = 0.528; random-sphere
+corpora are LSH's worst case — absolute values are low by construction,
+the gate catches RELATIVE collapse).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from simtradedata_spark.catalog import load_table
+from simtradedata_spark.operators.similarity import (
+    cosine_top_k,
+    ivf_top_k,
+    lsh_bucket_top_k,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_RECALL_SF", "/root/testdata/sf0.01")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"driver corpus {SF_DIR} absent"
+)
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 50)
+    dim = len(emb.select("embedding").first()[0])
+    truth = _pairs(cosine_top_k(emb, queries, k=5))
+    return emb, queries, dim, truth
+
+
+def test_ivf_default_probe_recall_floor(corpus):
+    emb, queries, _dim, truth = corpus
+    got = _pairs(ivf_top_k(emb, queries, k=5))  # defaults: 16 lists, 2 probes
+    assert len(got & truth) / len(truth) >= 0.35
+
+
+def test_ivf_probe4_recall_floor(corpus):
+    emb, queries, _dim, truth = corpus
+    got = _pairs(ivf_top_k(emb, queries, k=5, n_lists=16, n_probe=4))
+    assert len(got & truth) / len(truth) >= 0.55
+
+
+def test_lsh_multiprobe_recall_floor(corpus):
+    emb, queries, dim, truth = corpus
+    got = _pairs(
+        lsh_bucket_top_k(emb, queries, dim=dim, k=5, bits=4, multi_probe=4)
+    )
+    assert len(got & truth) / len(truth) >= 0.45
+
+
+def test_lsh_bits8_returns_results(corpus):
+    """bits=8 single-probe on a random sphere is the documented low-recall
+    configuration (scan_frac 0.4%); the gate here is weaker — buckets must
+    still produce SOME true neighbors across 50 queries, proving the
+    bucketing isn't degenerate (hashing everything into one/zero buckets)."""
+    emb, queries, dim, truth = corpus
+    got = _pairs(lsh_bucket_top_k(emb, queries, dim=dim, k=5, bits=8))
+    assert len(got) > 0
+    assert len(got & truth) >= 1

@@ -555,3 +555,92 @@ def test_point_cache_parity_and_no_spark_after_warm(api, warehouse):
     with _pytest.raises(TypeError):
         pc.get_price(sym, start_date="2022-05-01", end_date="2022-05-31",
                      frequency="1w")
+
+
+# -- minute frequency (spec :521-694 minute mode) --------------------------
+
+
+def test_get_price_minute_matches_ticks(api, market):
+    """frequency='1m' with the default 40-tick day (6-minute spacing) puts
+    one tick in each touched minute: OHLC collapse to the tick price,
+    volume to its qty, and the index is a real timestamp starting 09:30."""
+    sym, day = "600000.SS", "2022-03-01"
+    df = api.get_price(sym, day, day, frequency="1m")
+    ticks = (
+        market.ticks()
+        .filter((F.col("symbol") == sym) & (F.col("trade_date") == day))
+        .orderBy("seq")
+        .collect()
+    )
+    assert len(df) == len(ticks) == 40
+    assert df.index[0].strftime("%H:%M") == "09:30"
+    assert df.index[-1].strftime("%H:%M") == "14:54"
+    for (_, bar), t in zip(df.iterrows(), ticks):
+        assert bar["open"] == bar["high"] == bar["low"] == bar["close"] == t.price
+        assert bar["volume"] == t.qty
+
+
+def test_get_price_minute_rebucket_consistency(api):
+    """'30m' folds the materialized 1m store: 8 session bars/day, same
+    total volume/money as '1m', OHLC nesting preserved."""
+    sym, day = "000001.SZ", "2022-03-01"
+    m1 = api.get_price(sym, day, day, frequency="1m",
+                       fields=["open", "high", "low", "close", "volume", "money"])
+    m30 = api.get_price(sym, day, day, frequency="30m",
+                        fields=["open", "high", "low", "close", "volume", "money"])
+    assert len(m30) == 8
+    assert m30["volume"].sum() == m1["volume"].sum()
+    assert abs(m30["money"].sum() - m1["money"].sum()) < 1e-6
+    assert m30["high"].max() == m1["high"].max()
+    assert m30["low"].min() == m1["low"].min()
+    assert m30["open"].iloc[0] == m1["open"].iloc[0]
+    assert m30["close"].iloc[-1] == m1["close"].iloc[-1]
+
+
+def test_get_price_minute_count_mode(api):
+    """count mode returns the last N minute bars on or before end_date —
+    the end date's own session included (completed minutes are final)."""
+    df = api.get_price("600000.SS", end_date="2022-03-02", count=50,
+                       frequency="1m")
+    assert len(df) == 50
+    assert df.index[-1].strftime("%Y-%m-%d %H:%M") == "2022-03-02 14:54"
+    # 40 bars from 03-02, the 10 before that from the previous trading day
+    assert df.index[0].strftime("%Y-%m-%d") == "2022-03-01"
+
+
+def test_get_price_minute_fq_post(api, market):
+    """fq='post' scales minute OHLC by the same per-day factor as daily
+    bars (A·x with the day's back_adj)."""
+    sym, day = "600000.SS", "2023-06-01"  # after this symbol's ex-events
+    raw = api.get_price(sym, day, day, frequency="1m")
+    adj = api.get_price(sym, day, day, frequency="1m", fq="post")
+    fac = (
+        market.adjust_factor()
+        .filter((F.col("symbol") == sym) & (F.col("trade_date") == day))
+        .select("back_adj")
+        .collect()[0][0]
+    )
+    assert fac != 1.0
+    for c in ("open", "high", "low", "close"):
+        assert (adj[c] - raw[c] * fac).abs().max() < 1e-4
+    assert (adj["volume"] - (raw["volume"] / fac).round(2)).abs().max() < 1e-9
+
+
+def test_get_history_minute(api):
+    """get_history minute mode: last N bars strictly before current_date."""
+    df = api.get_history(12, frequency="1m", field="close",
+                         security_list="600000.SS", current_date="2022-03-02")
+    assert len(df) == 12
+    assert df.index[-1].strftime("%Y-%m-%d %H:%M") == "2022-03-01 14:54"
+    d = api.get_history(5, frequency="5m", field=["close", "vwap"],
+                        security_list=["600000.SS"], current_date="2022-03-02",
+                        include=True, is_dict=True)
+    assert set(d) == {"600000.SS"} and len(d["600000.SS"]) == 5
+
+
+def test_get_price_minute_bad_inputs(api):
+    with pytest.raises(ValueError):
+        api.get_price("600000.SS", "2022-03-01", "2022-03-02",
+                      frequency="1m", fields=["n_bars"])
+    with pytest.raises(ValueError):
+        api.get_price("600000.SS", "2022-03-01", "2022-03-02", frequency="7s")
