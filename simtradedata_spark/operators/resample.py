@@ -81,17 +81,18 @@ def time_bars_from_ticks(
     09:30:00-09:3x bar). open/close resolve by ``order_col`` via
     min_by/max_by — order-insensitive under any partitioning (the same
     determinism rule as resample_ohlc). ``money`` is summed in integer
-    cents (prices are 2-decimal-quantized) so the total is EXACT and
-    engine/association-order independent, then rescaled; ``vwap`` derives
-    from the same integers. One shuffle on (symbol, day, bucket) with
-    map-side partial aggregation — at 100 TB of ticks this is a single
-    all-map-reduce pass, no windows, no per-day collect.
+    1e-4 units (exchange prices are at most 4-decimal-quantized) so the
+    total is EXACT and engine/association-order independent, then
+    rescaled; ``vwap`` derives from the same integers. One shuffle on
+    (symbol, day, bucket) with map-side partial aggregation — at 100 TB
+    of ticks this is a single all-map-reduce pass, no windows, no
+    per-day collect.
     """
     hhmm = F.floor((F.col(ts_col) % F.lit(10**9)) / F.lit(10**5))
     bucket = F.floor(_session_minute(hhmm) / minutes).cast("int")
-    cents = F.round(F.col(price_col) * 100).cast("long") * F.col(qty_col)
+    pe4 = F.round(F.col(price_col) * 10000).cast("long") * F.col(qty_col)
     return (
-        ticks.withColumn("__cents", cents)
+        ticks.withColumn("__pe4", pe4)
         .groupBy(
             F.col(symbol_col),
             F.col(date_col),
@@ -103,17 +104,17 @@ def time_bars_from_ticks(
             F.min(price_col).alias("low"),
             F.max_by(price_col, order_col).alias("close"),
             F.sum(qty_col).alias("volume"),
-            (F.sum("__cents") / 100.0).alias("money"),
-            F.sum("__cents").alias("__c"),
+            (F.sum("__pe4") / 10000.0).alias("money"),
+            F.sum("__pe4").alias("__c"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
-        # vwap to 6dp by INTEGER half-up division — the exact-cents sums
+        # vwap to 6dp by INTEGER half-up division — the exact integer sums
         # make half-ties at the 7th decimal common, where double round()
-        # differs across engines (HALF_UP vs half-even). The numerator
-        # exceeds 2^53, so this must be bigint `div`, not double floor.
+        # differs across engines (HALF_UP vs half-even). The numerator can
+        # exceed 2^53, so this must be bigint `div`, not double floor.
         .withColumn(
             "vwap",
-            F.expr("((2 * __c * 10000 + volume) div (2 * volume)) / 1e6"),
+            F.expr("((2 * __c * 100 + volume) div (2 * volume)) / 1e6"),
         )
         .drop("__c")
     )

@@ -112,3 +112,37 @@ def weighted_sample(
         .limit(k)
         .drop("__esk")
     )
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    group_cols: list[str],
+    key_cols: list[str],
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic EXACT-k-per-group sample: within each group, rows
+    compete on a seeded md5 of their key and the k smallest win — the
+    stratified counterpart of ``weighted_sample`` (equal weights), giving
+    every stratum the same budget regardless of its size (a training-mix
+    "cap each source at k docs" / "k docs per language" primitive).
+
+    One shuffle on the group columns (rank window); the hash order makes
+    the selection partition/retry/engine-invariant, and a group with fewer
+    than k rows keeps them all. Returns the input columns unchanged."""
+    from pyspark.sql.window import Window
+
+    cs = [F.col(c) for c in key_cols]
+    if salt:
+        cs = [F.lit(salt)] + cs
+    # 15 hex chars = 60 bits: exact in an int64 under ANSI (16 would
+    # overflow the cast), same convention as the generator RNG
+    h = F.conv(F.substring(F.md5(F.concat_ws("|", *cs)), 1, 15), 16, 10).cast(
+        "long"
+    )
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), *key_cols)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

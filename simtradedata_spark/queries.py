@@ -2240,8 +2240,8 @@ def q_minute_bars_vwap(spark, sf_dir):
     reference, never implemented): tick stream → 30-minute session OHLCV +
     VWAP bars via the same time_bars_from_ticks operator that backs
     ``get_price(frequency='30m')``. 240 ticks/day so every bar aggregates
-    30 real trades. money/vwap accumulate in exact integer cents (prices
-    are 2-decimal-quantized) so the sums are association-order- and
+    30 real trades. money/vwap accumulate in exact integer 1e-4 units (prices
+    are at most 4-decimal-quantized) so the sums are association-order- and
     engine-independent. One shuffle on (symbol, day, bucket), map-side
     partials — a single all-map-reduce pass over 100 TB of ticks."""
     from simtradedata_spark.operators.resample import time_bars_from_ticks
@@ -2269,7 +2269,7 @@ SQL_MINUTE_BARS_VWAP = _SQL_MARKET_CTES + f"""
   FROM t
 ), bucketed AS (
   SELECT *, (session_min // 30) * 30 AS bm,
-         CAST(round(price * 100) AS BIGINT) * qty AS cents
+         CAST(round(price * 10000) AS BIGINT) * qty AS pe4
   FROM tick_priced
 )
 SELECT symbol, trade_date,
@@ -2281,8 +2281,8 @@ SELECT symbol, trade_date,
        min(price) AS low,
        arg_max(price, seq) AS close,
        CAST(sum(qty) AS BIGINT) AS volume,
-       sum(cents) / 100.0 AS money,
-       ((2 * sum(cents) * 10000 + sum(qty)) // (2 * sum(qty))) / 1e6 AS vwap,
+       sum(pe4) / 10000.0 AS money,
+       ((2 * sum(pe4) * 100 + sum(qty)) // (2 * sum(qty))) / 1e6 AS vwap,
        count(*) AS n_ticks
 FROM bucketed GROUP BY symbol, trade_date, bm
 """
@@ -5561,6 +5561,45 @@ GROUP BY 1
 """
 
 
+def q_stratified_docs_sample(spark, sf_dir):
+    """Exact-k-per-stratum sample (operators/sampling.py::
+    stratified_sample_k): cap every source at 20 docs by seeded-hash
+    competition — the "k docs per source/language" training-mix primitive.
+    Selection is a pure function of doc_id, so the DuckDB oracle derives
+    the IDENTICAL winner set; summarized per source with an id-sum so the
+    hash check pins the exact membership, not just the counts."""
+    from simtradedata_spark.operators.sampling import stratified_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample_k(docs, ["source"], ["doc_id"], k=20)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("sampled_chars"),
+        )
+    )
+
+
+SQL_STRATIFIED_DOCS_SAMPLE = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, count(*) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+FROM ranked WHERE rk <= 20 GROUP BY source
+"""
+
+
+
 def q_weighted_sample_docs(spark, sf_dir):
     """Efraimidis–Spirakis weighted sampling (operators/sampling.py):
     200 docs drawn ∝ length, via seeded-uniform keys -ln(u)/w and a
@@ -6393,6 +6432,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_BENCHMARK_CONTAMINATION,
     ),
     "hash_sample_docs": (q_hash_sample_docs, SQL_HASH_SAMPLE_DOCS),
+    "stratified_docs_sample": (q_stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
     "domain_capped_sample": (q_domain_capped_sample, SQL_DOMAIN_CAPPED_SAMPLE),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
@@ -6573,6 +6613,7 @@ _FRONT_WINDOW = [
     # round-4 additions (certified for the first time this round)
     "minute_bars_vwap",
     "fuzzy_match_realistic",
+    "stratified_docs_sample",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

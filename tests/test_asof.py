@@ -119,3 +119,22 @@ def test_asof_null_timestamp_never_matches_either_direction(spark):
 
     with pytest.raises(ValueError):
         asof_join(left, right, on="t", by=["k"], direction="nearest")
+
+
+def test_asof_null_right_timestamp_never_matches(spark):
+    """A right row with a NULL `on` value has no as-of position (pandas
+    merge_asof / DuckDB ASOF drop null keys): it must never be carried as
+    a phantom match, in either direction (r3 advisor finding)."""
+    left = spark.createDataFrame([(1, 5), (1, 20)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, None, 111.0), (1, 10, 99.0)], "k int, t int, v double"
+    )
+    back = {r["t"]: r["v"] for r in
+            asof_join(left, right, on="t", by=["k"]).collect()}
+    assert back[5] is None          # nothing at or before 5
+    assert back[20] == 99.0         # the real row, not the null-ts payload
+    fwd = {r["t"]: r["v"] for r in
+           asof_join(left, right, on="t", by=["k"],
+                     direction="forward").collect()}
+    assert fwd[5] == 99.0
+    assert fwd[20] is None          # nothing at or after 20

@@ -406,3 +406,38 @@ def test_streaming_enrichment_sees_dim_version_swap(spark, tmp_path):
 
     assert ("S1", 10, "tech") in out       # pre-swap batch used v0
     assert ("S1", 20, "fintech") in out    # post-swap batch used v1
+
+
+def test_compact_multilevel_partitions(spark, tmp_path):
+    """compact() must recurse to LEAF partition dirs: a table partitioned
+    by (exchange, trade_year) nests key=value dirs two deep, and the old
+    first-level scan silently reported files_before=0 (r3 advisor
+    finding)."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    df = spark.range(400).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'SS' ELSE 'SZ' END AS exchange",
+        "2022 + CAST(id % 2 AS INT) AS trade_year",
+        "CAST(id AS STRING) AS symbol",
+        "CAST(date_add('2022-01-01', CAST(id % 300 AS INT)) AS DATE) AS trade_date",
+        "id * 1.0 AS close",
+    )
+    # many small files per leaf partition, two-level layout
+    (
+        df.repartition(8)
+        .write.mode("overwrite")
+        .partitionBy("exchange", "trade_year")
+        .parquet(os.path.join(root, "ml"))
+    )
+    # materialize BEFORE compacting — the lazy plan pins old file names
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "ml")).collect())
+    )
+    stats = wh.compact("ml", target_file_bytes=1 << 30)
+    assert stats["files_before"] > 4  # leaves were actually scanned
+    assert stats["partitions_rewritten"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(os.path.join(root, "ml")).collect())
+    )
+    assert after_rows == before_rows

@@ -739,3 +739,42 @@ def test_fuzzy_join_cross_stratum_and_duplicate_ids(spark):
     assert (1, 10, 2) in got          # cross-stratum pair found
     assert (2, 11, 1) in got          # both id-2 strings keep full prefixes
     assert (2, 12, 2) in got
+
+
+def test_minute_bars_batch_equals_streaming_agg(spark):
+    """The two minute-bar formulations agree: time_bars_from_ticks (hhmm
+    session labels, integer-cents money) vs streaming/incremental.py::
+    minute_bar_agg (event-time tumbling window) on the same tick stream."""
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+    from simtradedata_spark.streaming.incremental import minute_bar_agg
+
+    m = SyntheticMarket(spark, n_symbols=4, start="2022-03-01", end="2022-03-08")
+    ticks = m.ticks(n_per_day=40)
+    batch = time_bars_from_ticks(ticks, minutes=1)
+    hh = F.floor((F.col("ts_ms") % 10**9) / 10**7).cast("int")
+    mm = F.floor((F.col("ts_ms") % 10**7) / 10**5).cast("int")
+    with_ts = ticks.withColumn(
+        "ts",
+        F.make_timestamp(
+            F.year("trade_date"), F.month("trade_date"), F.dayofmonth("trade_date"),
+            hh, mm, F.lit(0),
+        ),
+    )
+    windowed = minute_bar_agg(with_ts).withColumn(
+        "bar_time",
+        (F.hour("minute_start") * 100 + F.minute("minute_start")).cast("int"),
+    ).withColumn("trade_date", F.to_date("minute_start"))
+    a = {
+        (r["symbol"], str(r["trade_date"]), r["bar_time"]): r
+        for r in batch.collect()
+    }
+    b = {
+        (r["symbol"], str(r["trade_date"]), r["bar_time"]): r
+        for r in windowed.collect()
+    }
+    assert set(a) == set(b) and a
+    for k in a:
+        for c in ("open", "high", "low", "close", "volume", "n_ticks"):
+            assert a[k][c] == b[k][c], (k, c)
+        assert abs(a[k]["money"] - b[k]["money"]) < 1e-6, k

@@ -376,3 +376,24 @@ def test_feature_hash_embedding_properties(spark):
     # alpha/beta vs gamma/delta: orthogonal unless a 16-bucket collision
     assert dot13 < 0.9
     assert len(out[1]) == 16
+
+
+def test_stratified_sample_k_exact_and_invariant(spark):
+    """Every group capped at exactly k (smaller groups kept whole), and
+    the winner set is invariant to partitioning."""
+    from simtradedata_spark.operators.sampling import stratified_sample_k
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS grp"
+    ).union(spark.range(1000, 1003).selectExpr("id", "'tiny' AS grp"))
+    s1 = stratified_sample_k(df, ["grp"], ["id"], k=50)
+    counts = {r["grp"]: r["n"] for r in
+              s1.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts["tiny"] == 3
+    assert all(v == 50 for g, v in counts.items() if g != "tiny")
+    ids1 = sorted(r["id"] for r in s1.collect())
+    s2 = stratified_sample_k(df.repartition(13), ["grp"], ["id"], k=50)
+    assert sorted(r["id"] for r in s2.collect()) == ids1
+    # salt derives an independent selection
+    s3 = stratified_sample_k(df, ["grp"], ["id"], k=50, salt="v2")
+    assert sorted(r["id"] for r in s3.collect()) != ids1

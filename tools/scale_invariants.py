@@ -8,7 +8,7 @@ without DuckDB, using the replica construction's algebraic guarantees
 (tools/make_scaled_sf.py): replicas are key-offset, replica texts are
 word-tagged so cross-replica shingle overlap is ZERO, and replica
 embeddings get orthogonal ±1 diagonal transforms so cross-replica cosines
-collapse. Therefore, for every query in the family:
+collapse. For every TEXT-family query:
 
   1. |answer(N×)| == N · |answer(1×)|  (answer sets scale exactly N×), and
   2. the replica-0 slice of answer(N×) — rows whose key columns are below
@@ -18,7 +18,12 @@ collapse. Therefore, for every query in the family:
 
 A violation of (1) means cross-replica leakage (the engine found pairs the
 construction forbids) or dropped answers; a violation of (2) means the
-engine's output depends on corpus composition where it must not.
+engine's output depends on corpus composition where it must not. The
+EMBEDDING family gets the adjusted invariants described at the FAMILY
+table below — the ±1-diagonal construction leaves a Gaussian tail of
+genuine cross-replica cosine pairs, so count-linearity holds only for the
+within-replica sub-answer (measured: 13,096 data-true cross pairs at 30×,
+replica-0 slice still exact).
 
 Usage: python tools/scale_invariants.py [SMALL_DIR BIG_DIR N]
 Defaults: /root/testdata/sf0.01 /tmp/sf0.01x30 30
@@ -48,11 +53,23 @@ FAMILY = {
     "minhash_near_dups": (["id_a", "id_b"], "doc"),
     "simhash_signatures": (["doc_id"], "doc"),
     "dedup_clusters": (["doc_id", "cluster_id"], "doc"),
-    "cosine_near_dups": (["id_a", "id_b"], "vec"),
-    "embedding_dup_clusters": (["vec_id", "cluster_id"], "vec"),
     "cluster_representatives": (["cluster_id", "rep_doc"], "doc"),
     "dup_chunks": (["first_doc"], "doc"),
 }
+
+# The cosine-threshold family needs a WEAKER count invariant: the replica
+# construction's ±1-diagonal transform makes cross-replica cosines
+# ~N(0, 1/sqrt(64)), and at 30x there are ~1.1e8 cross pairs, so the
+# P[cos >= 0.45] ~ 1.6e-4 Gaussian tail yields thousands of GENUINE
+# cross-replica near-dups — answers the engine MUST report (text replicas
+# have exactly-zero shingle overlap, so the doc family has no analogue).
+# The correct algebraic invariants here: (a) replica-0 slice is bit-exact,
+# (b) the WITHIN-replica sub-answer, keys folded mod the 1x domain, is
+# exactly 30 identical copies of the 1x answer (the orthogonal transform
+# preserves within-replica dot products bit-for-bit); cross-replica pairs
+# are counted and reported as a data property. embedding_dup_clusters is
+# verified by clustering the within-replica edge subset (its registered
+# form inherits the cross edges, which legitimately merge clusters).
 
 
 def main() -> int:
@@ -100,6 +117,98 @@ def main() -> int:
             ),
             flush=True,
         )
+    # -- cosine-threshold family (see module comment) ----------------------
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+    from simtradedata_spark.operators.graph import dedup_clusters
+
+    d = domain["vec"]
+    emb_small = load_table(spark, small, "embeddings")
+    emb_big = load_table(spark, big, "embeddings")
+    t0 = time.time()
+    pairs1 = cosine_near_dups(
+        emb_small, "vec_id", "embedding", threshold=0.45
+    ).localCheckpoint(eager=True)
+    pairsn = cosine_near_dups(
+        emb_big, "vec_id", "embedding", threshold=0.45
+    ).localCheckpoint(eager=True)
+    same_rep = F.floor(F.col("id_a") / d) == F.floor(F.col("id_b") / d)
+    within = pairsn.filter(same_rep)
+    cross = pairsn.count() - within.count()
+    # cos_sim rounded to 9dp on BOTH sides: the blocked-GEMM BLAS kernels
+    # may accumulate in different orders at different matrix shapes, so
+    # bit-identity across scale factors is not guaranteed — 1e-9 is.
+    folded = within.select(
+        (F.col("id_a") % d).alias("id_a"),
+        (F.col("id_b") % d).alias("id_b"),
+        F.round("cos_sim", 9).alias("cos_sim"),
+    )
+    pairs1 = pairs1.select(
+        "id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim")
+    ).localCheckpoint(eager=True)
+    rows1 = pairs1.count()
+    # exactly n bit-identical copies of the 1x answer
+    copies_ok = (
+        folded.count() == n * rows1
+        and folded.distinct().exceptAll(pairs1).count() == 0
+        and pairs1.exceptAll(folded.distinct()).count() == 0
+        and folded.groupBy("id_a", "id_b", "cos_sim")
+        .count()
+        .filter(F.col("count") != n)
+        .count()
+        == 0
+    )
+    slice0 = pairsn.filter((F.col("id_a") < d) & (F.col("id_b") < d)).select(
+        "id_a", "id_b", F.round("cos_sim", 9).alias("cos_sim")
+    )
+    slice_ok = (
+        slice0.exceptAll(pairs1).count() == 0
+        and pairs1.exceptAll(slice0).count() == 0
+    )
+    ok = copies_ok and slice_ok
+    failures += 0 if ok else 1
+    print(
+        json.dumps(
+            {
+                "query": "cosine_near_dups",
+                "rows_1x": rows1,
+                f"within_replica_rows_{n}x": n * rows1 if copies_ok else -1,
+                "within_replica_exact_copies": copies_ok,
+                "slice_exact": slice_ok,
+                "cross_replica_pairs_datatrue": cross,
+                "ok": ok,
+                "sec": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
+    # clustering verified on the within-replica edge subset: known answer
+    t0 = time.time()
+    cl1 = dedup_clusters(pairs1).localCheckpoint(eager=True)
+    cln = dedup_clusters(within).localCheckpoint(eager=True)
+    r1 = cl1.count()
+    rn = cln.count()
+    # dedup_clusters labels its node column doc_id regardless of domain
+    sl = cln.filter((F.col("doc_id") < d) & (F.col("cluster_id") < d))
+    ok = (
+        rn == n * r1
+        and sl.exceptAll(cl1).count() == 0
+        and cl1.exceptAll(sl).count() == 0
+    )
+    failures += 0 if ok else 1
+    print(
+        json.dumps(
+            {
+                "query": "embedding_dup_clusters[within-replica edges]",
+                "rows_1x": r1,
+                f"rows_{n}x": rn,
+                "count_linear": rn == n * r1,
+                "slice_exact": ok,
+                "ok": ok,
+                "sec": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
 
