@@ -72,6 +72,7 @@ def time_bars_from_ticks(
     price_col: str = "price",
     qty_col: str = "qty",
     order_col: str = "seq",
+    with_state: bool = False,
 ) -> DataFrame:
     """Tick stream → fixed-width intraday OHLCV bars (the spec's minute
     frequencies, ``docs/PTrade_API_mini_Reference.md:521-694`` — tick/minute
@@ -87,11 +88,25 @@ def time_bars_from_ticks(
     (symbol, day, bucket) with map-side partial aggregation — at 100 TB
     of ticks this is a single all-map-reduce pass, no windows, no
     per-day collect.
+
+    ``with_state=True`` additionally emits the DECOMPOSABLE aggregate
+    state (``open_ord``, ``close_ord``, ``money_e4``) that lets
+    ``refresh_time_bars`` fold later tick batches into an existing bar
+    table without re-reading history — the continuous-aggregate form for
+    a live tick ingest.
     """
     hhmm = F.floor((F.col(ts_col) % F.lit(10**9)) / F.lit(10**5))
     bucket = F.floor(_session_minute(hhmm) / minutes).cast("int")
     pe4 = F.round(F.col(price_col) * 10000).cast("long") * F.col(qty_col)
-    return (
+    state_aggs = (
+        [
+            F.min(order_col).alias("open_ord"),
+            F.max(order_col).alias("close_ord"),
+        ]
+        if with_state
+        else []
+    )
+    out = (
         ticks.withColumn("__pe4", pe4)
         .groupBy(
             F.col(symbol_col),
@@ -105,8 +120,9 @@ def time_bars_from_ticks(
             F.max_by(price_col, order_col).alias("close"),
             F.sum(qty_col).alias("volume"),
             (F.sum("__pe4") / 10000.0).alias("money"),
-            F.sum("__pe4").alias("__c"),
+            F.sum("__pe4").alias("money_e4"),
             F.count(F.lit(1)).alias("n_ticks"),
+            *state_aggs,
         )
         # vwap to 6dp by INTEGER half-up division — the exact integer sums
         # make half-ties at the 7th decimal common, where double round()
@@ -114,9 +130,54 @@ def time_bars_from_ticks(
         # exceed 2^53, so this must be bigint `div`, not double floor.
         .withColumn(
             "vwap",
-            F.expr("((2 * __c * 100 + volume) div (2 * volume)) / 1e6"),
+            F.expr("((2 * money_e4 * 100 + volume) div (2 * volume)) / 1e6"),
         )
-        .drop("__c")
+    )
+    return out if with_state else out.drop("money_e4")
+
+
+def refresh_time_bars(
+    state: DataFrame,
+    new_ticks: DataFrame,
+    minutes: int = 1,
+    symbol_col: str = "symbol",
+    date_col: str = "trade_date",
+    ts_col: str = "ts_ms",
+    price_col: str = "price",
+    qty_col: str = "qty",
+    order_col: str = "seq",
+) -> DataFrame:
+    """Fold a batch of NEW ticks into an existing stateful bar table
+    (``time_bars_from_ticks(..., with_state=True)`` output) — the
+    hypertable continuous-aggregate pattern applied to minute bars: only
+    the delta's buckets re-aggregate, history is never re-read and the
+    result is EXACTLY what a flat recompute over all ticks would produce
+    (OHLC folds via the order state, money via the integer sums).
+    ``order_col`` must be globally comparable within a (symbol, day) —
+    tick sequence numbers or event timestamps both qualify."""
+    delta = time_bars_from_ticks(
+        new_ticks, minutes, symbol_col, date_col, ts_col,
+        price_col, qty_col, order_col, with_state=True,
+    )
+    merged = state.select(delta.columns).unionByName(delta)
+    return (
+        merged.groupBy(symbol_col, date_col, "bar_time")
+        .agg(
+            F.min_by("open", "open_ord").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "close_ord").alias("close"),
+            F.sum("volume").alias("volume"),
+            (F.sum("money_e4") / 10000.0).alias("money"),
+            F.sum("money_e4").alias("money_e4"),
+            F.sum("n_ticks").alias("n_ticks"),
+            F.min("open_ord").alias("open_ord"),
+            F.max("close_ord").alias("close_ord"),
+        )
+        .withColumn(
+            "vwap",
+            F.expr("((2 * money_e4 * 100 + volume) div (2 * volume)) / 1e6"),
+        )
     )
 
 

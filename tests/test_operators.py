@@ -778,3 +778,29 @@ def test_minute_bars_batch_equals_streaming_agg(spark):
         for c in ("open", "high", "low", "close", "volume", "n_ticks"):
             assert a[k][c] == b[k][c], (k, c)
         assert abs(a[k]["money"] - b[k]["money"]) < 1e-6, k
+
+
+def test_refresh_time_bars_fold_equals_flat(spark):
+    """Continuous-aggregate fold: arbitrary tick-batch splits folded via
+    refresh_time_bars reproduce the flat recompute EXACTLY (including
+    buckets straddling the split, where open/close must resolve through
+    the order state)."""
+    from simtradedata_spark.operators.resample import (
+        refresh_time_bars,
+        time_bars_from_ticks,
+    )
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+
+    m = SyntheticMarket(spark, n_symbols=3, start="2022-03-01", end="2022-03-04")
+    ticks = m.ticks(n_per_day=40).localCheckpoint()
+    flat = time_bars_from_ticks(ticks, minutes=30)
+    # split mid-bucket: seq 17 lands inside the 13:00 bar
+    b1 = ticks.filter(F.col("seq") <= 17)
+    b2 = ticks.filter((F.col("seq") > 17) & (F.col("seq") <= 30))
+    b3 = ticks.filter(F.col("seq") > 30)
+    state = time_bars_from_ticks(b1, minutes=30, with_state=True)
+    state = refresh_time_bars(state, b2, minutes=30)
+    state = refresh_time_bars(state, b3, minutes=30)
+    folded = state.drop("open_ord", "close_ord", "money_e4")
+    assert folded.exceptAll(flat).count() == 0
+    assert flat.exceptAll(folded).count() == 0

@@ -304,3 +304,67 @@ def test_fuzzy_join_equals_quadratic_ground_truth(spark, lnames, rnames):
         if lev(a, b) <= 2
     }
     assert got == expect
+
+
+@st.composite
+def tick_case(draw):
+    """Random tick stream: a few (symbol, day) sessions, each with ticks at
+    arbitrary session minutes (duplicate minutes allowed), 4-decimal
+    prices, positive integer qty."""
+    n = draw(st.integers(2, 60))
+    rows = []
+    for i in range(n):
+        sym = draw(st.sampled_from(["A", "B", "C"]))
+        day = draw(st.sampled_from(["2022-03-01", "2022-03-02"]))
+        minute = draw(st.integers(0, 239))
+        price = round(draw(st.floats(1.0, 500.0, allow_nan=False)), 4)
+        qty = draw(st.integers(1, 5000))
+        rows.append((sym, day, minute, price, qty, i + 1))
+    return rows
+
+
+@RELAXED
+@given(tick_case())
+def test_time_bars_match_python_groundtruth(spark, rows):
+    """time_bars_from_ticks == a pure-python recomputation for every bucket
+    width: OHLC by seq order, volume, exact 1e-4-unit money, n_ticks."""
+    from collections import defaultdict
+
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+
+    def hhmm(m):
+        return (9 + (m + 30) // 60) * 100 + (m + 30) % 60 if m < 120 \
+            else (13 + (m - 120) // 60) * 100 + (m - 120) % 60
+
+    data = [
+        (s, datetime.date.fromisoformat(d),
+         int(d.replace("-", "")) * 10**9 + (hhmm(m) // 100 * 10**7)
+         + (hhmm(m) % 100) * 10**5, p, q, seq)
+        for (s, d, m, p, q, seq) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "symbol string, trade_date date, ts_ms long, price double, "
+              "qty long, seq int",
+    )
+    for minutes in (1, 30, 120):
+        got = {
+            (r["symbol"], str(r["trade_date"]), r["bar_time"]): r
+            for r in time_bars_from_ticks(df, minutes=minutes).collect()
+        }
+        buckets = defaultdict(list)
+        for (s, d, m, p, q, seq) in rows:
+            buckets[(s, d, hhmm(m // minutes * minutes))].append((seq, p, q))
+        assert set(got) == set(buckets)
+        for k, ticks in buckets.items():
+            ticks.sort()
+            g = got[k]
+            assert g["open"] == ticks[0][1] and g["close"] == ticks[-1][1]
+            assert g["high"] == max(p for _, p, _ in ticks)
+            assert g["low"] == min(p for _, p, _ in ticks)
+            assert g["volume"] == sum(q for _, _, q in ticks)
+            assert g["n_ticks"] == len(ticks)
+            money_e4 = sum(round(p * 10000) * q for _, p, q in ticks)
+            assert g["money"] == money_e4 / 10000.0
+            want_vwap = ((2 * money_e4 * 100 + g["volume"])
+                         // (2 * g["volume"])) / 1e6
+            assert g["vwap"] == want_vwap
