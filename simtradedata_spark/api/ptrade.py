@@ -21,7 +21,7 @@ from datetime import date as _date
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -117,6 +117,19 @@ def _to_date_str(d) -> str:
     return s[:10]
 
 
+
+def _minute_ts() -> Column:
+    """bar timestamp = trade_date + bar_time (hhmm) as a real timestamp."""
+    return F.to_timestamp(
+        F.concat(
+            F.date_format("trade_date", "yyyy-MM-dd"),
+            F.lit(" "),
+            F.lpad(F.col("bar_time").cast("string"), 4, "0"),
+        ),
+        "yyyy-MM-dd HHmm",
+    )
+
+
 class PTradeDataAPI:
     """``cache_tables=True`` pins each table in executor memory on first
     use — the right posture for a backtest loop issuing thousands of point
@@ -147,6 +160,10 @@ class PTradeDataAPI:
         # answer remains the vectorized batch path.
         self._point_cache = point_cache
         self._sym_bars: dict[tuple[str, str], pd.DataFrame] = {}
+        # same idea at minute frequency: (symbol, fq, minutes) -> full
+        # minute-bar history (a few 10k rows/symbol) for the minute-level
+        # backtest loop
+        self._sym_minute: dict[tuple[str, str, int], pd.DataFrame] = {}
 
     def _table(self, name: str) -> DataFrame:
         if not self._cache_tables:
@@ -291,6 +308,10 @@ class PTradeDataAPI:
         day; completed minutes are final, so there is no exclusive-of-today
         lookahead hazard). The returned index is a full timestamp
         (trade_date + bar start time)."""
+        if self._point_cache:
+            return self._point_get_price_minute(
+                securities, fq, start, end, fields, count, minutes
+            )
         mb = self._minute_bars(securities, fq, start, end, minutes)
         if count is not None:
             w = Window.partitionBy("symbol").orderBy(
@@ -301,14 +322,7 @@ class PTradeDataAPI:
                 .filter(F.col("__rn") <= count)
                 .drop("__rn")
             )
-        ts = F.to_timestamp(
-            F.concat(
-                F.date_format("trade_date", "yyyy-MM-dd"),
-                F.lit(" "),
-                F.lpad(F.col("bar_time").cast("string"), 4, "0"),
-            ),
-            "yyyy-MM-dd HHmm",
-        )
+        ts = _minute_ts()
         pdf = (
             mb.select("symbol", ts.alias("trade_date"), *fields)
             .orderBy("trade_date", "symbol")
@@ -338,14 +352,7 @@ class PTradeDataAPI:
             .filter(F.col("__rn") <= count)
             .drop("__rn")
         )
-        ts = F.to_timestamp(
-            F.concat(
-                F.date_format("trade_date", "yyyy-MM-dd"),
-                F.lit(" "),
-                F.lpad(F.col("bar_time").cast("string"), 4, "0"),
-            ),
-            "yyyy-MM-dd HHmm",
-        )
+        ts = _minute_ts()
         pdf = (
             mb.select("symbol", ts.alias("trade_date"), *fields)
             .orderBy("trade_date", "symbol")
@@ -528,6 +535,50 @@ class PTradeDataAPI:
             if count is not None:
                 if end:
                     pdf = pdf[pdf["__d"] < end]
+                pdf = pdf.tail(count)
+            else:
+                if start:
+                    pdf = pdf[pdf["__d"] >= start]
+                if end:
+                    pdf = pdf[pdf["__d"] <= end]
+            parts.append(pdf)
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["trade_date", "symbol"], kind="mergesort")
+            .reset_index(drop=True)[["symbol", "trade_date", *fields]]
+        )
+        return self._shape(out, securities, fields)
+
+    def _point_minute_frame(self, symbol: str, fq, minutes: int) -> pd.DataFrame:
+        """One symbol's FULL minute-bar history via the normal Spark path
+        (materialized 1m table + fold + fq adjustment), pulled once and
+        sliced in pandas afterwards — the minute-frequency twin of
+        ``_point_frame`` for the backtest event loop."""
+        key = (symbol, fq or "none", minutes)
+        pdf = self._sym_minute.get(key)
+        if pdf is None:
+            pdf = (
+                self._minute_bars([symbol], fq, None, None, minutes)
+                .select("symbol", _minute_ts().alias("trade_date"), *MINUTE_FIELDS)
+                .orderBy("trade_date")
+                .toPandas()
+            )
+            pdf["__d"] = pdf["trade_date"].astype(str).str[:10]
+            self._sym_minute[key] = pdf
+        return pdf
+
+    def _point_get_price_minute(
+        self, securities, fq, start, end, fields, count, minutes: int
+    ):
+        """Pandas slice of the per-symbol minute cache, reproducing the
+        Spark minute path exactly (count = last N bars ON OR BEFORE
+        end_date — see _get_price_minute)."""
+        parts = []
+        for sym in securities:
+            pdf = self._point_minute_frame(sym, fq, minutes)
+            if count is not None:
+                if end:
+                    pdf = pdf[pdf["__d"] <= end]
                 pdf = pdf.tail(count)
             else:
                 if start:

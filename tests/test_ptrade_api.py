@@ -644,3 +644,22 @@ def test_get_price_minute_bad_inputs(api):
                       frequency="1m", fields=["n_bars"])
     with pytest.raises(ValueError):
         api.get_price("600000.SS", "2022-03-01", "2022-03-02", frequency="7s")
+
+
+def test_point_cache_minute_parity(warehouse):
+    """The minute point-cache client returns byte-identical frames to the
+    Spark minute path, then serves repeat queries from pandas."""
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+
+    slow = PTradeDataAPI(warehouse)
+    fast = PTradeDataAPI(warehouse, point_cache=True)
+    for kwargs in (
+        dict(start_date="2022-03-01", end_date="2022-03-02", frequency="1m"),
+        dict(end_date="2022-03-02", count=50, frequency="1m"),
+        dict(start_date="2022-03-01", end_date="2022-03-03",
+             frequency="30m", fq="post", fields=["close", "vwap"]),
+    ):
+        a = slow.get_price("600000.SS", **kwargs)
+        b = fast.get_price("600000.SS", **kwargs)
+        pd.testing.assert_frame_equal(a, b)
+    assert ("600000.SS", "none", 1) in fast._sym_minute
