@@ -1306,17 +1306,41 @@ class PTradeDataAPI:
 
     # -- indicators (W7) ----------------------------------------------------
 
-    def get_indicators(self, security, start_date=None, end_date=None) -> pd.DataFrame:
+    def get_indicators(
+        self, security, start_date=None, end_date=None, frequency="1d"
+    ) -> pd.DataFrame:
+        """``frequency`` accepts the minute spellings too ('1m'..'120m'):
+        indicators then run over post-adjusted minute bars with a
+        timestamp index — the same EMA recursions, one Arrow batch per
+        symbol either way."""
         securities = [security] if isinstance(security, str) else list(security)
         # only the END bound is safe to push to the scan: EMA state at
         # start_date depends on all earlier bars (warmup), later ones never
         end = _to_date_str(end_date) if end_date else None
+        freq = _FREQUENCIES.get(frequency, KeyError)
+        if freq is KeyError or (freq is not None and not isinstance(freq, tuple)):
+            raise ValueError(
+                f"frequency={frequency!r} not supported for indicators"
+            )
+        if isinstance(freq, tuple):
+            mb = self._minute_bars(securities, "post", None, end, freq[1])
+            bars = mb.select(
+                "symbol", _minute_ts().alias("trade_date"), "high", "low", "close"
+            )
+            ind = compute_indicators(bars, ts_type="timestamp")
+            if start_date:
+                ind = ind.filter(
+                    F.to_date("trade_date") >= _to_date_str(start_date)
+                )
+            if end_date:
+                ind = ind.filter(F.to_date("trade_date") <= end)
+            return ind.orderBy("symbol", "trade_date").toPandas()
         bars = self._bars(securities, fq="post", end=end)
         ind = compute_indicators(bars)
         if start_date:
             ind = ind.filter(F.col("trade_date") >= _to_date_str(start_date))
         if end_date:
-            ind = ind.filter(F.col("trade_date") <= _to_date_str(end_date))
+            ind = ind.filter(F.col("trade_date") <= F.lit(end))
         return ind.orderBy("symbol", "trade_date").toPandas()
 
     def get_MACD(self, security, **kw) -> pd.DataFrame:

@@ -80,13 +80,16 @@ def _compute_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def compute_indicators(bars: DataFrame) -> DataFrame:
-    """bars(symbol, trade_date, high, low, close, …) → per-day indicator
-    table. One Arrow batch per symbol; scales across symbols."""
+def compute_indicators(bars: DataFrame, ts_type: str = "date") -> DataFrame:
+    """bars(symbol, trade_date, high, low, close, …) → per-bar indicator
+    table. One Arrow batch per symbol; scales across symbols.
+    ``ts_type="timestamp"`` serves intraday bars (minute-frequency
+    trade_date values); the recursion is the same."""
+    schema = OUT_SCHEMA.replace("trade_date date", f"trade_date {ts_type}")
     return (
         bars.select("symbol", "trade_date", "high", "low", "close")
         .groupBy("symbol")
-        .applyInPandas(_compute_group, OUT_SCHEMA)
+        .applyInPandas(_compute_group, schema)
     )
 
 

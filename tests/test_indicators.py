@@ -92,3 +92,23 @@ def test_cci_series_matches_pandas_and_stays_jvm(spark):
     md = (tp - sma).abs().rolling(14, min_periods=1).mean().replace(0, np.nan)
     expect = (tp - sma) / (0.015 * md)
     np.testing.assert_allclose(got.values, expect.values, rtol=1e-9)
+
+
+def test_minute_frequency_macd(api):
+    """get_MACD(frequency='30m') runs the same EMA recursion over
+    post-adjusted minute bars; cross-checked against pandas ewm on the
+    client's own minute closes."""
+    got = api.get_MACD("600000.SS", start_date="2022-03-01",
+                       end_date="2022-03-04", frequency="30m")
+    closes = api.get_price("600000.SS", end_date="2022-03-04", count=10**6,
+                           frequency="30m", fq="post")["close"]
+    import pandas as pd
+
+    dif = (closes.ewm(span=12, adjust=False).mean()
+           - closes.ewm(span=26, adjust=False).mean())
+    dea = dif.ewm(span=9, adjust=False).mean()
+    expect = pd.DataFrame({"dif": dif, "dea": dea, "macd": 2 * (dif - dea)})
+    expect = expect[(expect.index >= "2022-03-01") & (expect.index < "2022-03-05")]
+    assert len(got) == len(expect) > 0
+    for c in ("dif", "dea", "macd"):
+        assert abs(got[c].to_numpy() - expect[c].to_numpy()).max() < 1e-9
