@@ -492,3 +492,55 @@ def streaming_rollup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def minute_bar_rollup_batch(
+    batch_df: DataFrame, batch_id: int, target: str, minutes: int = 1
+) -> None:
+    """Fold one micro-batch of TICKS into the stateful minute-bar table
+    (operators/resample.py::refresh_time_bars) — the intraday-bar form of
+    ``rollup_batch``, with the same replay guard: OHLC folds through the
+    order state, so a replayed batch would corrupt open/close sums; a
+    batch id at or below the committed pointer is skipped."""
+    from simtradedata_spark.operators.resample import (
+        refresh_time_bars,
+        time_bars_from_ticks,
+    )
+
+    if batch_id <= _committed_batch(target):
+        return
+    spark = batch_df.sparkSession
+    existing = read_current(spark, target)
+    if existing is None:
+        state = time_bars_from_ticks(batch_df, minutes, with_state=True)
+    else:
+        state = refresh_time_bars(existing, batch_df, minutes)
+    _publish_version(state, target, batch_id)
+
+
+def streaming_minute_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    target: str,
+    minutes: int = 1,
+    query_name: str = "stream_minute_bars",
+    checkpoint: str | None = None,
+):
+    """Live tick feed → continuously folded minute-bar table. Readers get
+    finished bars from the small state table (one row per symbol/day/
+    bucket); the batch path (time_bars_from_ticks over all history) and
+    this stream share the identical fold code, so stream ≡ batch by
+    construction and by test."""
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: minute_bar_rollup_batch(df, bid, target, minutes)
+    ).queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

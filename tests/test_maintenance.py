@@ -441,3 +441,54 @@ def test_compact_multilevel_partitions(spark, tmp_path):
         map(tuple, spark.read.parquet(os.path.join(root, "ml")).collect())
     )
     assert after_rows == before_rows
+
+
+def test_streaming_minute_rollup_restart_equals_flat(spark, market, tmp_path):
+    """Tick feed → folded minute-bar state across a crash/restart: the
+    replay guard skips committed batches and the final bars equal the
+    flat recompute over every tick, exactly."""
+    import time
+
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+    from simtradedata_spark.streaming.incremental import (
+        read_current,
+        streaming_minute_rollup,
+    )
+
+    ticks = (
+        market.ticks(n_per_day=40)
+        .filter(F.col("trade_date") <= "2022-01-20")
+        .localCheckpoint()
+    )
+    src = str(tmp_path / "tick_src")
+    tgt = str(tmp_path / "tick_bars")
+    ckpt = str(tmp_path / "tick_ckpt")
+    schema = ticks.schema
+    ticks.filter(F.col("seq") <= 15).coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)
+    ticks.filter((F.col("seq") > 15) & (F.col("seq") <= 27)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    q = streaming_minute_rollup(
+        spark, src, schema, tgt, minutes=30, checkpoint=ckpt, query_name="mb1"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # crash: late ticks land while the query is down
+    time.sleep(1.1)
+    ticks.filter(F.col("seq") > 27).coalesce(1).write.mode("append").parquet(src)
+    q2 = streaming_minute_rollup(
+        spark, src, schema, tgt, minutes=30, checkpoint=ckpt, query_name="mb2"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = read_current(spark, tgt).drop("open_ord", "close_ord", "money_e4")
+    flat = time_bars_from_ticks(ticks, minutes=30)
+    assert got.exceptAll(flat).count() == 0
+    assert flat.exceptAll(got).count() == 0

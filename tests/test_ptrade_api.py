@@ -663,3 +663,17 @@ def test_point_cache_minute_parity(warehouse):
         b = fast.get_price("600000.SS", **kwargs)
         pd.testing.assert_frame_equal(a, b)
     assert ("600000.SS", "none", 1) in fast._sym_minute
+
+
+def test_get_history_weekly_resample(api):
+    """get_history now honors resample frequencies (previously silently
+    daily): last 4 weekly bars before current_date, OHLC folded per week."""
+    wk = api.get_history(4, frequency="1w", field=["close", "volume"],
+                         security_list="600000.SS", current_date="2022-06-15")
+    assert len(wk) == 4
+    daily = api.get_price("600000.SS", "2022-05-16", "2022-06-14")
+    # last full week's close == close of that week's last daily bar
+    assert wk["close"].iloc[-1] == daily["close"].iloc[-1]
+    week_start = wk.index[-1]
+    sel = daily[(daily.index >= week_start)]
+    assert wk["volume"].iloc[-1] == sel["volume"].sum()
