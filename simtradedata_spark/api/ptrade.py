@@ -309,55 +309,40 @@ class PTradeDataAPI:
         lookahead hazard). The returned index is a full timestamp
         (trade_date + bar start time)."""
         if self._point_cache:
-            return self._point_get_price_minute(
-                securities, fq, start, end, fields, count, minutes
+            frames = [
+                self._point_minute_frame(s, fq, minutes) for s in securities
+            ]
+            out = self._point_slice(
+                frames, fields, start, end, count, end_inclusive=True
             )
+            return self._shape(out, securities, fields)
         mb = self._minute_bars(securities, fq, start, end, minutes)
-        if count is not None:
-            w = Window.partitionBy("symbol").orderBy(
-                F.col("trade_date").desc(), F.col("bar_time").desc()
-            )
-            mb = (
-                mb.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") <= count)
-                .drop("__rn")
-            )
-        ts = _minute_ts()
-        pdf = (
-            mb.select("symbol", ts.alias("trade_date"), *fields)
-            .orderBy("trade_date", "symbol")
-            .toPandas()
-        )
+        pdf = self._minute_pdf(mb, fields, count)
         return self._shape(pdf, securities, fields)
 
     def _get_history_minute(
-        self, securities, fields, count, fq, cur, include, is_dict, minutes: int
+        self, securities, fields, count, fq, cur, include, is_dict,
+        minutes: int, fill: str = "nan",
     ):
         """get_history minute mode: last ``count`` N-minute bars before
         ``current_date`` (inclusive when ``include``), per symbol, with the
-        same timestamp index as get_price minute mode."""
+        same timestamp index as get_price minute mode. ``fill='pre'``
+        densifies to the full session grid over trading days and carries
+        the previous close through suspension gaps (OHLC = carried close,
+        volume/money/n_ticks = 0, vwap null — the daily generator's
+        suspended-bar convention); bars before a symbol's first trade stay
+        null, mirroring the daily forward_fill contract."""
         bad = set(fields) - set(MINUTE_FIELDS)
         if bad:
             raise ValueError(f"fields {sorted(bad)} unavailable at minute frequency")
         mb = self._minute_bars(securities, fq, None, cur, minutes)
+        if fill == "pre":
+            mb = self._densify_minute(mb, securities, minutes)
         if cur:
             mb = mb.filter(
                 F.col("trade_date") <= cur if include else F.col("trade_date") < cur
             )
-        w = Window.partitionBy("symbol").orderBy(
-            F.col("trade_date").desc(), F.col("bar_time").desc()
-        )
-        mb = (
-            mb.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= count)
-            .drop("__rn")
-        )
-        ts = _minute_ts()
-        pdf = (
-            mb.select("symbol", ts.alias("trade_date"), *fields)
-            .orderBy("trade_date", "symbol")
-            .toPandas()
-        )
+        pdf = self._minute_pdf(mb, fields, count)
         if is_dict:
             return {
                 s: pdf[pdf.symbol == s].set_index("trade_date")[fields]
@@ -470,7 +455,8 @@ class PTradeDataAPI:
             )
         if isinstance(freq, tuple):
             return self._get_history_minute(
-                securities, fields, count, fq, cur, include, is_dict, freq[1]
+                securities, fields, count, fq, cur, include, is_dict,
+                freq[1], fill,
             )
         bars = self._bars(securities, fq, end=cur)
         if cur:
@@ -529,25 +515,64 @@ class PTradeDataAPI:
         """Pandas slice of the per-symbol cache, reproducing get_price's
         daily range/count semantics exactly (count = bars strictly BEFORE
         end, spec :1977)."""
-        parts = []
-        for sym in securities:
-            pdf = self._point_frame(sym, fq)
-            if count is not None:
-                if end:
-                    pdf = pdf[pdf["__d"] < end]
-                pdf = pdf.tail(count)
-            else:
-                if start:
-                    pdf = pdf[pdf["__d"] >= start]
-                if end:
-                    pdf = pdf[pdf["__d"] <= end]
-            parts.append(pdf)
-        out = (
-            pd.concat(parts, ignore_index=True)
-            .sort_values(["trade_date", "symbol"], kind="mergesort")
-            .reset_index(drop=True)[["symbol", "trade_date", *fields]]
+        frames = [self._point_frame(sym, fq) for sym in securities]
+        out = self._point_slice(
+            frames, fields, start, end, count, end_inclusive=False
         )
         return self._shape(out, securities, fields)
+
+    def _densify_minute(self, mb, securities, minutes: int):
+        """Full (symbol x trading-day x session-bucket) grid over the data's
+        date span, left-joined with the real bars; gaps carry the previous
+        close. All three grid dimensions are bounded (client edge)."""
+        from simtradedata_spark.operators.resample import _session_minute_to_hhmm
+
+        b = mb.agg(
+            F.min("trade_date").alias("lo"), F.max("trade_date").alias("hi")
+        ).first()
+        if b["lo"] is None:
+            return mb
+        cal = (
+            self._table("trade_calendar")
+            .filter("is_trading_day")
+            .select(F.col("calendar_date").alias("trade_date"))
+            .filter(
+                (F.col("trade_date") >= b["lo"]) & (F.col("trade_date") <= b["hi"])
+            )
+        )
+        syms = self.spark.createDataFrame(
+            [(s,) for s in securities], "symbol string"
+        )
+        mins = self.spark.range(0, 240, minutes).select(
+            _session_minute_to_hhmm(F.col("id")).cast("int").alias("bar_time")
+        )
+        grid = syms.crossJoin(cal).crossJoin(mins)
+        mb = grid.join(mb, ["symbol", "trade_date", "bar_time"], "left")
+        w = (
+            Window.partitionBy("symbol")
+            .orderBy("trade_date", "bar_time")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cf = F.last("close", ignorenulls=True).over(w)
+        mb = mb.withColumn("__cf", cf)
+        for c in ("open", "high", "low", "close"):
+            mb = mb.withColumn(c, F.coalesce(c, "__cf"))
+        mb = (
+            mb.withColumn(
+                "volume",
+                F.coalesce("volume", F.when(F.col("__cf").isNotNull(), F.lit(0).cast("long"))),
+            )
+            .withColumn(
+                "money",
+                F.coalesce("money", F.when(F.col("__cf").isNotNull(), F.lit(0.0))),
+            )
+            .withColumn(
+                "n_ticks",
+                F.coalesce("n_ticks", F.when(F.col("__cf").isNotNull(), F.lit(0).cast("long"))),
+            )
+            .drop("__cf")
+        )
+        return mb
 
     def _point_minute_frame(self, symbol: str, fq, minutes: int) -> pd.DataFrame:
         """One symbol's FULL minute-bar history via the normal Spark path
@@ -567,18 +592,40 @@ class PTradeDataAPI:
             self._sym_minute[key] = pdf
         return pdf
 
-    def _point_get_price_minute(
-        self, securities, fq, start, end, fields, count, minutes: int
-    ):
-        """Pandas slice of the per-symbol minute cache, reproducing the
-        Spark minute path exactly (count = last N bars ON OR BEFORE
-        end_date — see _get_price_minute)."""
+    @staticmethod
+    def _minute_pdf(mb: DataFrame, fields, count) -> pd.DataFrame:
+        """Shared minute-mode tail: optional last-N-per-symbol trim, then
+        the timestamp-indexed pandas frame (used by get_price minute and
+        get_history minute)."""
+        if count is not None:
+            w = Window.partitionBy("symbol").orderBy(
+                F.col("trade_date").desc(), F.col("bar_time").desc()
+            )
+            mb = (
+                mb.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= count)
+                .drop("__rn")
+            )
+        return (
+            mb.select("symbol", _minute_ts().alias("trade_date"), *fields)
+            .orderBy("trade_date", "symbol")
+            .toPandas()
+        )
+
+    @staticmethod
+    def _point_slice(
+        frames, fields, start, end, count, end_inclusive: bool
+    ) -> pd.DataFrame:
+        """Shared pandas range/count slicing for the point caches. Daily
+        count mode excludes end_date (spec :1977 exclusive-of-today);
+        minute count mode includes it (completed minutes are final) —
+        ``end_inclusive`` is that one semantic difference."""
         parts = []
-        for sym in securities:
-            pdf = self._point_minute_frame(sym, fq, minutes)
+        for pdf in frames:
             if count is not None:
                 if end:
-                    pdf = pdf[pdf["__d"] <= end]
+                    keep = pdf["__d"] <= end if end_inclusive else pdf["__d"] < end
+                    pdf = pdf[keep]
                 pdf = pdf.tail(count)
             else:
                 if start:
@@ -586,12 +633,11 @@ class PTradeDataAPI:
                 if end:
                     pdf = pdf[pdf["__d"] <= end]
             parts.append(pdf)
-        out = (
+        return (
             pd.concat(parts, ignore_index=True)
             .sort_values(["trade_date", "symbol"], kind="mergesort")
             .reset_index(drop=True)[["symbol", "trade_date", *fields]]
         )
-        return self._shape(out, securities, fields)
 
     @staticmethod
     def _shape(pdf: pd.DataFrame, securities: list[str], fields: list[str]):

@@ -74,9 +74,10 @@ def fuzzy_candidates(
     Public so the blocking SELECTIVITY is measurable — candidate count vs
     true pair count is the number that decides whether the join is
     sub-quadratic on a given vocabulary (see tools/fuzzy_selectivity.py
-    and SCALE.md). Standalone calls leave the vocabulary-sized gram
-    frequency table cached for the session; ``fuzzy_join`` receives it via
-    ``_freq_out`` and unpersists after its verify materializes."""
+    and SCALE.md). The vocabulary-sized gram-frequency table is persisted
+    as SCRATCH (released between queries by functions/caching.py::
+    release_scratch, like the minhash signatures); ``_freq_out`` lets a
+    measurement tool take ownership and unpersist it early."""
     min_safe_len = q * (max_dist + 1) + q - 1  # min_len − q + 1 > q·d
 
     l = left.select(
@@ -191,16 +192,21 @@ def fuzzy_join(
     """All (left, right) pairs with ``levenshtein ≤ max_dist``, without the
     quadratic join. Returns (left_id, right_id, dist). See module doc for
     the blocking scheme and the losslessness argument."""
-    holder: list[DataFrame] = []
     cands = fuzzy_candidates(
-        left, right, left_id, left_col, right_id, right_col,
-        max_dist, q, _freq_out=holder,
+        left, right, left_id, left_col, right_id, right_col, max_dist, q
     )
     # 3-arg levenshtein = banded O(d·n) DP with early exit (returns -1 past
     # the threshold) — ~5x cheaper than the full O(n²) matrix at d=2, and
     # the verify dominates when blocking selectivity is poor (tiny gram
     # vocabularies — see module note).
-    out = (
+    # The result stays LAZY (a checkpoint here would execute the join at
+    # plan-build time — blinding plan_lint and every EXPLAIN consumer, and
+    # truncating lineage so an executor loss becomes unrecoverable). The
+    # persisted gram-frequency table is SCRATCH under the session cache
+    # policy (functions/caching.py): vocabulary-sized, lazily re-cached if
+    # freed, released between queries by release_scratch — the same
+    # lifecycle as minhash_lsh_candidates' persisted signatures.
+    return (
         cands.withColumn(
             "dist", F.levenshtein("__ls", "__rs", max_dist)
         )
@@ -212,11 +218,3 @@ def fuzzy_join(
         )
         .distinct()
     )
-    # Materialize the answer-sized survivor set eagerly so the persisted
-    # gram-frequency table can be released NOW instead of pinning the cache
-    # for the rest of the session (one pinned vocab table per fuzzy_join call
-    # otherwise). Side benefit: the truncated lineage means downstream
-    # actions never re-run the blocking pipeline.
-    out = out.localCheckpoint(eager=True)
-    holder[0].unpersist()
-    return out

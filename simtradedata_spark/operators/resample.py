@@ -48,11 +48,17 @@ def resample_ohlc(
 def _session_minute(hhmm):
     """A-share session clock hhmm (0930-1129, 1300-1459) → contiguous
     session minute 0..239 (lunch gap removed), so fixed-width buckets never
-    straddle the break."""
+    straddle the break. Boundary prints clamp into the ADJACENT session
+    bucket — real feeds emit trades at exactly 11:30:00 (morning close
+    auction → last morning bar, NOT the 13:00 bar), 15:00:00 (closing
+    call auction → last afternoon bar) and 09:25 (opening auction →
+    first bar)."""
     hh, mm = F.floor(hhmm / 100), hhmm % 100
-    return F.when(hh < 12, (hh - 9) * 60 + mm - 30).otherwise(
-        (hh - 13) * 60 + mm + 120
+    morning = F.least(F.greatest((hh - 9) * 60 + mm - 30, F.lit(0)), F.lit(119))
+    afternoon = F.least(
+        F.greatest((hh - 13) * 60 + mm + 120, F.lit(120)), F.lit(239)
     )
+    return F.when(hh < 12, morning).otherwise(afternoon)
 
 
 def _session_minute_to_hhmm(m):
@@ -185,23 +191,45 @@ def rebucket_minute_bars(mb: DataFrame, minutes: int) -> DataFrame:
     """1-minute bars → N-minute bars (the hypertable-rollup shape: coarser
     bars fold from the finest materialized level without re-reading ticks).
     OHLC-of-OHLC by bar_time; vwap re-derived from the summed money/volume
-    so it stays volume-weighted, not bar-averaged."""
+    so it stays volume-weighted, not bar-averaged.
+
+    When the input carries the decomposable state
+    (``time_bars_from_ticks(..., with_state=True)`` — how the warehouse
+    materializes `minute_bars`), money and vwap fold through the EXACT
+    integer sums with the same half-up division as the tick path, so any
+    fold width returns bit-identical money/vwap to a direct
+    ``time_bars_from_ticks(ticks, minutes)``. Without state (external 1m
+    data) money folds as doubles and vwap re-rounds — documented
+    last-ulp-weaker."""
+    stateful = "money_e4" in mb.columns
     sm = _session_minute(F.col("bar_time"))
     bucket = F.floor(sm / minutes).cast("int")
-    return (
-        mb.groupBy(
-            "symbol",
-            "trade_date",
-            _session_minute_to_hhmm(bucket * minutes).cast("int").alias("bar_time"),
-        )
-        .agg(
-            F.min_by("open", "bar_time").alias("open"),
-            F.max("high").alias("high"),
-            F.min("low").alias("low"),
-            F.max_by("close", "bar_time").alias("close"),
-            F.sum("volume").alias("volume"),
-            F.sum("money").alias("money"),
-            F.round(F.sum("money") / F.sum("volume"), 6).alias("vwap"),
-            F.sum("n_ticks").alias("n_ticks"),
-        )
+    money_aggs = (
+        [
+            (F.sum("money_e4") / 10000.0).alias("money"),
+            F.sum("money_e4").alias("__c"),
+        ]
+        if stateful
+        else [F.sum("money").alias("money")]
+    )
+    out = mb.groupBy(
+        "symbol",
+        "trade_date",
+        _session_minute_to_hhmm(bucket * minutes).cast("int").alias("bar_time"),
+    ).agg(
+        F.min_by("open", "open_ord" if stateful else "bar_time").alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", "close_ord" if stateful else "bar_time").alias("close"),
+        F.sum("volume").alias("volume"),
+        *money_aggs,
+        F.sum("n_ticks").alias("n_ticks"),
+    )
+    if stateful:
+        return out.withColumn(
+            "vwap",
+            F.expr("((2 * __c * 100 + volume) div (2 * volume)) / 1e6"),
+        ).drop("__c")
+    return out.withColumn(
+        "vwap", F.round(F.col("money") / F.col("volume"), 6)
     )

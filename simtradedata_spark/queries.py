@@ -6015,63 +6015,41 @@ FROM documents WHERE length(text) > 0
 """
 
 
-def q_fuzzy_doc_match(spark, sf_dir):
-    """Entity-resolution fuzzy join (operators/fuzzy.py): clean registry =
-    first 24 chars of each document; dirty registry = the same strings
-    under a deterministic corruption (char deleted for ids ≡0 mod 5, char
-    inserted for ≡0 mod 7). The blocked join must return EVERY pair within
-    Levenshtein ≤ 2 — the oracle is the QUADRATIC ground truth, so a green
-    row certifies the q-gram blocking lossless, not just plausible."""
-    from simtradedata_spark.operators.fuzzy import fuzzy_join
-
-    docs = _t(spark, sf_dir, "documents")
-    # clean registry scoped to a tenth of the corpus: the synthetic text's
-    # 375-gram vocabulary is the worst case for gram blocking (see
-    # operators/fuzzy.py), so the certified shape is a 1:10 registry match
-    clean = docs.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("clean_id"),
-        F.substring("text", 1, 24).alias("name"),
-    )
-    base = F.substring("text", 1, 24)
-    dirty_name = (
-        F.when(
-            F.col("doc_id") % 5 == 0,
-            F.concat(F.substring("text", 1, 7), F.substring(base, 9, 16)),
+def fuzzy_fixture_registries(docs, kind: str):
+    """Shared construction of the two CERTIFIED fuzzy-join fixtures —
+    the single source of truth for q_fuzzy_doc_match ("tiny_vocab"),
+    q_fuzzy_match_realistic ("realistic_vocab") and
+    tools/fuzzy_selectivity.py, so the published selectivity numbers
+    always describe exactly the oracled corpora. Returns (clean, dirty)."""
+    if kind == "tiny_vocab":
+        clean = docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("clean_id"),
+            F.substring("text", 1, 24).alias("name"),
         )
-        .when(
-            F.col("doc_id") % 7 == 0,
-            F.concat(F.substring("text", 1, 3), F.lit("x"), F.substring(base, 4, 21)),
+        base = F.substring("text", 1, 24)
+        dirty_name = (
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.substring("text", 1, 7), F.substring(base, 9, 16)),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.substring("text", 1, 3), F.lit("x"), F.substring(base, 4, 21)
+                ),
+            )
+            .otherwise(base)
         )
-        .otherwise(base)
-    )
-    dirty = docs.select(
-        F.col("doc_id").alias("dirty_id"), dirty_name.alias("name")
-    )
-    return fuzzy_join(
-        clean, dirty, "clean_id", "name", "dirty_id", "name", max_dist=2, q=3
-    )
-
-
-def q_fuzzy_match_realistic(spark, sf_dir):
-    """Fuzzy join on a REALISTIC-vocabulary registry (round-3 verdict watch
-    item, operators/fuzzy.py:22): names are 22-char base64-of-md5
-    strings — a 64-char alphabet giving a 64^3 = 262k-gram space, matching
-    a real name/address registry's length and gram diversity (the 375-gram
-    synthetic corpus was gram blocking's worst case: vocabulary saturated,
-    postings hundreds long). Clean registry = one name per document; dirty registry = 2 rows per doc: a corrupted copy
-    (char deleted for ids ≡0 mod 5, char substituted for ≡0 mod 7, else
-    identical) plus an unrelated random name. The oracle is the QUADRATIC
-    ground truth, so green certifies losslessness on this vocabulary;
-    tools/fuzzy_selectivity.py records the candidate:pair ratio that
-    certifies SUB-QUADRATIC blocking (SCALE.md)."""
-    from simtradedata_spark.operators.fuzzy import fuzzy_join
-
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+        dirty = docs.select(
+            F.col("doc_id").alias("dirty_id"), dirty_name.alias("name")
+        )
+        return clean, dirty
+    ids = docs.select("doc_id")
     name = F.substring(
         F.base64(F.unhex(F.md5(F.concat_ws("|", F.lit("nm"), F.col("doc_id"))))),
         1, 22,
     )
-    clean = docs.select(F.col("doc_id").alias("clean_id"), name.alias("name"))
+    clean = ids.select(F.col("doc_id").alias("clean_id"), name.alias("name"))
     corrupted = (
         F.when(
             F.col("doc_id") % 5 == 0,
@@ -6087,7 +6065,7 @@ def q_fuzzy_match_realistic(spark, sf_dir):
         F.base64(F.unhex(F.md5(F.concat_ws("|", F.lit("oth"), F.col("doc_id"))))),
         1, 22,
     )
-    dirty = docs.select(
+    dirty = ids.select(
         F.col("doc_id"),
         F.explode(
             F.array(
@@ -6096,6 +6074,45 @@ def q_fuzzy_match_realistic(spark, sf_dir):
             )
         ).alias("r"),
     ).select("r.dirty_id", "r.name")
+    return clean, dirty
+
+
+def q_fuzzy_doc_match(spark, sf_dir):
+    """Entity-resolution fuzzy join (operators/fuzzy.py): clean registry =
+    first 24 chars of each document; dirty registry = the same strings
+    under a deterministic corruption (char deleted for ids ≡0 mod 5, char
+    inserted for ≡0 mod 7). The blocked join must return EVERY pair within
+    Levenshtein ≤ 2 — the oracle is the QUADRATIC ground truth, so a green
+    row certifies the q-gram blocking lossless, not just plausible.
+    Fixture built by fuzzy_fixture_registries (shared with the
+    selectivity tool)."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    clean, dirty = fuzzy_fixture_registries(docs, "tiny_vocab")
+    return fuzzy_join(
+        clean, dirty, "clean_id", "name", "dirty_id", "name", max_dist=2, q=3
+    )
+
+
+def q_fuzzy_match_realistic(spark, sf_dir):
+    """Fuzzy join on a REALISTIC-vocabulary registry (round-3 verdict watch
+    item, operators/fuzzy.py:22): names are 22-char base64-of-md5
+    strings — a 64-char alphabet giving a 64^3 = 262k-gram space, matching
+    a real name/address registry's length and gram diversity (the 375-gram
+    synthetic corpus was gram blocking's worst case: vocabulary saturated,
+    postings hundreds long). Clean registry = one name per document; dirty
+    registry = 2 rows per doc: a corrupted copy (char deleted for ids ≡0
+    mod 5, char substituted for ≡0 mod 7, else identical) plus an
+    unrelated random name. The oracle is the QUADRATIC ground truth, so
+    green certifies losslessness on this vocabulary;
+    tools/fuzzy_selectivity.py records the candidate:pair ratio that
+    certifies SUB-QUADRATIC blocking (SCALE.md). Fixture built by
+    fuzzy_fixture_registries (shared with the selectivity tool)."""
+    from simtradedata_spark.operators.fuzzy import fuzzy_join
+
+    docs = _t(spark, sf_dir, "documents")
+    clean, dirty = fuzzy_fixture_registries(docs, "realistic_vocab")
     return fuzzy_join(
         clean, dirty, "clean_id", "name", "dirty_id", "name", max_dist=2, q=3
     )

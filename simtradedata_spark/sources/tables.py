@@ -258,10 +258,13 @@ def build_warehouse(
     # Materialized finest-level intraday rollup: get_price(frequency='1m')
     # reads this directly; coarser minute frequencies fold from it
     # (rebucket_minute_bars) without re-reading ticks — the hypertable
-    # continuous-aggregate layout applied to the bar store.
+    # continuous-aggregate layout applied to the bar store. Written WITH
+    # the decomposable state (open_ord/close_ord/money_e4) so (a) folds
+    # stay integer-exact at any width and (b) refresh_time_bars can merge
+    # later tick batches without re-reading history.
     from simtradedata_spark.operators.resample import time_bars_from_ticks
 
-    wh.write("minute_bars", time_bars_from_ticks(ticks, minutes=1))
+    wh.write("minute_bars", time_bars_from_ticks(ticks, minutes=1, with_state=True))
     return wh
 
 

@@ -804,3 +804,56 @@ def test_refresh_time_bars_fold_equals_flat(spark):
     folded = state.drop("open_ord", "close_ord", "money_e4")
     assert folded.exceptAll(flat).count() == 0
     assert flat.exceptAll(folded).count() == 0
+
+
+def test_rebucket_stateful_exactly_equals_tick_path(spark):
+    """Folding the stateful 1-minute store to any width is bit-identical
+    to aggregating the ticks directly at that width — including the
+    integer-exact money and half-up vwap (the code-review finding: the
+    API's fold path must match the oracle-certified tick path)."""
+    from simtradedata_spark.operators.resample import (
+        rebucket_minute_bars,
+        time_bars_from_ticks,
+    )
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+
+    m = SyntheticMarket(spark, n_symbols=3, start="2022-03-01", end="2022-03-08")
+    ticks = m.ticks(n_per_day=240).localCheckpoint()
+    m1 = time_bars_from_ticks(ticks, minutes=1, with_state=True).localCheckpoint()
+    for w in (5, 30, 120):
+        folded = rebucket_minute_bars(m1, w)
+        direct = time_bars_from_ticks(ticks, minutes=w)
+        assert folded.exceptAll(direct).count() == 0, w
+        assert direct.exceptAll(folded).count() == 0, w
+
+
+def test_session_boundary_ticks_clamp_to_adjacent_bar(spark):
+    """Auction prints at the session edges (09:25 open, 11:30:00 morning
+    close, 15:00:00 closing call) land in the adjacent session bar, never
+    a phantom 1500 bar or the 13:00 bar (code-review finding)."""
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+
+    def ts(hh, mm):
+        return 20220301 * 10**9 + (hh * 10**7 + mm * 10**5)
+
+    import datetime as dt
+
+    rows = [
+        ("A", dt.date(2022, 3, 1), ts(9, 25), 10.0, 100, 1),    # open auction
+        ("A", dt.date(2022, 3, 1), ts(11, 30), 11.0, 100, 2),   # morning close
+        ("A", dt.date(2022, 3, 1), ts(13, 0), 12.0, 100, 3),
+        ("A", dt.date(2022, 3, 1), ts(15, 0), 13.0, 100, 4),    # closing call
+    ]
+    df = spark.createDataFrame(
+        rows, "symbol string, trade_date date, ts_ms long, price double, "
+              "qty long, seq int",
+    )
+    got = {r["bar_time"]: r for r in
+           time_bars_from_ticks(df, minutes=1).collect()}
+    assert set(got) == {930, 1129, 1300, 1459}
+    assert got[1129]["close"] == 11.0   # 11:30 print -> last morning bar
+    assert got[1459]["close"] == 13.0   # 15:00 print -> last afternoon bar
+    # 30-minute bars: boundary prints fold into the right half-hours
+    got30 = {r["bar_time"]: r["n_ticks"] for r in
+             time_bars_from_ticks(df, minutes=30).collect()}
+    assert got30 == {930: 1, 1100: 1, 1300: 1, 1430: 1}

@@ -677,3 +677,28 @@ def test_get_history_weekly_resample(api):
     week_start = wk.index[-1]
     sel = daily[(daily.index >= week_start)]
     assert wk["volume"].iloc[-1] == sel["volume"].sum()
+
+
+def test_get_history_minute_fill_pre_suspension(api, market):
+    """fill='pre' at minute frequency densifies suspension gaps: the
+    suspended symbol (sym_idx 3, days 100-109) gets full-session bars with
+    the carried close, zero volume (code-review finding: fill was silently
+    ignored at minute frequency)."""
+    sym = [r["symbol"] for r in market.symbols().filter("sym_idx = 3")
+           .select("symbol").collect()][0]
+    days = api.get_trade_days()
+    susp_day, after = days[103], days[110]
+    # densified: EVERY grid minute becomes a bar (240/day), so reaching
+    # back from day 109 to day 103 needs 7 full days of bars
+    filled = api.get_history(
+        240 * 8, frequency="1m", field=["close", "volume"],
+        security_list=sym, current_date=after, fill="pre")
+    day_rows = filled[filled.index.strftime("%Y-%m-%d") == susp_day]
+    assert len(day_rows) == 240  # full 1-minute session grid
+    assert (day_rows["volume"] == 0).all()
+    assert day_rows["close"].nunique() == 1  # carried close, constant
+    # without fill, the suspended day contributes no bars at all
+    bare = api.get_history(
+        40 * 3, frequency="1m", field="close",
+        security_list=sym, current_date=after)
+    assert (bare.index.strftime("%Y-%m-%d") == susp_day).sum() == 0

@@ -30,70 +30,13 @@ from simtradedata_spark.session import get_spark
 
 
 def _registries(spark, sf_dir: str, fixture: str):
+    """Delegates to queries.py::fuzzy_fixture_registries — the single
+    source of truth for both certified fixtures, so the recorded
+    selectivity always describes the oracled corpora."""
+    from simtradedata_spark.queries import fuzzy_fixture_registries
+
     docs = load_table(spark, sf_dir, "documents")
-    if fixture == "tiny_vocab":
-        # the certified fuzzy_doc_match shape: 60-word corpus prefixes
-        clean = docs.filter(F.col("doc_id") % 10 == 0).select(
-            F.col("doc_id").alias("clean_id"),
-            F.substring("text", 1, 24).alias("name"),
-        )
-        base = F.substring("text", 1, 24)
-        dirty_name = (
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(F.substring("text", 1, 7), F.substring(base, 9, 16)),
-            )
-            .when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(
-                    F.substring("text", 1, 3), F.lit("x"), F.substring(base, 4, 21)
-                ),
-            )
-            .otherwise(base)
-        )
-        dirty = docs.select(F.col("doc_id").alias("dirty_id"), dirty_name.alias("name"))
-    else:
-        # the certified fuzzy_match_realistic shape: 22-char base64 names,
-        # 64^3 = 262k-gram space
-        ids = docs.select("doc_id")
-        name = F.substring(
-            F.base64(
-                F.unhex(F.md5(F.concat_ws("|", F.lit("nm"), F.col("doc_id"))))
-            ),
-            1, 22,
-        )
-        clean = ids.select(F.col("doc_id").alias("clean_id"), name.alias("name"))
-        corrupted = (
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(F.substring(name, 1, 7), F.substring(name, 9, 14)),
-            )
-            .when(
-                F.col("doc_id") % 7 == 0,
-                F.concat(F.substring(name, 1, 3), F.lit("~"), F.substring(name, 5, 18)),
-            )
-            .otherwise(name)
-        )
-        other = F.substring(
-            F.base64(
-                F.unhex(F.md5(F.concat_ws("|", F.lit("oth"), F.col("doc_id"))))
-            ),
-            1, 22,
-        )
-        dirty = ids.select(
-            F.col("doc_id"),
-            F.explode(
-                F.array(
-                    F.struct(
-                        (F.col("doc_id") * 2).alias("dirty_id"), corrupted.alias("name")
-                    ),
-                    F.struct(
-                        (F.col("doc_id") * 2 + 1).alias("dirty_id"), other.alias("name")
-                    ),
-                )
-            ).alias("r"),
-        ).select("r.dirty_id", "r.name")
-    return clean, dirty
+    return fuzzy_fixture_registries(docs, fixture)
 
 
 def main() -> int:
