@@ -15,6 +15,9 @@ exist). Subcommands:
   python -m simtradedata_spark maintain --root PATH [--tables T ...]
       [--target-file-mb N] [--vacuum DIR ...] [--keep N]
       # nightly maintenance: compact warehouse tables, vacuum snapshot stores
+  python -m simtradedata_spark ingest-ticks --root PATH --ticks DIR
+      # fold a new tick batch into the stateful minute_bars table
+      # (partition-selective dynamic overwrite) and append to ticks
 
 ``bench`` and ``check`` shell out to the repo-root harnesses so the CLI and
 the driver measure the exact same code path.
@@ -95,6 +98,35 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
+    """Daily ingest: refresh_time_bars folds ONLY the trade_year
+    partitions the batch touches (the minute_bars state carries
+    open_ord/close_ord/money_e4, so the fold is exact), then dynamic
+    partition overwrite rewrites just those years; the raw ticks append."""
+    from pyspark.sql import functions as F
+
+    from simtradedata_spark.operators.resample import refresh_time_bars
+    from simtradedata_spark.session import get_spark
+    from simtradedata_spark.sources.tables import Warehouse
+
+    spark = get_spark("ingest_ticks")
+    wh = Warehouse(spark, args.root)
+    new = spark.read.parquet(args.ticks)
+    years = [
+        r[0] for r in new.select(F.year("trade_date").alias("y")).distinct().collect()
+    ]
+    state = wh.read("minute_bars").filter(F.year("trade_date").isin(years))
+    # materialize before overwriting the table being read
+    merged = refresh_time_bars(state, new, minutes=1).localCheckpoint(eager=True)
+    wh.write_partitions_dynamic("minute_bars", merged)
+    wh.write("ticks", new, mode="append")
+    print(
+        f"ingested {new.count()} ticks into years={sorted(years)}: "
+        f"{merged.count()} minute bars rewritten"
+    )
+    return 0
+
+
 def _cmd_export_corpus(args: argparse.Namespace) -> int:
     from simtradedata_spark.catalog import load_table
     from simtradedata_spark.operators.pipeline import export_training_corpus
@@ -141,6 +173,13 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--sample-pct", type=int, default=50)
     e.add_argument("--shards", type=int, default=4)
     e.set_defaults(fn=_cmd_export_corpus)
+
+    it = sub.add_parser(
+        "ingest-ticks", help="fold a tick batch into the minute-bar store"
+    )
+    it.add_argument("--root", required=True)
+    it.add_argument("--ticks", required=True, help="parquet dir of new ticks")
+    it.set_defaults(fn=_cmd_ingest_ticks)
 
     m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")
     m.add_argument("--root", required=True)

@@ -60,6 +60,22 @@ class Warehouse:
         else:
             df.write.mode(mode).parquet(self.path(table))
 
+    def write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
+        """Overwrite ONLY the trade_year partitions present in ``df``,
+        leaving every other partition's files untouched (Spark dynamic
+        partition overwrite). This is the incremental-ingest write: a
+        daily tick batch touches one year, so the fold rewrites one
+        partition, not the table."""
+        (
+            df.withColumn("trade_year", F.year("trade_date"))
+            .repartition("trade_year")
+            .sortWithinPartitions("symbol", "trade_date")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("trade_year")
+            .parquet(self.path(table))
+        )
+
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions the footers of every file so a
         column added by a later ingest batch is visible table-wide (older

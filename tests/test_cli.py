@@ -89,3 +89,47 @@ def test_cli_export_corpus(spark, tmp_path):
     assert bad.count() == 0
     assert back.count() == card["totals"]["n_sampled"]
     assert back.filter("source = 'src0'").count() == 0
+
+
+def test_cli_ingest_ticks_incremental_fold(spark, tmp_path):
+    """ingest-ticks folds a new day's tick batch into minute_bars via
+    dynamic partition overwrite: the result equals the flat recompute
+    over all ticks, and only the touched trade_year partition is
+    rewritten."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
+    from simtradedata_spark.sources.synthetic import SyntheticMarket
+    from simtradedata_spark.sources.tables import Warehouse
+
+    root = str(tmp_path / "wh")
+    # warehouse covering 2022 only; the new batch lands in 2023
+    rc = main(["build", "--root", root, "--symbols", "3",
+               "--start", "2022-11-01", "--end", "2022-12-30"])
+    assert rc == 0
+    wh = Warehouse(spark, root)
+    files_2022 = sorted(
+        os.listdir(os.path.join(root, "minute_bars", "trade_year=2022"))
+    )
+
+    m2 = SyntheticMarket(spark, n_symbols=3, start="2023-01-02", end="2023-01-13")
+    batch_dir = str(tmp_path / "batch")
+    m2.ticks(n_per_day=40).write.mode("overwrite").parquet(batch_dir)
+
+    rc = main(["ingest-ticks", "--root", root, "--ticks", batch_dir])
+    assert rc == 0
+
+    got = wh.read("minute_bars").drop(
+        "open_ord", "close_ord", "money_e4", "trade_year"
+    )
+    all_ticks = spark.read.parquet(os.path.join(root, "ticks")).drop("trade_year")
+    flat = time_bars_from_ticks(all_ticks, minutes=1)
+    assert got.exceptAll(flat).count() == 0
+    assert flat.exceptAll(got).count() == 0
+    # the untouched 2022 partition kept its exact file set
+    assert sorted(
+        os.listdir(os.path.join(root, "minute_bars", "trade_year=2022"))
+    ) == files_2022
+    assert os.path.isdir(os.path.join(root, "minute_bars", "trade_year=2023"))
