@@ -2288,6 +2288,27 @@ FROM bucketed GROUP BY symbol, trade_date, bm
 """
 
 
+def q_minute_bars_fold(spark, sf_dir):
+    """The FOLD path of the minute surface under the hard gate: 1-minute
+    stateful bars folded to 30 minutes (rebucket_minute_bars — exactly
+    what get_price(frequency='30m') executes against the materialized
+    store) must match the direct tick aggregation's DuckDB oracle
+    bit-for-bit, integer money/vwap included. Complements
+    minute_bars_vwap, which certifies the direct tick path."""
+    from simtradedata_spark.operators.resample import (
+        rebucket_minute_bars,
+        time_bars_from_ticks,
+    )
+
+    m = _small_market(spark)
+    m1 = time_bars_from_ticks(m.ticks(n_per_day=240), minutes=1, with_state=True)
+    return rebucket_minute_bars(m1, minutes=30)
+
+
+# identical ground truth: the fold must reproduce the direct aggregation
+SQL_MINUTE_BARS_FOLD = SQL_MINUTE_BARS_VWAP
+
+
 def q_status_transitions(spark, sf_dir):
     """F5/F6 as event detection: days where a symbol's ST flag or trade
     status CHANGES (suspension starts/ends, ST flips) — the transitions the
@@ -6490,6 +6511,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
     "minute_bars_vwap": (q_minute_bars_vwap, SQL_MINUTE_BARS_VWAP),
+    "minute_bars_fold": (q_minute_bars_fold, SQL_MINUTE_BARS_FOLD),
     "max_drawdown": (q_max_drawdown, SQL_MAX_DRAWDOWN),
     "realized_vol": (q_realized_vol, SQL_REALIZED_VOL),
     "status_transitions": (q_status_transitions, SQL_STATUS_TRANSITIONS),
@@ -6629,6 +6651,7 @@ _FRONT_WINDOW = [
     "daily_factor_top3",
     # round-4 additions (certified for the first time this round)
     "minute_bars_vwap",
+    "minute_bars_fold",
     "fuzzy_match_realistic",
     "stratified_docs_sample",
 ]

@@ -44,7 +44,7 @@ ALLOW_BNLJ = {
     "synthetic_bars", "exrights_events", "valuation_table",
     "fundamentals_asof", "income_statement_asof", "balance_statement_asof",
     "cashflow_statement_asof", "eps_asof", "index_membership", "index_churn",
-    "tick_vwap", "minute_bars_vwap",
+    "tick_vwap", "minute_bars_vwap", "minute_bars_fold",
     "rolling_beta", "factor_ic", "adjusted_bars_post",
     # calendar densification: dates × group dims, both bounded (J6)
     "region_daily_ffill",
