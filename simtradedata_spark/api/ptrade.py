@@ -335,6 +335,11 @@ class PTradeDataAPI:
         bad = set(fields) - set(MINUTE_FIELDS)
         if bad:
             raise ValueError(f"fields {sorted(bad)} unavailable at minute frequency")
+        if self._point_cache and fill != "pre":
+            return self._point_history(
+                securities, fields, count, fq, cur, include, is_dict,
+                frame_fn=lambda s: self._point_minute_frame(s, fq, minutes),
+            )
         mb = self._minute_bars(securities, fq, None, cur, minutes)
         if fill == "pre":
             mb = self._densify_minute(mb, securities, minutes)
@@ -457,6 +462,19 @@ class PTradeDataAPI:
             return self._get_history_minute(
                 securities, fields, count, fq, cur, include, is_dict,
                 freq[1], fill,
+            )
+        # event-loop fast path: daily history from the per-symbol point
+        # cache (fill='pre' needs the Spark forward_fill; resampled
+        # frequencies fold from daily so they stay on the Spark path)
+        if (
+            self._point_cache
+            and freq is None
+            and fill != "pre"
+            and set(fields) <= set(BAR_FIELDS)
+        ):
+            return self._point_history(
+                securities, fields, count, fq, cur, include, is_dict,
+                frame_fn=lambda s: self._point_frame(s, fq),
             )
         bars = self._bars(securities, fq, end=cur)
         if cur:
@@ -591,6 +609,31 @@ class PTradeDataAPI:
             pdf["__d"] = pdf["trade_date"].astype(str).str[:10]
             self._sym_minute[key] = pdf
         return pdf
+
+    def _point_history(
+        self, securities, fields, count, fq, cur, include, is_dict, frame_fn
+    ):
+        """get_history served from a per-symbol point cache (daily or
+        minute ``frame_fn``): pandas slice reproducing the Spark path's
+        strictly-before-current_date (or inclusive) count semantics."""
+        parts = []
+        for sym in securities:
+            pdf = frame_fn(sym)
+            if cur:
+                keep = pdf["__d"] <= cur if include else pdf["__d"] < cur
+                pdf = pdf[keep]
+            parts.append(pdf.tail(count))
+        out = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values(["trade_date", "symbol"], kind="mergesort")
+            .reset_index(drop=True)[["symbol", "trade_date", *fields]]
+        )
+        if is_dict:
+            return {
+                s: out[out.symbol == s].set_index("trade_date")[fields]
+                for s in securities
+            }
+        return self._shape(out, securities, fields)
 
     @staticmethod
     def _minute_pdf(mb: DataFrame, fields, count) -> pd.DataFrame:

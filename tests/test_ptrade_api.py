@@ -702,3 +702,38 @@ def test_get_history_minute_fill_pre_suspension(api, market):
         40 * 3, frequency="1m", field="close",
         security_list=sym, current_date=after)
     assert (bare.index.strftime("%Y-%m-%d") == susp_day).sum() == 0
+
+
+def test_point_cache_get_history_parity(warehouse):
+    """get_history from a point_cache client is byte-identical to the
+    Spark path at daily AND minute frequency (range of count/include/
+    is_dict/fq shapes)."""
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+
+    slow = PTradeDataAPI(warehouse)
+    fast = PTradeDataAPI(warehouse, point_cache=True)
+    cases = [
+        dict(count=10, field="close", security_list="600000.SS",
+             current_date="2022-06-15"),
+        dict(count=7, field=["close", "volume"],
+             security_list=["600000.SS", "000001.SZ"],
+             current_date="2022-06-15", include=True, fq="post"),
+        dict(count=25, frequency="1m", field="close",
+             security_list="600000.SS", current_date="2022-06-15"),
+        dict(count=9, frequency="30m", field=["close", "vwap"],
+             security_list="000001.SZ", current_date="2022-06-15",
+             include=True),
+    ]
+    for kw in cases:
+        a, b = slow.get_history(**kw), fast.get_history(**kw)
+        if isinstance(a, dict):
+            assert a.keys() == b.keys()
+            for k in a:
+                pd.testing.assert_frame_equal(a[k], b[k])
+        else:
+            pd.testing.assert_frame_equal(a, b)
+    d1 = slow.get_history(5, field="close", security_list=["600000.SS"],
+                          current_date="2022-06-15", is_dict=True)
+    d2 = fast.get_history(5, field="close", security_list=["600000.SS"],
+                          current_date="2022-06-15", is_dict=True)
+    pd.testing.assert_frame_equal(d1["600000.SS"], d2["600000.SS"])
