@@ -50,3 +50,51 @@ def test_backtest_consumer_loop_matches_batch_signals(api, warehouse):
         prev = bar_dates[bisect.bisect_left(bar_dates, d) - 1]
         row = pdf.loc[prev]
         assert (row.ma_s > row.ma_l) == sig, f"signal mismatch on {d} (state {prev})"
+
+
+def test_minute_backtest_loop_matches_batch_signals(warehouse):
+    """The same loop ≡ batch law at MINUTE frequency: a dual-MA strategy
+    stepping bar by bar through get_history(frequency='30m') on the
+    point-cache client must reproduce the signals of one vectorized
+    window query over the folded 30-minute bars."""
+    from simtradedata_spark.api.ptrade import PTradeDataAPI
+
+    api = PTradeDataAPI(warehouse, point_cache=True)
+    sym = "600000.SS"
+    days = api.get_trade_days("2022-03-01", "2022-03-31")
+
+    loop_signals = {}
+    for d in days[2:8]:
+        h = api.get_history(
+            LONG_N, frequency="30m", field="close",
+            security_list=[sym], current_date=d,
+        )
+        closes = h["close"]
+        assert len(closes) == LONG_N
+        assert h.index.max().strftime("%Y-%m-%d") < d  # no lookahead
+        ma_s, ma_l = closes.iloc[-SHORT_N:].mean(), closes.mean()
+        if abs(ma_s - ma_l) < 1e-9:
+            continue
+        loop_signals[d] = ma_s > ma_l
+
+    # batch path: fold the materialized 1m store to 30m, one window query
+    from simtradedata_spark.operators.resample import rebucket_minute_bars
+    from simtradedata_spark.operators.windows import moving_avg
+
+    mb = rebucket_minute_bars(
+        warehouse.read("minute_bars").filter(F.col("symbol") == sym), 30
+    )
+    ma = moving_avg(mb, "close", SHORT_N, ["symbol"], ["trade_date", "bar_time"], "ma_s")
+    ma = moving_avg(ma, "close", LONG_N, ["symbol"], ["trade_date", "bar_time"], "ma_l")
+    pdf = (
+        ma.select("trade_date", "bar_time", "ma_s", "ma_l")
+        .orderBy("trade_date", "bar_time")
+        .toPandas()
+    )
+    pdf["d"] = pdf["trade_date"].astype(str)
+
+    assert loop_signals, "every sampled day was a tie"
+    for d, sig in loop_signals.items():
+        # strategy on day d sees bars strictly before d: the last bar row
+        prev = pdf[pdf["d"] < d].iloc[-1]
+        assert (prev.ma_s > prev.ma_l) == sig, f"minute signal mismatch on {d}"
