@@ -99,30 +99,82 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
 
 
 def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
-    """Daily ingest: refresh_time_bars folds ONLY the trade_year
-    partitions the batch touches (the minute_bars state carries
-    open_ord/close_ord/money_e4, so the fold is exact), then dynamic
-    partition overwrite rewrites just those years; the raw ticks append."""
+    """Exactly-once daily ingest with the TICKS TABLE as source of truth:
+
+      1. replay guard: the batch id (--batch-id, else a fingerprint of the
+         batch dir's file listing) is checked against
+         ``<root>/minute_bars/_ingest_log`` — a committed batch is a no-op
+         (a fold replayed over already-updated state would double-count;
+         the streaming path guards the same hazard via its version
+         pointer, streaming/incremental.py::minute_bar_rollup_batch).
+      2. append only the batch rows NOT already present (left_anti on the
+         (symbol, trade_date, seq) tick key over a partition-pruned
+         read_range) — heals a crash that committed the append but never
+         reached the log.
+      3. REBUILD the touched trade_year partitions' minute bars from the
+         ticks table (not a fold over bar state): every retry recomputes
+         from raw ticks and converges, and a warehouse without a
+         minute_bars table bootstraps for free. Partition-selective
+         dynamic overwrite rewrites only those years.
+      4. commit the batch id.
+
+    refresh_time_bars (the state fold that never re-reads history) stays
+    the STREAMING path's operator, where the checkpointed version pointer
+    provides the replay guard this CLI gets from the log + rebuild."""
+    import hashlib
+
     from pyspark.sql import functions as F
 
-    from simtradedata_spark.operators.resample import refresh_time_bars
+    from simtradedata_spark.operators.resample import time_bars_from_ticks
     from simtradedata_spark.session import get_spark
     from simtradedata_spark.sources.tables import Warehouse
 
     spark = get_spark("ingest_ticks")
     wh = Warehouse(spark, args.root)
+    if args.batch_id:
+        bid = args.batch_id
+    else:
+        files = sorted(
+            (f, os.path.getsize(os.path.join(args.ticks, f)))
+            for f in os.listdir(args.ticks)
+            if not f.startswith(("_", "."))
+        )
+        bid = hashlib.md5(repr(files).encode()).hexdigest()[:16]
+    log = os.path.join(args.root, "minute_bars", "_ingest_log")
+    committed = set(open(log).read().split()) if os.path.exists(log) else set()
+    if bid in committed:
+        print(f"batch {bid} already ingested — no-op")
+        return 0
+
     new = spark.read.parquet(args.ticks)
-    years = [
-        r[0] for r in new.select(F.year("trade_date").alias("y")).distinct().collect()
-    ]
-    state = wh.read("minute_bars").filter(F.year("trade_date").isin(years))
-    # materialize before overwriting the table being read
-    merged = refresh_time_bars(state, new, minutes=1).localCheckpoint(eager=True)
+    b = new.agg(
+        F.min("trade_date").alias("lo"), F.max("trade_date").alias("hi")
+    ).first()
+    lo, hi = str(b["lo"]), str(b["hi"])
+    if wh.exists("ticks"):
+        present = wh.read_range("ticks", lo, hi).select(
+            "symbol", "trade_date", "seq"
+        )
+        to_append = new.join(present, ["symbol", "trade_date", "seq"], "left_anti")
+    else:
+        to_append = new
+    n_new = to_append.count()
+    if n_new:
+        wh.write("ticks", to_append, mode="append")
+
+    # rebuild the touched YEARS from the ticks table (partition-pruned)
+    affected = wh.read_range("ticks", f"{lo[:4]}-01-01", f"{hi[:4]}-12-31")
+    merged = time_bars_from_ticks(
+        affected, minutes=1, with_state=True
+    ).localCheckpoint(eager=True)
     wh.write_partitions_dynamic("minute_bars", merged)
-    wh.write("ticks", new, mode="append")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    with open(log, "a") as fh:
+        fh.write(bid + "\n")
     print(
-        f"ingested {new.count()} ticks into years={sorted(years)}: "
-        f"{merged.count()} minute bars rewritten"
+        f"batch {bid}: appended {n_new} new ticks "
+        f"({lo}..{hi}); rebuilt {merged.count()} minute bars in "
+        f"years {sorted({int(lo[:4]), int(hi[:4])})}"
     )
     return 0
 
@@ -179,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     it.add_argument("--root", required=True)
     it.add_argument("--ticks", required=True, help="parquet dir of new ticks")
+    it.add_argument("--batch-id", default=None,
+                    help="stable ingest id (default: fingerprint of the dir)")
     it.set_defaults(fn=_cmd_ingest_ticks)
 
     m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")

@@ -616,17 +616,9 @@ class PTradeDataAPI:
         """get_history served from a per-symbol point cache (daily or
         minute ``frame_fn``): pandas slice reproducing the Spark path's
         strictly-before-current_date (or inclusive) count semantics."""
-        parts = []
-        for sym in securities:
-            pdf = frame_fn(sym)
-            if cur:
-                keep = pdf["__d"] <= cur if include else pdf["__d"] < cur
-                pdf = pdf[keep]
-            parts.append(pdf.tail(count))
-        out = (
-            pd.concat(parts, ignore_index=True)
-            .sort_values(["trade_date", "symbol"], kind="mergesort")
-            .reset_index(drop=True)[["symbol", "trade_date", *fields]]
+        frames = [frame_fn(sym) for sym in securities]
+        out = self._point_slice(
+            frames, fields, None, cur, count, end_inclusive=include
         )
         if is_dict:
             return {

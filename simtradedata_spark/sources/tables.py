@@ -45,36 +45,39 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def write(self, table: str, df: DataFrame, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        dynamic: bool = False,
+    ) -> None:
         """K1-K5 sink: partitioned fact tables get a derived trade_year
-        partition column + in-file sort; dims are written as-is."""
+        partition column + in-file sort; dims are written as-is.
+        ``dynamic=True`` switches the partitioned branch to dynamic
+        partition overwrite (only the partitions present in ``df`` are
+        replaced) — one copy of the layout logic for both writers."""
         if table in PARTITIONED and "trade_date" in df.columns:
-            (
+            w = (
                 df.withColumn("trade_year", F.year("trade_date"))
                 .repartition("trade_year")
                 .sortWithinPartitions("symbol", "trade_date")
-                .write.mode(mode)
-                .partitionBy("trade_year")
-                .parquet(self.path(table))
+                .write.mode("overwrite" if dynamic else mode)
             )
+            if dynamic:
+                w = w.option("partitionOverwriteMode", "dynamic")
+            w.partitionBy("trade_year").parquet(self.path(table))
         else:
             df.write.mode(mode).parquet(self.path(table))
 
     def write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
         """Overwrite ONLY the trade_year partitions present in ``df``,
-        leaving every other partition's files untouched (Spark dynamic
-        partition overwrite). This is the incremental-ingest write: a
-        daily tick batch touches one year, so the fold rewrites one
-        partition, not the table."""
-        (
-            df.withColumn("trade_year", F.year("trade_date"))
-            .repartition("trade_year")
-            .sortWithinPartitions("symbol", "trade_date")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("trade_year")
-            .parquet(self.path(table))
-        )
+        leaving every other partition's files untouched. The incremental-
+        ingest write: a daily tick batch touches one year, so the rebuild
+        rewrites one partition, not the table. Always uses the base
+        path-layout writer (bucketed/z-order subclasses route their own
+        full writes through saveAsTable, which has no dynamic mode)."""
+        Warehouse.write(self, table, df, dynamic=True)
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions the footers of every file so a

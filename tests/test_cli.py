@@ -120,6 +120,17 @@ def test_cli_ingest_ticks_incremental_fold(spark, tmp_path):
 
     rc = main(["ingest-ticks", "--root", root, "--ticks", batch_dir])
     assert rc == 0
+    # replay guard: re-running the same batch is a no-op (no double-fold)
+    n_ticks_after = spark.read.parquet(os.path.join(root, "ticks")).count()
+    rc = main(["ingest-ticks", "--root", root, "--ticks", batch_dir])
+    assert rc == 0
+    assert spark.read.parquet(os.path.join(root, "ticks")).count() == n_ticks_after
+    # crash-heal: same data under a NEW batch id appends nothing (anti-join)
+    # and the rebuild converges to the same bars
+    rc = main(["ingest-ticks", "--root", root, "--ticks", batch_dir,
+               "--batch-id", "retry-after-crash"])
+    assert rc == 0
+    assert spark.read.parquet(os.path.join(root, "ticks")).count() == n_ticks_after
 
     got = wh.read("minute_bars").drop(
         "open_ord", "close_ord", "money_e4", "trade_year"
