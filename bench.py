@@ -89,6 +89,18 @@ def main() -> None:
         ),
     )
     _prod("simhash_signatures@xxh64", lambda: simhash(docs, "doc_id", "text"))
+    from simtradedata_spark.operators.dedup import minhash_index, minhash_probe_index
+
+    def _incr_prod():
+        corpus = docs.filter("doc_id % 10 != 0")
+        batch = docs.filter("doc_id % 10 = 0")
+        idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+        return minhash_probe_index(
+            batch, idx, "doc_id", "text", num_hashes=64, bands=16,
+            jaccard_threshold=0.5,
+        )
+
+    _prod("incremental_dedup@xxh64", _incr_prod)
     from simtradedata_spark.operators.decontam import char_ngram_overlap
 
     _prod(
