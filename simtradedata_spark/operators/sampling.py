@@ -146,3 +146,42 @@ def stratified_sample_k(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    k: int = 3,
+    salt: str = "neg",
+) -> DataFrame:
+    """k deterministic pseudo-uniform NEGATIVE partners per row — the
+    contrastive-training pair primitive (random in-batch negatives, made
+    reproducible): over a dense 0..N-1 id domain,
+
+        neg_j = (id + 1 + h(salt, id, j) mod (N-1)) mod N
+
+    is uniform over every id EXCEPT the anchor itself, a pure function of
+    the key (partition/retry/engine-invariant, same md5 convention as
+    hash_sample), sampled with replacement across the k draws. N comes
+    from max(id)+1 — one scalar broadcast, no shuffle on the fact side.
+    Returns the input rows exploded to (``id_col``, draw, neg_id)."""
+    n = df.agg((F.max(F.col(id_col)) + 1).alias("__n"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col), F.col("draw"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        df.select(F.col(id_col))
+        .withColumn("draw", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+        .join(F.broadcast(n))
+        .withColumn(
+            "neg_id",
+            F.pmod(
+                F.col(id_col) + 1 + F.pmod(h, F.col("__n") - 1), F.col("__n")
+            ),
+        )
+        .drop("__n")
+    )

@@ -381,3 +381,42 @@ def ivf_probe_persisted(
         )
     )
     return _rank_top_k(scored, k)
+
+
+def hard_negative_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_sim: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training HARD negatives: for each query, the k most
+    similar corpus vectors whose cosine is still BELOW ``max_sim`` — close
+    enough to be informative, far enough to be true negatives (the rank
+    runs over the filtered set, so a query surrounded by near-dups still
+    yields k genuine negatives, unlike top-k-then-filter). Same
+    brute-force shape as cosine_top_k; swap the corpus for an ANN
+    candidate set at scale."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.filter(F.col("__sim") < max_sim)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1086,6 +1086,72 @@ SELECT query_id, neighbor_id, rank FROM (
 # Quantiles, unpivot, lag growth
 # ---------------------------------------------------------------------------
 
+def q_negative_pairs(spark, sf_dir):
+    """Contrastive-training negative sampling (operators/sampling.py::
+    negative_samples): 3 deterministic pseudo-uniform negative partners
+    per document — never the anchor itself — joined back for the
+    partner's source. A pure function of (doc_id, draw), so the DuckDB
+    oracle derives the IDENTICAL pair set; reproducible negatives are
+    what make a contrastive run re-trainable."""
+    from simtradedata_spark.operators.sampling import negative_samples
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = negative_samples(docs, "doc_id", k=3)
+    neg = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return pairs.join(neg, "neg_id").select("doc_id", "draw", "neg_id", "neg_source")
+
+
+SQL_NEGATIVE_PAIRS = """
+WITH n AS (SELECT max(doc_id) + 1 AS nn FROM documents),
+pairs AS (
+  SELECT d.doc_id, js.draw,
+         (d.doc_id + 1 +
+          (('0x' || substr(md5(concat_ws('|', 'neg',
+                CAST(d.doc_id AS VARCHAR), CAST(js.draw AS VARCHAR))), 1, 15)
+           )::BIGINT % (n.nn - 1))) % n.nn AS neg_id
+  FROM documents d
+  CROSS JOIN n
+  CROSS JOIN (SELECT unnest(range(3)) AS draw) js
+)
+SELECT p.doc_id, CAST(p.draw AS INT) AS draw, p.neg_id, x.source AS neg_source
+FROM pairs p JOIN documents x ON x.doc_id = p.neg_id
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """ANN hard-negative mining (operators/similarity.py::
+    hard_negative_top_k): for each query vector, the 3 MOST similar
+    corpus vectors still below the near-dup threshold (cos < 0.45) —
+    informative negatives for contrastive training; ranking runs over the
+    FILTERED set, so queries surrounded by near-dups still yield true
+    negatives."""
+    from simtradedata_spark.operators.similarity import hard_negative_top_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_top_k(emb, queries, k=3, max_sim=0.45)
+
+
+SQL_HARD_NEGATIVES = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])) DESC,
+                    c.vec_id) AS rank
+  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+  JOIN embeddings c
+    ON c.vec_id <> q.vec_id
+   AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                              CAST(c.embedding AS DOUBLE[])) < 0.45
+) WHERE rank <= 3
+"""
+
+
+
 def q_price_quantiles(spark, sf_dir):
     """Exact group quantiles via the distributed sort path
     (operators/sketches.py::exact_quantiles_sorted): percentile() buffers
@@ -6473,6 +6539,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_docs_sample": (q_stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
     "domain_capped_sample": (q_domain_capped_sample, SQL_DOMAIN_CAPPED_SAMPLE),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    "negative_pairs": (q_negative_pairs, SQL_NEGATIVE_PAIRS),
+    "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
     "purchases_within_7d": (q_purchases_within_7d, SQL_PURCHASES_WITHIN_7D),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
@@ -6654,6 +6722,8 @@ _FRONT_WINDOW = [
     "minute_bars_fold",
     "fuzzy_match_realistic",
     "stratified_docs_sample",
+    "negative_pairs",
+    "hard_negatives",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -397,3 +397,42 @@ def test_stratified_sample_k_exact_and_invariant(spark):
     # salt derives an independent selection
     s3 = stratified_sample_k(df, ["grp"], ["id"], k=50, salt="v2")
     assert sorted(r["id"] for r in s3.collect()) != ids1
+
+
+def test_negative_samples_never_anchor_and_uniformish(spark):
+    from simtradedata_spark.operators.sampling import negative_samples
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    pairs = negative_samples(df, "doc_id", k=5).collect()
+    assert len(pairs) == 1000
+    assert all(r["neg_id"] != r["doc_id"] for r in pairs)
+    assert all(0 <= r["neg_id"] < 200 for r in pairs)
+    # coverage: with 1000 uniform draws over 200 ids, most ids appear
+    hit = {r["neg_id"] for r in pairs}
+    assert len(hit) > 150
+    # determinism under repartition
+    again = negative_samples(df.repartition(7), "doc_id", k=5).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, again))
+
+
+def test_hard_negatives_excludes_near_dups(spark):
+    import numpy as np
+
+    from simtradedata_spark.operators.similarity import (
+        cosine_top_k,
+        hard_negative_top_k,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(30, 8).astype("float32")
+    base[1] = base[0] + rng.randn(8).astype("float32") * 0.01  # near-dup of 0
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter("vec_id = 0")
+    top = cosine_top_k(df, q, k=3).collect()
+    assert top[0]["neighbor_id"] == 1  # plain top-k returns the near-dup
+    hard = hard_negative_top_k(df, q, k=3, max_sim=0.9).collect()
+    ids = [r["neighbor_id"] for r in hard]
+    assert 1 not in ids and len(ids) == 3  # filtered rank still yields k

@@ -39,6 +39,7 @@ ALLOW_BNLJ = {
     "bigram_perplexity",     # same corpus-total scalar (1 row)
     "corpus_datacard",       # grand-total row for shares (1 row)
     "table_profile",         # per-column totals vs table count (1 row)
+    "negative_pairs",        # max-id scalar for the modular draw (1 row)
     # market-generator seed cross-joins: symbols × trading-days (both
     # bounded dimensions — they ARE the row source, never fact × fact)
     "synthetic_bars", "exrights_events", "valuation_table",
@@ -52,6 +53,8 @@ ALLOW_BNLJ = {
     "cosine_top5",
     # bounded query-batch broadcast (5 vectors), same class as cosine_top5
     "text_ann_top3",
+    # bounded query-batch broadcast (10 vectors), hard-negative mining
+    "hard_negatives",
 }
 
 # Bounded frames that legitimately pass through one partition.
