@@ -177,6 +177,9 @@ def negative_samples(
         df.select(F.col(id_col))
         .withColumn("draw", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
         .join(F.broadcast(n))
+        # N <= 1: no valid negative exists — empty result, and the filter
+        # must precede the pmod or ANSI mode raises DIVIDE_BY_ZERO on N=1
+        .filter(F.col("__n") > 1)
         .withColumn(
             "neg_id",
             F.pmod(

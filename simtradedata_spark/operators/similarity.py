@@ -411,12 +411,4 @@ def hard_negative_top_k(
         "neighbor_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.filter(F.col("__sim") < max_sim)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _rank_top_k(scored.filter(F.col("__sim") < max_sim), k)

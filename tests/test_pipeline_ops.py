@@ -406,6 +406,9 @@ def test_negative_samples_never_anchor_and_uniformish(spark):
     pairs = negative_samples(df, "doc_id", k=5).collect()
     assert len(pairs) == 1000
     assert all(r["neg_id"] != r["doc_id"] for r in pairs)
+    # degenerate domain: a single id has no valid negative -> empty, no error
+    one = spark.range(1).withColumnRenamed("id", "doc_id")
+    assert negative_samples(one, "doc_id", k=3).count() == 0
     assert all(0 <= r["neg_id"] < 200 for r in pairs)
     # coverage: with 1000 uniform draws over 200 ids, most ids appear
     hit = {r["neg_id"] for r in pairs}
@@ -431,7 +434,7 @@ def test_hard_negatives_excludes_near_dups(spark):
         "vec_id long, embedding array<float>",
     )
     q = df.filter("vec_id = 0")
-    top = cosine_top_k(df, q, k=3).collect()
+    top = sorted(cosine_top_k(df, q, k=3).collect(), key=lambda r: r["rank"])
     assert top[0]["neighbor_id"] == 1  # plain top-k returns the near-dup
     hard = hard_negative_top_k(df, q, k=3, max_sim=0.9).collect()
     ids = [r["neighbor_id"] for r in hard]
