@@ -42,14 +42,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    # Warm up JVM/codegen/Arrow paths so the first timed query doesn't eat
-    # session start-up: the cheapest scan query plus the first registry
-    # entry (whatever family the rotation put there).
-    first = next(iter(QUERIES))
-    for warm in {"active_nations", first}:
+    # Warm up JVM/codegen/Arrow paths so the first timed queries don't eat
+    # session start-up. Warming only the first entry proved insufficient in
+    # r4: JIT tiering keeps inflating queries for the first ~30 s of the
+    # session, which manufactured phantom 2-3x "regressions" for whatever
+    # the front-window rotation put early. Warm the cheapest scan plus the
+    # first THREE registry entries, plus one window-function and one
+    # Arrow-batch query so those engine paths are compiled too.
+    warm_names = list(QUERIES)[:3] + [
+        "active_nations", "supplier_moving_avg", "quality_classifier",
+    ]
+    for warm in dict.fromkeys(n for n in warm_names if n in QUERIES):
         QUERIES[warm][0](spark, sf_dir).write.format("noop").mode(
             "overwrite"
         ).save()
+        release_scratch(spark)
 
     timings: dict[str, float] = {}
     for name, (fn, _sql) in QUERIES.items():
@@ -143,6 +150,20 @@ def main() -> None:
                 docs, "doc_id", "text", num_hashes=64, bands=16,
                 jaccard_threshold=0.5,
             )
+        ),
+    )
+    # The registered hard_negatives query is the brute-force oracle-exact
+    # form (corpus × broadcast-queries). The production variant probes the
+    # queries' nearest IVF cells instead — corpus-side cost drops by
+    # ~n_probe/n_lists and stays linear in corpus size (recall floor pinned
+    # in tests/test_ann_recall.py).
+    from simtradedata_spark.operators.similarity import hard_negative_top_k_ivf
+
+    _prod(
+        "hard_negatives@ivf",
+        lambda: hard_negative_top_k_ivf(
+            emb, emb.filter("vec_id < 10"), k=3, max_sim=0.45,
+            n_lists=16, n_probe=4,
         ),
     )
 

@@ -18,6 +18,9 @@ exist). Subcommands:
   python -m simtradedata_spark ingest-ticks --root PATH --ticks DIR
       # fold a new tick batch into the stateful minute_bars table
       # (partition-selective dynamic overwrite) and append to ticks
+  python -m simtradedata_spark stream-ticks --root PATH --ticks DIR
+      # same fold as a Structured Streaming query (exactly-once via the
+      # checkpointed version pointer); one-shot by default, --follow tails
 
 ``bench`` and ``check`` shell out to the repo-root harnesses so the CLI and
 the driver measure the exact same code path.
@@ -111,16 +114,20 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
          (symbol, trade_date, seq) tick key over a partition-pruned
          read_range) — heals a crash that committed the append but never
          reached the log.
-      3. REBUILD the touched trade_year partitions' minute bars from the
+      3. REBUILD the touched trade_month partitions' minute bars from the
          ticks table (not a fold over bar state): every retry recomputes
          from raw ticks and converges, and a warehouse without a
          minute_bars table bootstraps for free. Partition-selective
-         dynamic overwrite rewrites only those years.
+         dynamic overwrite rewrites only those months — a daily batch
+         rewrites ≤31 days of bars, not a year (ticks and minute_bars are
+         month-grain partitioned, sources/tables.py::MONTH_GRAIN, so the
+         rebuild's tick read prunes to the same months it rewrites).
       4. commit the batch id.
 
     refresh_time_bars (the state fold that never re-reads history) stays
     the STREAMING path's operator, where the checkpointed version pointer
     provides the replay guard this CLI gets from the log + rebuild."""
+    import calendar
     import hashlib
 
     from pyspark.sql import functions as F
@@ -131,14 +138,23 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
 
     spark = get_spark("ingest_ticks")
     wh = Warehouse(spark, args.root)
+    batch_files = sorted(
+        f for f in os.listdir(args.ticks) if not f.startswith(("_", "."))
+    )
+    if not batch_files:
+        print("empty batch dir — no-op")
+        return 0
     if args.batch_id:
         bid = args.batch_id
     else:
-        files = sorted(
-            (f, os.path.getsize(os.path.join(args.ticks, f)))
-            for f in os.listdir(args.ticks)
-            if not f.startswith(("_", "."))
-        )
+        # (name, size, mtime_ns): size alone misses a file regenerated in
+        # place with identical bytes-length but different contents — that
+        # batch would silently be treated as a replay and skipped.
+        files = [
+            (f, os.stat(p := os.path.join(args.ticks, f)).st_size,
+             os.stat(p).st_mtime_ns)
+            for f in batch_files
+        ]
         bid = hashlib.md5(repr(files).encode()).hexdigest()[:16]
     log = os.path.join(args.root, "minute_bars", "_ingest_log")
     committed = set(open(log).read().split()) if os.path.exists(log) else set()
@@ -150,6 +166,9 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
     b = new.agg(
         F.min("trade_date").alias("lo"), F.max("trade_date").alias("hi")
     ).first()
+    if b["lo"] is None:
+        print("batch has no rows — no-op")
+        return 0
     lo, hi = str(b["lo"]), str(b["hi"])
     if wh.exists("ticks"):
         present = wh.read_range("ticks", lo, hi).select(
@@ -162,8 +181,10 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
     if n_new:
         wh.write("ticks", to_append, mode="append")
 
-    # rebuild the touched YEARS from the ticks table (partition-pruned)
-    affected = wh.read_range("ticks", f"{lo[:4]}-01-01", f"{hi[:4]}-12-31")
+    # rebuild the touched MONTHS from the ticks table (partition-pruned
+    # read over the same month partitions the dynamic overwrite replaces)
+    hi_end = calendar.monthrange(int(hi[:4]), int(hi[5:7]))[1]
+    affected = wh.read_range("ticks", f"{lo[:7]}-01", f"{hi[:7]}-{hi_end:02d}")
     merged = time_bars_from_ticks(
         affected, minutes=1, with_state=True
     ).localCheckpoint(eager=True)
@@ -174,8 +195,47 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
     print(
         f"batch {bid}: appended {n_new} new ticks "
         f"({lo}..{hi}); rebuilt {merged.count()} minute bars in "
-        f"years {sorted({int(lo[:4]), int(hi[:4])})}"
+        f"months {lo[:7]}..{hi[:7]}"
     )
+    return 0
+
+
+def _cmd_stream_ticks(args: argparse.Namespace) -> int:
+    """Streaming counterpart of ``ingest-ticks``: a Structured Streaming
+    file source over the tick dir, folded micro-batch-by-micro-batch into
+    the versioned minute-bar snapshot store at ``<root>/minute_bars_stream``
+    (streaming/incremental.py::streaming_minute_rollup). The checkpointed
+    batch-id pointer is the replay guard — the streaming analog of the
+    batch CLI's ``_ingest_log``; a restart resumes from the committed
+    pointer and never double-folds.
+
+    Default is one-shot (trigger availableNow: drain the files currently
+    present, then stop) so the command terminates like the batch CLI;
+    ``--follow`` keeps tailing the dir for new tick files. test_cli.py
+    proves the batch CLI and this fold land identical minute bars from
+    the same tick batch."""
+    from simtradedata_spark.session import get_spark
+    from simtradedata_spark.streaming.incremental import (
+        read_current,
+        streaming_minute_rollup,
+    )
+
+    spark = get_spark("stream_ticks")
+    schema = spark.read.parquet(args.ticks).schema
+    target = os.path.join(args.root, "minute_bars_stream")
+    q = streaming_minute_rollup(
+        spark,
+        args.ticks,
+        schema,
+        target,
+        minutes=args.minutes,
+        checkpoint=args.checkpoint or os.path.join(target, "_checkpoint"),
+        available_now=not args.follow,
+    )
+    q.awaitTermination()
+    bars = read_current(spark, target)
+    n = bars.count() if bars is not None else 0
+    print(f"stream-ticks: folded {args.ticks} into {target}; {n} minute bars")
     return 0
 
 
@@ -234,6 +294,19 @@ def main(argv: list[str] | None = None) -> int:
     it.add_argument("--batch-id", default=None,
                     help="stable ingest id (default: fingerprint of the dir)")
     it.set_defaults(fn=_cmd_ingest_ticks)
+
+    st = sub.add_parser(
+        "stream-ticks",
+        help="Structured Streaming fold of a tick dir into minute bars",
+    )
+    st.add_argument("--root", required=True)
+    st.add_argument("--ticks", required=True, help="parquet dir of tick files")
+    st.add_argument("--minutes", type=int, default=1)
+    st.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (default: <target>/_checkpoint)")
+    st.add_argument("--follow", action="store_true",
+                    help="keep tailing the dir instead of one-shot drain")
+    st.set_defaults(fn=_cmd_stream_ticks)
 
     m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")
     m.add_argument("--root", required=True)

@@ -273,6 +273,17 @@ def ivf_top_k(
     assignment once with ``build_ivf_index`` and probe the cell-partitioned
     table (``ivf_probe_persisted``) instead.
     """
+    scored = _ivf_scored(
+        corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
+    )
+    return _rank_top_k(scored, k)
+
+
+def _ivf_scored(
+    corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
+) -> DataFrame:
+    """Shared IVF candidate-scoring plan: (query_id, neighbor_id, __sim)
+    for every corpus vector in the query's probed cells."""
     cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
     _cell = _cell_udf(corpus, cent)
     c = corpus.select(
@@ -281,14 +292,13 @@ def ivf_top_k(
         _cell(F.col(vec_col)).alias("__cell"),
     )
     probes = _probes_frame(queries, id_col, vec_col, cent, n_probe, "__cell")
-    scored = c.join(F.broadcast(probes), ["__cell"]).filter(
+    return c.join(F.broadcast(probes), ["__cell"]).filter(
         F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
     )
-    return _rank_top_k(scored, k)
 
 
 def quantize_int8(vec: Column, scale: Column) -> Column:
@@ -410,5 +420,32 @@ def hard_negative_top_k(
         "query_id",
         "neighbor_id",
         cosine(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+    )
+    return _rank_top_k(scored.filter(F.col("__sim") < max_sim), k)
+
+
+def hard_negative_top_k_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_sim: float = 0.45,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 5,
+) -> DataFrame:
+    """The PRODUCTION form of ``hard_negative_top_k``: candidates come from
+    the query's ``n_probe`` nearest IVF cells instead of the whole corpus,
+    then the same filter-below-``max_sim``-and-rank. Hard negatives are by
+    definition the most-similar true negatives, so they concentrate in the
+    same nearest cells an ANN probe visits — recall against the brute-force
+    answer is pinned by tests/test_ann_recall.py, and ``n_probe == n_lists``
+    reproduces brute force exactly (tested). Cost scales with corpus ×
+    n_probe/n_lists rather than corpus × queries: the linear-at-10× variant
+    every other all-pairs family already ships."""
+    scored = _ivf_scored(
+        corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
     )
     return _rank_top_k(scored.filter(F.col("__sim") < max_sim), k)

@@ -6678,52 +6678,68 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-4 rotation: the 33 queries no driver CORRECTNESS artifact has
-    # ever certified (all green in the local 139/139 run, but the hard gate
-    # only sees the first 50 registry entries). After this round every
-    # registered query will have been driver-certified at least once
-    # across r01-r04. Round-4 NEW queries are appended after these so the
-    # same artifact certifies them too (33 + new <= 50).
-    "filtered_revenue",
-    "nation_pair_volume",
-    "market_share",
-    "nation_profit",
-    "priority_lateness",
-    "customer_order_distribution",
-    "part_supplier_diversity",
-    "large_orders",
-    "disjunctive_revenue",
-    "waiting_suppliers",
-    "dormant_rich_customers",
-    "min_cost_supplier",
-    "rollup_refresh",
-    "salted_priority_revenue",
-    "nearest_centroid",
-    "quality_classifier",
-    "ivm_join_view",
-    "weighted_sample_docs",
-    "monthly_winsorized",
-    "frequent_tokens",
-    "factor_ic",
-    "cci_orders",
-    "anomaly_days",
-    "customer_spend_deciles",
-    "small_quantity_revenue",
-    "dedup_docs_exact",
-    "doc_repetition",
-    "label_centroids",
-    "top_supplier_revenue",
-    "important_parts",
-    "user_type_intervals",
-    "quantized_embeddings",
-    "daily_factor_top3",
-    # round-4 additions (certified for the first time this round)
-    "minute_bars_vwap",
-    "minute_bars_fold",
-    "fuzzy_match_realistic",
-    "stratified_docs_sample",
-    "negative_pairs",
+    # Round-5 rotation (freshness pass — every query below is green in the
+    # local 145/145 run; the window picks WHICH 50 the driver re-certifies):
+    #   1-3   the formerly-no-oracle trio: full DuckDB oracles landed in r4
+    #         but no driver artifact has EVER recorded them green,
+    #   4-6   the three r01-certified indicator queries (stalest greens),
+    #   7     hard_negatives — its operator file (operators/similarity.py)
+    #         changed this round (the @ivf variant), and a query whose code
+    #         path the round touched must stay in the certified window,
+    #   8-50  the 43 stalest r02-certified entries.
+    # Deferred to the r6 window (r02-certified, unchanged code, strong
+    # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
+    # token_budget, hash_sample_docs, domain_capped_sample.
+    "synthetic_bars",
+    "adjusted_bars_post",
+    "macd_indicators",
+    "kdj_orders",
+    "macd_orders",
+    "rsi_orders",
     "hard_negatives",
+    "active_nations",
+    "asof_purchase_signup",
+    "benchmark_contamination",
+    "big_spender_segments",
+    "brand_type_revenue",
+    "code_conversion",
+    "cosine_near_dups",
+    "cosine_top5",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_lineitem_first",
+    "exrights_adjust",
+    "hourly_event_stats",
+    "ivf_ann_top5",
+    "json_props",
+    "language_votes",
+    "latest_event_per_user",
+    "lsh_ann_top5",
+    "minhash_near_dups",
+    "mixture_epochs",
+    "monthly_growth",
+    "multimodal_features",
+    "order_priority_returns",
+    "percent_roundtrip",
+    "pipeline_funnel",
+    "pivot_user_event_counts",
+    "price_quantiles",
+    "pricing_summary",
+    "purchases_within_7d",
+    "region_daily_ffill",
+    "region_revenue",
+    "rollup_region_nation",
+    "sessionize_users",
+    "shipping_priority",
+    "simhash_signatures",
+    "supplier_moving_avg",
+    "token_jaccard_pairs",
+    "top_customers",
+    "trailing_3_per_supplier",
+    "unpivot_measures",
+    "user_retention_cohorts",
+    "user_value_cumlog",
+    "weekly_ohlc",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -6,6 +6,13 @@ Layout decisions (designed for 100 TB, exercised locally):
     by ``trade_year`` (derived) — date-range queries prune whole directories;
     within a partition, files are written sorted by (symbol, trade_date) so
     min/max parquet stats make symbol predicates effective too.
+  - ``ticks``/``minute_bars`` are partitioned by ``trade_month`` (derived
+    int yyyymm): intraday tables are ~2 orders of magnitude denser per day
+    than the dailies, and the incremental ingest rebuilds whole partitions —
+    at year grain a one-day tick batch rewrote ~365 days of minute bars
+    (~365× write amplification at 100 TB); at month grain the dynamic
+    overwrite touches only the batch's own months (≤31× worst case, 1-day
+    granularity costs a 12× deeper dir tree for no extra pruning win).
   - dimension tables (metadata, calendar, exrights, fundamentals,
     constituents) are single unpartitioned tables — they are broadcast-sized
     at any realistic scale.
@@ -27,6 +34,9 @@ PARTITIONED = {
     "ticks",
     "minute_bars",
 }
+# intraday subset of PARTITIONED: month-grain (int yyyymm) partition column
+MONTH_GRAIN = {"ticks", "minute_bars"}
+_PART_COLS = ("trade_year", "trade_month")
 DIMENSION = {
     "trade_calendar",
     "exrights",
@@ -53,30 +63,45 @@ class Warehouse:
         dynamic: bool = False,
     ) -> None:
         """K1-K5 sink: partitioned fact tables get a derived trade_year
-        partition column + in-file sort; dims are written as-is.
-        ``dynamic=True`` switches the partitioned branch to dynamic
-        partition overwrite (only the partitions present in ``df`` are
-        replaced) — one copy of the layout logic for both writers."""
+        (daily) or trade_month (intraday) partition column + in-file sort;
+        dims are written as-is. ``dynamic=True`` switches the partitioned
+        branch to dynamic partition overwrite (only the partitions present
+        in ``df`` are replaced) — one copy of the layout logic for both
+        writers."""
+        if dynamic and mode != "overwrite":
+            # dynamic overwrite IS an overwrite of the touched partitions;
+            # silently coercing e.g. mode="append" would hand the caller
+            # partition replaces where they asked for appends.
+            raise ValueError(
+                f"dynamic=True requires mode='overwrite' (got mode={mode!r})"
+            )
         if table in PARTITIONED and "trade_date" in df.columns:
+            if table in MONTH_GRAIN:
+                part_col = "trade_month"
+                part_val = F.year("trade_date") * 100 + F.month("trade_date")
+            else:
+                part_col = "trade_year"
+                part_val = F.year("trade_date")
             w = (
-                df.withColumn("trade_year", F.year("trade_date"))
-                .repartition("trade_year")
+                df.withColumn(part_col, part_val)
+                .repartition(part_col)
                 .sortWithinPartitions("symbol", "trade_date")
-                .write.mode("overwrite" if dynamic else mode)
+                .write.mode(mode)
             )
             if dynamic:
                 w = w.option("partitionOverwriteMode", "dynamic")
-            w.partitionBy("trade_year").parquet(self.path(table))
+            w.partitionBy(part_col).parquet(self.path(table))
         else:
             df.write.mode(mode).parquet(self.path(table))
 
     def write_partitions_dynamic(self, table: str, df: DataFrame) -> None:
-        """Overwrite ONLY the trade_year partitions present in ``df``,
-        leaving every other partition's files untouched. The incremental-
-        ingest write: a daily tick batch touches one year, so the rebuild
-        rewrites one partition, not the table. Always uses the base
-        path-layout writer (bucketed/z-order subclasses route their own
-        full writes through saveAsTable, which has no dynamic mode)."""
+        """Overwrite ONLY the partitions present in ``df`` (trade_month for
+        intraday tables, trade_year for dailies), leaving every other
+        partition's files untouched. The incremental-ingest write: a daily
+        tick batch touches one month of minute bars, so the rebuild rewrites
+        one partition, not the table. Always uses the base path-layout
+        writer (bucketed/z-order subclasses route their own full writes
+        through saveAsTable, which has no dynamic mode)."""
         Warehouse.write(self, table, df, dynamic=True)
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
@@ -90,7 +115,7 @@ class Warehouse:
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(self.path(table))
-        return df.drop("trade_year") if "trade_year" in df.columns else df
+        return df.drop(*[c for c in _PART_COLS if c in df.columns])
 
     def read_range(
         self,
@@ -100,22 +125,26 @@ class Warehouse:
         date_col: str = "trade_date",
     ) -> DataFrame:
         """Date-bounded read that actually PRUNES partitions: a predicate on
-        ``date_col`` alone never prunes a ``trade_year``-partitioned table
-        (pruning needs partition-column predicates), so the year bounds are
-        derived here before the partition column is dropped. At 100 TB this
-        is the difference between scanning one year's directory and all of
-        them for a backtest-day slice."""
+        ``date_col`` alone never prunes a partitioned table (pruning needs
+        partition-column predicates), so the year/month bounds are derived
+        here before the partition column is dropped. At 100 TB this is the
+        difference between scanning one month's directory and all of them
+        for a backtest-day slice."""
         df = self.spark.read.parquet(self.path(table))
-        pruned = "trade_year" in df.columns
+        part = next((c for c in _PART_COLS if c in df.columns), None)
+
+        def _bound(d: str) -> int:  # 'yyyy-mm-dd' -> partition value
+            return int(d[:4]) if part == "trade_year" else int(d[:7].replace("-", ""))
+
         if start:
             df = df.filter(F.col(date_col) >= start)
-            if pruned:
-                df = df.filter(F.col("trade_year") >= int(start[:4]))
+            if part:
+                df = df.filter(F.col(part) >= _bound(start))
         if end:
             df = df.filter(F.col(date_col) <= end)
-            if pruned:
-                df = df.filter(F.col("trade_year") <= int(end[:4]))
-        return df.drop("trade_year") if pruned else df
+            if part:
+                df = df.filter(F.col(part) <= _bound(end))
+        return df.drop(part) if part else df
 
     def exists(self, table: str) -> bool:
         """K6 integrity: the parquet footer read doubles as an openability

@@ -526,12 +526,18 @@ def streaming_minute_rollup(
     minutes: int = 1,
     query_name: str = "stream_minute_bars",
     checkpoint: str | None = None,
+    available_now: bool = False,
 ):
     """Live tick feed → continuously folded minute-bar table. Readers get
     finished bars from the small state table (one row per symbol/day/
     bucket); the batch path (time_bars_from_ticks over all history) and
     this stream share the identical fold code, so stream ≡ batch by
-    construction and by test."""
+    construction and by test.
+
+    ``available_now=True`` processes everything currently in the source
+    (still micro-batched by maxFilesPerTrigger, so the fold path is
+    genuinely exercised) and then terminates — the one-shot CLI form
+    (``python -m simtradedata_spark stream-ticks``)."""
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
@@ -541,6 +547,8 @@ def streaming_minute_rollup(
     writer = stream.writeStream.foreachBatch(
         lambda df, bid: minute_bar_rollup_batch(df, bid, target, minutes)
     ).queryName(query_name)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from simtradedata_spark.catalog import load_table
 from simtradedata_spark.operators.similarity import (
     cosine_top_k,
+    hard_negative_top_k,
+    hard_negative_top_k_ivf,
     ivf_top_k,
     lsh_bucket_top_k,
 )
@@ -63,6 +65,41 @@ def test_lsh_multiprobe_recall_floor(corpus):
         lsh_bucket_top_k(emb, queries, dim=dim, k=5, bits=4, multi_probe=4)
     )
     assert len(got & truth) / len(truth) >= 0.45
+
+
+@pytest.fixture(scope="module")
+def hard_truth(corpus):
+    emb, queries, _dim, _truth = corpus
+    return _pairs(hard_negative_top_k(emb, queries, k=5, max_sim=0.45))
+
+
+def test_hard_negatives_ivf_exhaustive_probe_is_brute_force(corpus, hard_truth):
+    """n_probe == n_lists visits every cell — the IVF variant must then
+    reproduce the brute-force hard-negative set EXACTLY (same filter, same
+    rank, same ties), proving the only approximation is the probe cut."""
+    emb, queries, _dim, _truth = corpus
+    got = _pairs(
+        hard_negative_top_k_ivf(
+            emb, queries, k=5, max_sim=0.45, n_lists=16, n_probe=16
+        )
+    )
+    assert got == hard_truth
+
+
+def test_hard_negatives_ivf_probe4_recall_floor(corpus, hard_truth):
+    """Production setting (16 lists / 4 probes, a 4× scan cut): measured
+    recall 0.600 on the fixed driver corpus — same regime as plain ANN at
+    this probe depth (0.608), because hard negatives concentrate in the
+    nearest cells too. Floor just under the measurement."""
+    emb, queries, _dim, _truth = corpus
+    got = _pairs(
+        hard_negative_top_k_ivf(
+            emb, queries, k=5, max_sim=0.45, n_lists=16, n_probe=4
+        )
+    )
+    # probing never starves a query below k candidates on this corpus
+    assert len(got) == len(hard_truth)
+    assert len(got & hard_truth) / len(hard_truth) >= 0.55
 
 
 def test_lsh_bits8_returns_results(corpus):
