@@ -209,6 +209,56 @@ def main() -> int:
         ),
         flush=True,
     )
+    # -- hard-negative IVF variant at scale --------------------------------
+    # The production hard_negative_top_k_ivf is checked directly against
+    # its own brute-force form ON THE N× CORPUS (brute is cheap here: the
+    # query set is small by contract, so N×·|corpus|·|queries| sims is a
+    # few million). Two gates: exhaustive probe (n_probe == n_lists) must
+    # REPRODUCE brute force exactly — proves the only approximation is the
+    # probe cut — and the production 16/4 setting must keep recall above
+    # the floor measured at 1× (tests/test_ann_recall.py), i.e. recall
+    # must not collapse as the corpus grows 30×.
+    from simtradedata_spark.operators.similarity import (
+        hard_negative_top_k,
+        hard_negative_top_k_ivf,
+    )
+
+    t0 = time.time()
+    q_big = emb_big.filter(F.col("vec_id") < 50)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negative_top_k(
+            emb_big, q_big, k=5, max_sim=0.45
+        ).collect()
+    }
+    exhaustive = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negative_top_k_ivf(
+            emb_big, q_big, k=5, max_sim=0.45, n_lists=16, n_probe=16
+        ).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in hard_negative_top_k_ivf(
+            emb_big, q_big, k=5, max_sim=0.45, n_lists=16, n_probe=4
+        ).collect()
+    }
+    recall = len(probed & truth) / len(truth) if truth else 0.0
+    ok = exhaustive == truth and recall >= 0.5
+    failures += 0 if ok else 1
+    print(
+        json.dumps(
+            {
+                "query": f"hard_negatives@ivf[{n}x corpus]",
+                "truth_pairs": len(truth),
+                "exhaustive_probe_equals_brute": exhaustive == truth,
+                "probe4_recall": round(recall, 3),
+                "ok": ok,
+                "sec": round(time.time() - t0, 1),
+            }
+        ),
+        flush=True,
+    )
     print(f"FAILURES: {failures}")
     return 1 if failures else 0
 
