@@ -543,3 +543,67 @@ def feature_hash_embedding(
         / F.sqrt(F.col("__n2").cast("double")),
     )
     return per_doc.select(F.col(id_col), emb.alias("embedding"))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str | None = None,
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal — the C4 corpus-level
+    line filter (Raffel et al. 2020 §2.2 discard lines duplicated across
+    the corpus; RefinedWeb line-wise dedup): a line whose trimmed text
+    appears in >= ``min_docs`` DISTINCT documents (cookie banners, nav
+    menus, license footers) is removed from every document, and each
+    document's text is rebuilt from its surviving lines in order.
+
+    Returns (id_col, clean_text, n_lines, n_removed) for every input doc;
+    a doc whose lines were all boilerplate comes back with clean_text ''.
+
+    Plan: explode lines (scan-local) → one (line-text) shuffle with
+    map-side-combined distinct-doc counts, reduced to the boilerplate SET
+    (small by definition: only lines crossing the threshold survive) →
+    broadcast left join flags each line in place → ONE groupBy(doc) builds
+    the cleaned text (ordered array_sort on (line_no, line) structs — no
+    collect_list ordering assumption) and both counters. Two shuffles
+    total, corpus never shuffled twice; at 100 TB the boilerplate dim is
+    the only state that moves to every executor. ``sep`` is a Java regex
+    used to split; ``join_sep`` (default: ``sep`` itself, correct for the
+    plain-newline case) rejoins the surviving lines.
+    """
+    if join_sep is None:
+        join_sep = sep
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    )
+    norm = F.trim(F.col("__line"))
+    boiler = (
+        lines.filter(norm != "")
+        .groupBy(norm.alias("__norm"))
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__norm")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler), norm == F.col("__norm"), "left"
+    )
+    kept_struct = F.when(
+        F.col("__norm").isNull(), F.struct("__ln", "__line")
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["__line"],
+            ),
+            join_sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("__norm").isNotNull(), 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+    )

@@ -891,6 +891,60 @@ SELECT lang_detected, count(*) AS n_docs FROM (
 """
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """C4-style cross-document line-level boilerplate removal
+    (textstats::remove_boilerplate_lines): lines duplicated across >= 5
+    distinct docs are struck from every doc and the text is rebuilt in
+    line order. The corpus is single-line, so the query first folds each
+    doc into 3-word lines (the same lined view both engines derive from
+    the raw words — 22 line-texts cross the threshold at sf0.01, so the
+    rewrite is exercised, not vacuous). Certifies the distinct-doc count,
+    the threshold, the ordered rebuild, and the all-removed → '' edge."""
+    from simtradedata_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_lines = F.ceil(F.size(words) / F.lit(3)).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * F.lit(3) + 1, F.lit(3)), " "
+                ),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(lined, min_docs=5, sep="\n")
+
+
+SQL_BOILERPLATE_LINES = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM documents
+), lines AS (
+  SELECT doc_id, (i - 1) // 3 AS ln, string_agg(w, ' ' ORDER BY i) AS line
+  FROM w GROUP BY doc_id, (i - 1) // 3
+), boiler AS (
+  SELECT trim(line) AS norm FROM lines WHERE trim(line) <> ''
+  GROUP BY trim(line) HAVING count(DISTINCT doc_id) >= 5
+), flagged AS (
+  SELECT l.doc_id, l.ln, l.line, b.norm
+  FROM lines l LEFT JOIN boiler b ON trim(l.line) = b.norm
+)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN norm IS NULL THEN line END,
+                           chr(10) ORDER BY ln), '') AS clean_text,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN norm IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+
 def q_token_jaccard_pairs(spark, sf_dir):
     """Exact token-set Jaccard >= 0.2 within (source, lang) blocks — the
     verification stage of near-dup detection (MinHash-LSH is its candidate
@@ -1660,6 +1714,100 @@ SELECT e1.vec_id AS id_a, e2.vec_id AS id_b,
 FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
                              CAST(e2.embedding AS DOUBLE[])) >= 0.45
+"""
+
+
+def _sql_kmeans_ctes(k: int, iters: int, dp: int = 6) -> str:
+    """DuckDB replay of operators/clustering.py::kmeans — the identical
+    rounded Lloyd iteration: seeds = k smallest ids (cell label = seed id),
+    assignment by round(Euclidean, dp) with ties to the smallest label,
+    means rounded at dp, empty cells keeping their previous centroid.
+    Emits CTEs e, c0, a1..a{iters}, m1..c{iters-1}; the final assignment
+    is a{iters} (vec_id, v, cluster, d)."""
+    parts = [
+        "e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS cvec FROM e"
+        f" ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, v, cluster, d FROM (
+    SELECT e.vec_id, e.v, c.cluster,
+           round(list_distance(e.v, c.cvec), {dp}) AS d,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.v, c.cvec), {dp}), c.cluster
+           ) AS rn
+    FROM e CROSS JOIN c{i - 1} c) WHERE rn = 1
+)""")
+        if i < iters:
+            parts.append(f"""m{i} AS (
+  SELECT cluster, list(mu ORDER BY dim) AS cvec
+  FROM (SELECT cluster, i AS dim, round(avg(x), {dp}) AS mu
+        FROM (SELECT cluster, unnest(v) AS x,
+                     generate_subscripts(v, 1) AS i FROM a{i})
+        GROUP BY cluster, i)
+  GROUP BY cluster
+)""")
+            parts.append(f"""c{i} AS (
+  SELECT c.cluster, coalesce(m.cvec, c.cvec) AS cvec
+  FROM c{i - 1} c LEFT JOIN m{i} m USING (cluster)
+)""")
+    return ",\n".join(parts)
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (operators/clustering.py::kmeans) under
+    the hard gate: 8 cells, 2 rounds, deterministic seed-by-smallest-ids.
+    The oracle replays the identical rounded iteration in SQL, so a green
+    row certifies assignment, mean update, empty-cell carry, and the
+    tie-break — not just the final shape. Per round the corpus is scanned
+    once and never shuffled for assignment (k×d centroid broadcast); only
+    the (cluster, dim) mean update exchanges, with map-side combine."""
+    from simtradedata_spark.operators.clustering import kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans(emb, k=8, iters=2)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH {_sql_kmeans_ctes(8, 2)}
+SELECT vec_id, cluster, d AS dist FROM a2
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means cells as the blocking
+    structure for embedding-cosine near-dup retention — pairs scored only
+    within a cell (sum n_c^2 ~ N^2/k candidates; k ∝ N keeps it linear),
+    then transitively closed to groups with min-label components, min id
+    canonical. Threshold 0.45 matches cosine_near_dups' calibration; the
+    cosine is rounded at 6dp before the filter so the keep set is
+    engine-exact."""
+    from simtradedata_spark.operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.45)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE {_sql_kmeans_ctes(8, 2)},
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.u
+)
+SELECT u AS vec_id, min(r) AS group_id, (u = min(r)) AS is_canonical
+FROM reach GROUP BY u
 """
 
 
@@ -6531,6 +6679,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "token_budget": (q_token_budget, SQL_TOKEN_BUDGET),
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
+    "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -6542,6 +6691,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "negative_pairs": (q_negative_pairs, SQL_NEGATIVE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
+    "kmeans_clusters": (q_kmeans_clusters, SQL_KMEANS_CLUSTERS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "purchases_within_7d": (q_purchases_within_7d, SQL_PURCHASES_WITHIN_7D),
     "price_quantiles": (q_price_quantiles, SQL_PRICE_QUANTILES),
     "unpivot_measures": (q_unpivot_measures, SQL_UNPIVOT_MEASURES),
@@ -6689,7 +6840,11 @@ _FRONT_WINDOW = [
     #   8-50  the 43 stalest r02-certified entries.
     # Deferred to the r6 window (r02-certified, unchanged code, strong
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
-    # token_budget, hash_sample_docs, domain_capped_sample.
+    # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
+    # percent_roundtrip, json_props (the last three displaced by this
+    # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines
+    # entries — new code takes the certified slots, per the r4 advisory's
+    # keep-changed-in-window rule).
     "synthetic_bars",
     "adjusted_bars_post",
     "macd_indicators",
@@ -6697,12 +6852,14 @@ _FRONT_WINDOW = [
     "macd_orders",
     "rsi_orders",
     "hard_negatives",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "boilerplate_lines",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
     "big_spender_segments",
     "brand_type_revenue",
-    "code_conversion",
     "cosine_near_dups",
     "cosine_top5",
     "customers_without_orders",
@@ -6711,7 +6868,6 @@ _FRONT_WINDOW = [
     "exrights_adjust",
     "hourly_event_stats",
     "ivf_ann_top5",
-    "json_props",
     "language_votes",
     "latest_event_per_user",
     "lsh_ann_top5",
@@ -6720,7 +6876,6 @@ _FRONT_WINDOW = [
     "monthly_growth",
     "multimodal_features",
     "order_priority_returns",
-    "percent_roundtrip",
     "pipeline_funnel",
     "pivot_user_event_counts",
     "price_quantiles",

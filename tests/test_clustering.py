@@ -1,0 +1,133 @@
+"""Distributed Lloyd's k-means + SemDeDup (operators/clustering.py).
+
+The DuckDB oracle (queries kmeans_clusters / semantic_dedup) certifies the
+full iteration cross-engine; these tests pin the pieces against an
+independent pure-python Lloyd reference and the determinism contracts the
+retention decisions inherit.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.clustering import kmeans, semantic_dedup
+
+
+def _py_kmeans(rows, k, iters, dp=6):
+    """Reference Lloyd with the operator's exact rounding rules: seeds =
+    k smallest ids, label = seed id, round(dist, dp) argmin with ties to
+    the smallest label, means rounded at dp, empty cells carry."""
+    rnd = lambda x: round(x, dp)
+    by_id = dict(sorted(rows))
+    seeds = sorted(by_id)[:k]
+    cent = {s: list(map(float, by_id[s])) for s in seeds}
+    assign = {}
+    for it in range(iters):
+        assign = {}
+        for i, v in by_id.items():
+            best = min(
+                (rnd(math.sqrt(sum((x - c) ** 2 for x, c in zip(v, cv)))), lab)
+                for lab, cv in cent.items()
+            )
+            assign[i] = (best[1], best[0])
+        if it == iters - 1:
+            break
+        new = {}
+        for lab in cent:
+            members = [by_id[i] for i, (l, _) in assign.items() if l == lab]
+            if members:
+                new[lab] = [
+                    rnd(sum(m[d] for m in members) / len(members))
+                    for d in range(len(members[0]))
+                ]
+            else:
+                new[lab] = cent[lab]
+        cent = new
+    return assign
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    # three separated blobs + an exact duplicate pair (ids 60/61 copy id 2)
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        base = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)][i % 3]
+        rows.append(
+            (i, [base[0] + rng.uniform(-1, 1), base[1] + rng.uniform(-1, 1)])
+        )
+    rows.append((60, list(rows[2][1])))
+    rows.append((61, list(rows[2][1])))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>",
+    )
+    return df, rows
+
+
+def test_kmeans_matches_python_reference(vec_df):
+    df, rows = vec_df
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans(df, k=3, iters=3).collect()
+    }
+    want = _py_kmeans(rows, k=3, iters=3)
+    assert got == want
+
+
+def test_kmeans_partitioning_invariant(vec_df):
+    df, _ = vec_df
+    a = sorted(map(tuple, kmeans(df, k=3, iters=2).collect()))
+    b = sorted(map(tuple, kmeans(df.repartition(13), k=3, iters=2).collect()))
+    assert a == b
+
+
+def test_kmeans_empty_cell_carries_centroid(spark):
+    # seeds 0 and 1 are identical vectors: every point ties to them at the
+    # same distance and the tie-break sends ALL members to label 0, so cell
+    # 1 is empty after round 1. It must keep its centroid instead of
+    # disappearing — and with the origin points drifting cluster 0's mean
+    # away, the carried centroid legitimately RECAPTURES ids 0/1 in round
+    # 2 (k stays k; a dropped cell could never come back).
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.9, 1.1])],
+        "vec_id long, embedding array<double>",
+    )
+    out = kmeans(df, k=2, iters=3).collect()
+    assert {r["cluster"] for r in out} == {0, 1}
+    assert len(out) == 4
+    want = _py_kmeans(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.9, 1.1])],
+        k=2,
+        iters=3,
+    )
+    assert {r["vec_id"]: (r["cluster"], r["dist"]) for r in out} == want
+
+
+def test_semantic_dedup_groups_planted_duplicates(vec_df):
+    df, _ = vec_df
+    out = {
+        r["vec_id"]: (r["group_id"], r["is_canonical"])
+        for r in semantic_dedup(df, k=3, iters=2, threshold=0.999).collect()
+    }
+    # ids 2/60/61 are exact copies: one ε-group, min id canonical
+    assert out[2] == (2, True)
+    assert out[60] == (2, False)
+    assert out[61] == (2, False)
+
+
+def test_semantic_dedup_no_cross_cell_pairs(vec_df):
+    df, _ = vec_df
+    assign = {
+        r["vec_id"]: r["cluster"] for r in kmeans(df, k=3, iters=2).collect()
+    }
+    out = semantic_dedup(df, k=3, iters=2, threshold=0.999).collect()
+    for r in out:
+        # every grouped vec shares its canonical's cell (the blocker never
+        # links across cells)
+        assert assign[r["vec_id"]] == assign[r["group_id"]]

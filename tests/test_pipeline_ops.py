@@ -439,3 +439,53 @@ def test_hard_negatives_excludes_near_dups(spark):
     hard = hard_negative_top_k(df, q, k=3, max_sim=0.9).collect()
     ids = [r["neighbor_id"] for r in hard]
     assert 1 not in ids and len(ids) == 3  # filtered rank still yields k
+
+
+def test_remove_boilerplate_lines_hand_oracle(spark):
+    """C4-style cross-doc line filter: the footer appears in 3 distinct
+    docs (>= min_docs) and is struck everywhere; the 2-doc header stays;
+    line order survives the rebuild; an all-boilerplate doc comes back
+    as ''. Blank lines are never counted as boilerplate."""
+    from simtradedata_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon footer\ngamma"),
+            (2, "header here\ncommon footer\n\ndelta"),
+            (3, "header here\nepsilon\ncommon footer"),
+            (4, "common footer"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    assert out[1] == ("alpha beta\ngamma", 3, 1)
+    assert out[2] == ("header here\n\ndelta", 4, 1)
+    assert out[3] == ("header here\nepsilon", 3, 1)
+    assert out[4] == ("", 1, 1)
+    assert out[5] == ("", 1, 0)
+
+
+def test_remove_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    """5 repeats inside ONE doc must not cross a min_docs=2 threshold;
+    one occurrence in each of two docs must."""
+    from simtradedata_spark.operators.textstats import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam\nspam\nspam\nspam\nspam\nkeep me"),
+            (2, "unique line\nshared line"),
+            (3, "shared line\nother text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out[1] == ("spam\nspam\nspam\nspam\nspam\nkeep me", 0)
+    assert out[2] == ("unique line", 1)
+    assert out[3] == ("other text", 1)

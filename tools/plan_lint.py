@@ -55,6 +55,9 @@ ALLOW_BNLJ = {
     "text_ann_top3",
     # bounded query-batch broadcast (10 vectors), hard-negative mining
     "hard_negatives",
+    # bounded k-row centroid broadcast (Lloyd assignment is a cross join
+    # against the k×d centroid table by construction)
+    "kmeans_clusters", "semantic_dedup",
 }
 
 # Bounded frames that legitimately pass through one partition.
