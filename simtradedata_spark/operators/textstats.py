@@ -607,3 +607,87 @@ def remove_boilerplate_lines(
             "n_removed"
         ),
     )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 256,
+    hash_fn: str = "xxhash64",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every document in the ``raw`` pool by how
+    much more likely its hashed-n-gram features are under a bag-of-words
+    LM fit on the small ``target`` corpus than under one fit on the raw
+    pool itself. High log-ratio docs "look like" the target domain; the
+    selection step (importance-ranked top-k, or feeding the weights to
+    sampling.weighted_sample for the paper's Gumbel resampling) picks the
+    pretraining subset.
+
+    Features are hashed unigrams into ``n_buckets`` buckets (the paper's
+    hashing trick; bucket LMs make the model state fixed-size regardless
+    of vocabulary). Both LMs use add-1 smoothing over the bucket grid, so
+    a bucket unseen in the 10k-doc target still scores finitely against a
+    100 TB raw pool.
+
+    Plan: two vocabulary-free bucket-count aggregations (map-side
+    combine; state = n_buckets rows each) joined on a seeded bucket grid;
+    the 1-row totals fold in via a broadcast cross join exactly like
+    unigram_logprob; scoring is a broadcast join of the n_buckets-row
+    ratio dim onto the exploded raw stream plus ONE corpus shuffle on the
+    doc id. Nothing quadratic, no global sort. Returns
+    (id_col, n_tokens, log_ratio); zero-token docs are excluded.
+    ``hash_fn='md5'`` reproduces bit-identically in any engine with md5
+    (the oracle path); xxhash64 is the faster production default.
+    """
+    from simtradedata_spark.operators.dedup import _hash64
+
+    bucketed = lambda df: df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.pmod(_hash64(F.col("__t"), hash_fn), F.lit(n_buckets)).alias("__b"),
+    )
+    raw_tok = bucketed(raw)
+    grid = raw.sparkSession.range(n_buckets).select(
+        F.col("id").cast("long").alias("__b")
+    )
+    lm = (
+        grid.join(
+            raw_tok.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr")),
+            "__b",
+            "left",
+        )
+        .join(
+            bucketed(target)
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__ct")),
+            "__b",
+            "left",
+        )
+        .select(
+            "__b",
+            F.coalesce("__cr", F.lit(0)).alias("__cr"),
+            F.coalesce("__ct", F.lit(0)).alias("__ct"),
+        )
+    )
+    totals = lm.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    lr = (
+        F.log((F.col("__ct") + 1).cast("double"))
+        - F.log((F.col("__tt") + n_buckets).cast("double"))
+        - F.log((F.col("__cr") + 1).cast("double"))
+        + F.log((F.col("__tr") + n_buckets).cast("double"))
+    )
+    ratio = lm.crossJoin(F.broadcast(totals)).select("__b", lr.alias("__lr"))
+    return (
+        raw_tok.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("__lr"), 6).alias("log_ratio"),
+        )
+    )

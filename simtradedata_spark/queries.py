@@ -1848,6 +1848,119 @@ _DUCK_TOKENS = (
 )
 
 
+def _sql_bpe_merges(num_merges: int) -> str:
+    """DuckDB replay of operators/bpe.py::bpe_learn — the identical merge
+    sequence: v0 = (word, count, chars+</w>), then per rank a pair-count
+    CTE (parallel unnest of the two shifted slices zips positionally), a
+    1-row argmax with the (count desc, left, right) tie-break, and a
+    list_reduce fold applying the merge exactly like the Spark
+    higher-order aggregate (left-to-right, non-overlapping)."""
+    parts = [
+        f"tok AS (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)",
+        "v0 AS (SELECT w, count(*) AS c,"
+        " list_append(string_split(w, ''), '</w>') AS sym"
+        " FROM tok GROUP BY w)",
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(f"""p{i} AS (
+  SELECT l, r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+    SELECT c, unnest(sym[1:len(sym)-1]) AS l,
+           unnest(sym[2:len(sym)]) AS r FROM v{i - 1})
+  GROUP BY l, r
+)""")
+        parts.append(
+            f"m{i} AS (SELECT {i} AS rank, l, r, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        if i < num_merges:
+            parts.append(f"""v{i} AS (
+  SELECT v.w, v.c,
+         list_reduce(
+           list_prepend([]::VARCHAR[], list_transform(v.sym, x -> [x])),
+           (acc, t) -> CASE
+             WHEN len(acc) > 0 AND acc[-1] = m.l AND t[1] = m.r
+             THEN list_append(acc[1:len(acc)-1], m.l || m.r)
+             ELSE list_append(acc, t[1]) END) AS sym
+  FROM v{i - 1} v CROSS JOIN m{i} m
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT rank, l AS "left", r AS "right", cnt AS pair_count FROM m{i}'
+        for i in range(1, num_merges + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-vocabulary learning (operators/bpe.py::bpe_learn,
+    Sennrich et al. 2016): the first 8 merges learned from the corpus,
+    certified against a DuckDB oracle that replays the whole sequential
+    loop — per rank, the weighted pair count, the deterministic argmax,
+    and the fold that applies the merge. The engine reduces the corpus to
+    the (word, count) vocab once; every iteration is vocab-sized with a
+    bounded 1-row argmax collect (the merge decision is global sequential
+    state by definition)."""
+    from simtradedata_spark.operators.bpe import bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_learn(docs, num_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count long"
+    )
+
+
+SQL_BPE_MERGES = _sql_bpe_merges(8)
+
+
+def q_dsir_selection(spark, sf_dir):
+    """DSIR data selection (textstats::dsir_importance, Xie et al. 2023):
+    hashed-unigram bucket LMs fit on the src0 target corpus vs the rest of
+    the pool, every pool doc scored by its importance log-ratio, top 50
+    selected (importance-ranked variant; the Gumbel resampling variant
+    feeds the same weights to weighted_sample). md5 bucket hashing so the
+    oracle refits both LMs bit-identically; ranking is on the 6dp-rounded
+    score + doc_id so dup docs (equal scores) order deterministically."""
+    from simtradedata_spark.operators.textstats import dsir_importance
+    from simtradedata_spark.operators.topk import top_k
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source") == "src0")
+    pool = docs.filter(F.col("source") != "src0")
+    scores = dsir_importance(pool, target, n_buckets=256, hash_fn="md5")
+    return top_k(scores, 50, F.col("log_ratio").desc(), F.col("doc_id"))
+
+
+SQL_DSIR_SELECTION = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKENS}) AS t FROM documents
+), bk AS (
+  SELECT doc_id, source, {_duck_h60('t')} % 256 AS b FROM tok
+), cr AS (
+  SELECT b, count(*) AS c FROM bk WHERE source <> 'src0' GROUP BY b
+), ct AS (
+  SELECT b, count(*) AS c FROM bk WHERE source = 'src0' GROUP BY b
+), grid AS (
+  SELECT g.i AS b, coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+  FROM range(0, 256) g(i)
+  LEFT JOIN cr ON cr.b = g.i LEFT JOIN ct ON ct.b = g.i
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt FROM grid
+), ratio AS (
+  SELECT b, ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + 256 AS DOUBLE))
+            - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tr + 256 AS DOUBLE)) AS lr
+  FROM grid CROSS JOIN tot
+)
+SELECT doc_id, n_tokens, log_ratio FROM (
+  SELECT bk.doc_id, count(*) AS n_tokens, round(sum(r.lr), 6) AS log_ratio
+  FROM bk JOIN ratio r ON r.b = bk.b
+  WHERE bk.source <> 'src0'
+  GROUP BY bk.doc_id
+) ORDER BY log_ratio DESC, doc_id LIMIT 50
+"""
+
+
+
+
+
 def _sql_simhash() -> str:
     """DuckDB recomputation of simhash(hash_fn='md5'): unnest the token
     multiset, 60 per-bit ±1 sums, fold signs into one BIGINT."""
@@ -6680,6 +6793,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "language_votes": (q_language_votes, _sql_lang_votes()),
     "token_jaccard_pairs": (q_token_jaccard_pairs, SQL_TOKEN_JACCARD_PAIRS),
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
+    "dsir_selection": (q_dsir_selection, SQL_DSIR_SELECTION),
+    "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -6841,9 +6956,10 @@ _FRONT_WINDOW = [
     # Deferred to the r6 window (r02-certified, unchanged code, strong
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
     # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
-    # percent_roundtrip, json_props (the last three displaced by this
-    # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines
-    # entries — new code takes the certified slots, per the r4 advisory's
+    # percent_roundtrip, json_props, language_votes, hourly_event_stats
+    # (displaced by this
+    # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
+    # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
     # keep-changed-in-window rule).
     "synthetic_bars",
     "adjusted_bars_post",
@@ -6855,6 +6971,8 @@ _FRONT_WINDOW = [
     "kmeans_clusters",
     "semantic_dedup",
     "boilerplate_lines",
+    "dsir_selection",
+    "bpe_merges",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
@@ -6866,9 +6984,7 @@ _FRONT_WINDOW = [
     "dedup_clusters",
     "dedup_lineitem_first",
     "exrights_adjust",
-    "hourly_event_stats",
     "ivf_ann_top5",
-    "language_votes",
     "latest_event_per_user",
     "lsh_ann_top5",
     "minhash_near_dups",

@@ -1,0 +1,102 @@
+"""BPE merge learning (operators/bpe.py) vs an independent pure-python
+reference (the textbook Sennrich merge loop over a dict vocabulary). The
+DuckDB oracle (query bpe_merges) certifies the full sequence cross-engine;
+these tests pin the semantics on hand data and the determinism contract.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from simtradedata_spark.operators.bpe import (
+    END_OF_WORD,
+    apply_merge,
+    bpe_learn,
+    segment_word,
+)
+
+
+def _py_bpe(texts, num_merges):
+    vocab = Counter()
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                vocab[tuple(list(w) + [END_OF_WORD])] += 1
+    merges = []
+    for rank in range(1, num_merges + 1):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # max count, ties to the lexicographically smallest (left, right)
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, cnt))
+        new = Counter()
+        for sym, c in vocab.items():
+            out = []
+            for t in sym:
+                if out and out[-1] == l and t == r:
+                    out[-1] = l + r
+                else:
+                    out.append(t)
+            new[tuple(out)] += c
+        vocab = new
+    return merges
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newly",
+    "wide wider widest new low",
+    "slow slower slowest slowly slow",
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_bpe_learn_matches_python_reference(spark):
+    merges, _ = bpe_learn(_df(spark), num_merges=10)
+    assert merges == _py_bpe(TEXTS, 10)
+
+
+def test_bpe_learn_partitioning_invariant(spark):
+    a, _ = bpe_learn(_df(spark), num_merges=5)
+    b, _ = bpe_learn(_df(spark).repartition(7), num_merges=5)
+    assert a == b
+
+
+def test_apply_merge_left_to_right_nonoverlapping(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["x", "a", "a", "a", "a"],)],
+        "sym array<string>",
+    )
+    got = [
+        r["m"]
+        for r in df.select(apply_merge(F.col("sym"), "a", "a").alias("m")).collect()
+    ]
+    assert got == [["aa", "a"], ["x", "aa", "aa"]]
+
+
+def test_segment_word_follows_learned_merges(spark):
+    merges, vocab = bpe_learn(_df(spark), num_merges=10)
+    # the distributed fold and the driver-side reference segmentation
+    # must agree on every vocab word
+    for row in vocab.collect():
+        assert segment_word(row["__w"], merges) == row["__sym"]
+
+
+def test_bpe_stops_when_pairs_exhausted(spark):
+    df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    # "ab</w>" has 2 pairs; after both merge into one symbol there is
+    # nothing left — the learner must stop early, not loop or crash
+    merges, _ = bpe_learn(df, num_merges=10)
+    assert len(merges) == 2
+    assert merges[0][1:3] in {("a", "b"), ("b", END_OF_WORD)}

@@ -489,3 +489,51 @@ def test_remove_boilerplate_counts_distinct_docs_not_occurrences(spark):
     assert out[1] == ("spam\nspam\nspam\nspam\nspam\nkeep me", 0)
     assert out[2] == ("unique line", 1)
     assert out[3] == ("other text", 1)
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR: pool docs written in the target's vocabulary must outscore
+    docs from a disjoint vocabulary, and scores must be invariant to
+    partitioning (broadcast LM dims + one doc-id shuffle)."""
+    from simtradedata_spark.operators.textstats import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma delta") for i in range(5)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta beta"),
+            (3, "zog quux blarg"),
+            (4, "quux zog mumble"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance(pool, target).collect()
+    }
+    assert min(out[1], out[2]) > max(out[3], out[4])
+    out2 = {
+        r["doc_id"]: r["log_ratio"]
+        for r in dsir_importance(pool.repartition(7), target.repartition(3)).collect()
+    }
+    assert out == out2
+
+
+def test_dsir_importance_smoothing_handles_unseen_buckets(spark):
+    """A pool token never seen in the target must not produce -inf/NULL:
+    add-1 smoothing over the bucket grid keeps every score finite."""
+    import math
+
+    from simtradedata_spark.operators.textstats import dsir_importance
+
+    target = spark.createDataFrame(
+        [(1, "alpha alpha alpha")], "doc_id long, text string"
+    )
+    pool = spark.createDataFrame(
+        [(2, "neverseen tokens only")], "doc_id long, text string"
+    )
+    rows = dsir_importance(pool, target).collect()
+    assert len(rows) == 1 and math.isfinite(rows[0]["log_ratio"])

@@ -58,6 +58,8 @@ ALLOW_BNLJ = {
     # bounded k-row centroid broadcast (Lloyd assignment is a cross join
     # against the k×d centroid table by construction)
     "kmeans_clusters", "semantic_dedup",
+    # 1-row LM-totals scalar folded into the bucket-ratio dim
+    "dsir_selection",
 }
 
 # Bounded frames that legitimately pass through one partition.
