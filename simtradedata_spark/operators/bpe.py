@@ -128,3 +128,35 @@ def segment_word(word: str, merges: list[tuple[int, str, str, int]]) -> list[str
                 out.append(t)
         sym = out
     return sym
+
+
+def bpe_apply(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize a corpus under a LEARNED vocabulary: per doc, the word
+    stream joined against the trained (word → symbols) table. This is the
+    scalable application form — segmentation was already computed once
+    per DISTINCT word during training, so applying the tokenizer is a
+    broadcast (vocab-sized) hash join plus one doc-id shuffle, never a
+    per-token fold over the corpus. Out-of-vocabulary words (absent from
+    the training corpus) fall back to character symbols via apply-less
+    char split + end-of-word marker, matching what zero learned merges
+    would produce for them.
+
+    Returns (id_col, n_words, n_bpe_tokens): the sequence-length
+    accounting a packing/budgeting stage consumes.
+    """
+    w = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__w"))
+    seg = vocab.select("__w", F.size("__sym").alias("__len"))
+    fallback = F.size(F.split("__w", "")) + 1
+    return (
+        w.join(F.broadcast(seg), "__w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.coalesce("__len", fallback)).alias("n_bpe_tokens"),
+        )
+    )

@@ -1848,13 +1848,15 @@ _DUCK_TOKENS = (
 )
 
 
-def _sql_bpe_merges(num_merges: int) -> str:
+def _sql_bpe_ctes(num_merges: int, final_vocab: bool = False) -> str:
     """DuckDB replay of operators/bpe.py::bpe_learn — the identical merge
     sequence: v0 = (word, count, chars+</w>), then per rank a pair-count
     CTE (parallel unnest of the two shifted slices zips positionally), a
     1-row argmax with the (count desc, left, right) tie-break, and a
     list_reduce fold applying the merge exactly like the Spark
-    higher-order aggregate (left-to-right, non-overlapping)."""
+    higher-order aggregate (left-to-right, non-overlapping). With
+    ``final_vocab`` the fully-merged v{num_merges} is emitted too (the
+    trained word → symbols table bpe_apply joins against)."""
     parts = [
         f"tok AS (SELECT unnest({_DUCK_TOKENS}) AS w FROM documents)",
         "v0 AS (SELECT w, count(*) AS c,"
@@ -1872,7 +1874,7 @@ def _sql_bpe_merges(num_merges: int) -> str:
             f"m{i} AS (SELECT {i} AS rank, l, r, cnt FROM p{i}"
             f" ORDER BY cnt DESC, l, r LIMIT 1)"
         )
-        if i < num_merges:
+        if i < num_merges or final_vocab:
             parts.append(f"""v{i} AS (
   SELECT v.w, v.c,
          list_reduce(
@@ -1883,11 +1885,15 @@ def _sql_bpe_merges(num_merges: int) -> str:
              ELSE list_append(acc, t[1]) END) AS sym
   FROM v{i - 1} v CROSS JOIN m{i} m
 )""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_merges(num_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f'SELECT rank, l AS "left", r AS "right", cnt AS pair_count FROM m{i}'
         for i in range(1, num_merges + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + _sql_bpe_ctes(num_merges) + "\n" + union
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -1909,6 +1915,34 @@ def q_bpe_merges(spark, sf_dir):
 
 
 SQL_BPE_MERGES = _sql_bpe_merges(8)
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale (operators/bpe.py::bpe_apply):
+    per-doc sequence length under the 8-merge tokenizer learned by
+    bpe_learn. Segmentation was computed once per DISTINCT word during
+    training, so application is a broadcast vocab join + one doc-id
+    shuffle — never a per-token fold over the corpus. The oracle chains
+    the full training replay into the final word → symbols table and
+    recounts; a green row certifies training AND application together
+    (the budgeting input a packing stage consumes)."""
+    from simtradedata_spark.operators.bpe import bpe_apply, bpe_learn
+
+    docs = _t(spark, sf_dir, "documents")
+    _merges, vocab = bpe_learn(docs, num_merges=8)
+    return bpe_apply(docs, vocab)
+
+
+SQL_BPE_TOKEN_COUNTS = f"""
+WITH {_sql_bpe_ctes(8, final_vocab=True)},
+dtok AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+)
+SELECT d.doc_id, count(*) AS n_words,
+       CAST(sum(len(v.sym)) AS BIGINT) AS n_bpe_tokens
+FROM dtok d JOIN v8 v ON v.w = d.w
+GROUP BY d.doc_id
+"""
 
 
 def q_dsir_selection(spark, sf_dir):
@@ -6795,6 +6829,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "boilerplate_lines": (q_boilerplate_lines, SQL_BOILERPLATE_LINES),
     "dsir_selection": (q_dsir_selection, SQL_DSIR_SELECTION),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
+    "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -6956,7 +6991,8 @@ _FRONT_WINDOW = [
     # Deferred to the r6 window (r02-certified, unchanged code, strong
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
     # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
-    # percent_roundtrip, json_props, language_votes, hourly_event_stats
+    # percent_roundtrip, json_props, language_votes, hourly_event_stats,
+    # monthly_growth
     # (displaced by this
     # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
     # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
@@ -6973,6 +7009,7 @@ _FRONT_WINDOW = [
     "boilerplate_lines",
     "dsir_selection",
     "bpe_merges",
+    "bpe_token_counts",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
@@ -6989,7 +7026,6 @@ _FRONT_WINDOW = [
     "lsh_ann_top5",
     "minhash_near_dups",
     "mixture_epochs",
-    "monthly_growth",
     "multimodal_features",
     "order_priority_returns",
     "pipeline_funnel",

@@ -100,3 +100,33 @@ def test_bpe_stops_when_pairs_exhausted(spark):
     merges, _ = bpe_learn(df, num_merges=10)
     assert len(merges) == 2
     assert merges[0][1:3] in {("a", "b"), ("b", END_OF_WORD)}
+
+
+def test_bpe_apply_matches_reference_segmentation(spark):
+    from simtradedata_spark.operators.bpe import bpe_apply
+
+    df = _df(spark)
+    merges, vocab = bpe_learn(df, num_merges=6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_apply(df, vocab).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        words = [w for w in t.lower().split() if w]
+        want = sum(len(segment_word(w, merges)) for w in words)
+        assert got[i] == (len(words), want)
+
+
+def test_bpe_apply_oov_falls_back_to_chars(spark):
+    from simtradedata_spark.operators.bpe import bpe_apply
+
+    train = _df(spark)
+    _, vocab = bpe_learn(train, num_merges=6)
+    new = spark.createDataFrame(
+        [(99, "zzqq low")], "doc_id long, text string"
+    )
+    row = bpe_apply(new, vocab).collect()[0]
+    # "zzqq" never trained: chars + </w> = 5 symbols; "low" uses its
+    # trained segmentation
+    low_len = len(segment_word("low", bpe_learn(train, num_merges=6)[0]))
+    assert row["n_words"] == 2 and row["n_bpe_tokens"] == 5 + low_len
