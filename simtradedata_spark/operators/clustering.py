@@ -146,10 +146,18 @@ def semantic_dedup(
     from simtradedata_spark.operators.graph import dedup_clusters
 
     assign = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dp=dp)
-    vecs = df.select(
-        F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
-    ).join(assign.select(id_col, "cluster"), id_col)
+    vecs = (
+        df.select(
+            F.col(id_col),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
+        )
+        .join(assign.select(id_col, "cluster"), id_col)
+        # SCRATCH persist (released between queries by release_scratch,
+        # the minhash-signature lifecycle): both sides of the within-cell
+        # self-join consume this frame — without it the whole Lloyd
+        # iteration runs twice inside the pairs job.
+        .persist()
+    )
     a = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),

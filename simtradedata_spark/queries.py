@@ -1811,6 +1811,39 @@ FROM reach GROUP BY u
 """
 
 
+def q_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced diversity sampling: k-means cells as strata, exact
+    10 docs per cell by seeded-hash competition (clustering.kmeans ∘
+    sampling.stratified_sample_k) — the topic-diversity-preserving
+    selection a curation pipeline runs instead of uniform sampling when a
+    few domains dominate the pool. Fully deterministic: cell assignment
+    is the certified rounded Lloyd iteration, the within-cell draw is the
+    certified md5 competition; a small cell keeps all members."""
+    from simtradedata_spark.operators.clustering import kmeans
+    from simtradedata_spark.operators.sampling import stratified_sample_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assign = kmeans(emb, k=8, iters=2)
+    return stratified_sample_k(
+        assign.select("cluster", "vec_id"), ["cluster"], ["vec_id"], k=10
+    )
+
+
+SQL_CLUSTER_BALANCED_SAMPLE = f"""
+WITH {_sql_kmeans_ctes(8, 2)},
+ranked AS (
+  SELECT cluster, vec_id,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                    vec_id
+         ) AS rk
+  FROM a2
+)
+SELECT cluster, vec_id FROM ranked WHERE rk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL-expressible operators (rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -6160,6 +6193,38 @@ FROM scored
 """
 
 
+def q_curriculum_buckets(spark, sf_dir):
+    """Difficulty-ordered curriculum staging: docs ranked by their
+    unigram-LM mean NLL (the certified perplexity score) and cut into 4
+    exact NTILE stages — easy→hard training order with per-stage doc and
+    token budgets. Composes unigram_logprob with the collect-free exact
+    global_ntile (two-pass bucket offsets, no SinglePartition over data);
+    the oracle re-derives the identical scores and SQL NTILE semantics."""
+    from simtradedata_spark.operators.textstats import unigram_logprob
+    from simtradedata_spark.operators.topk import global_ntile
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).select("doc_id", "n_tokens", "avg_nll")
+    staged = global_ntile(scored, 4, ["avg_nll", "doc_id"], ntile_col="stage")
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("token_budget"),
+        F.round(F.avg("avg_nll"), 6).alias("mean_nll"),
+    )
+
+
+SQL_CURRICULUM_BUCKETS = f"""
+SELECT stage, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_budget,
+       round(avg(avg_nll), 6) AS mean_nll
+FROM (
+  SELECT doc_id, n_tokens, avg_nll,
+         ntile(4) OVER (ORDER BY avg_nll, doc_id) AS stage
+  FROM ({SQL_PERPLEXITY_SCORES}) p
+) GROUP BY stage
+"""
+
+
 def q_bigram_perplexity(spark, sf_dir):
     """Interpolated bigram LM scoring (textstats::bigram_logprob) — the
     order-2 member of the KenLM-style filter family: the model is two count
@@ -6830,6 +6895,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dsir_selection": (q_dsir_selection, SQL_DSIR_SELECTION),
     "bpe_merges": (q_bpe_merges, SQL_BPE_MERGES),
     "bpe_token_counts": (q_bpe_token_counts, SQL_BPE_TOKEN_COUNTS),
+    "cluster_balanced_sample": (
+        q_cluster_balanced_sample,
+        SQL_CLUSTER_BALANCED_SAMPLE,
+    ),
+    "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -6992,7 +7062,7 @@ _FRONT_WINDOW = [
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
     # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
     # percent_roundtrip, json_props, language_votes, hourly_event_stats,
-    # monthly_growth
+    # monthly_growth, sessionize_users, unpivot_measures
     # (displaced by this
     # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
     # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
@@ -7010,6 +7080,8 @@ _FRONT_WINDOW = [
     "dsir_selection",
     "bpe_merges",
     "bpe_token_counts",
+    "cluster_balanced_sample",
+    "curriculum_buckets",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
@@ -7036,14 +7108,12 @@ _FRONT_WINDOW = [
     "region_daily_ffill",
     "region_revenue",
     "rollup_region_nation",
-    "sessionize_users",
     "shipping_priority",
     "simhash_signatures",
     "supplier_moving_avg",
     "token_jaccard_pairs",
     "top_customers",
     "trailing_3_per_supplier",
-    "unpivot_measures",
     "user_retention_cohorts",
     "user_value_cumlog",
     "weekly_ohlc",

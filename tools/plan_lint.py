@@ -57,9 +57,11 @@ ALLOW_BNLJ = {
     "hard_negatives",
     # bounded k-row centroid broadcast (Lloyd assignment is a cross join
     # against the k×d centroid table by construction)
-    "kmeans_clusters", "semantic_dedup",
+    "kmeans_clusters", "semantic_dedup", "cluster_balanced_sample",
     # 1-row LM-totals scalar folded into the bucket-ratio dim
     "dsir_selection",
+    # corpus-total scalar (perplexity LM) + bounded ntile offset frames
+    "curriculum_buckets",
 }
 
 # Bounded frames that legitimately pass through one partition.
@@ -68,6 +70,7 @@ ALLOW_SINGLE_PARTITION = {
     "sequence_packing",      # same two-pass cumsum offset frames
     "price_quantiles",       # global sort-merge of 32 boundary rows
     "customer_spend_deciles",  # ntile offsets (global_ntile)
+    "curriculum_buckets",    # same global_ntile offset frames
     "daily_factor_top3",     # bounded top-k driver merge
     "region_daily_ffill",    # distinct-dates dim for the calendar seed
     "conversion_funnel",     # final funnel rollup (few step-count rows)
