@@ -368,3 +368,49 @@ def test_time_bars_match_python_groundtruth(spark, rows):
             want_vwap = ((2 * money_e4 * 100 + g["volume"])
                          // (2 * g["volume"])) / 1e6
             assert g["vwap"] == want_vwap
+
+
+# --- BPE merge learning: random tiny-alphabet corpora hammer the
+# (count desc, left, right) tie-break and the fold's non-overlap rule ---
+
+words_2char = st.lists(
+    st.text("ab", min_size=1, max_size=5), min_size=1, max_size=12
+)
+
+
+@RELAXED
+@given(st.lists(words_2char, min_size=1, max_size=4))
+def test_bpe_learn_matches_reference_on_random_corpora(spark, corpora):
+    from tests.test_bpe import _py_bpe
+    from simtradedata_spark.operators.bpe import bpe_learn
+
+    texts = [" ".join(ws) for ws in corpora]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, _ = bpe_learn(df, num_merges=4)
+    assert merges == _py_bpe(texts, 4)
+
+
+# --- k-means: random low-d vectors (duplicates likely) must match the
+# pure-python rounded Lloyd reference including distance ties ---
+
+vec2 = st.tuples(
+    st.integers(min_value=-3, max_value=3),
+    st.integers(min_value=-3, max_value=3),
+)
+
+
+@RELAXED
+@given(st.lists(vec2, min_size=3, max_size=20))
+def test_kmeans_matches_reference_on_random_points(spark, pts):
+    from tests.test_clustering import _py_kmeans
+    from simtradedata_spark.operators.clustering import kmeans
+
+    rows = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans(df, k=3, iters=2).collect()
+    }
+    assert got == _py_kmeans([(i, v) for i, v in rows], k=3, iters=2)
