@@ -166,6 +166,18 @@ def main() -> None:
             n_lists=16, n_probe=4,
         ),
     )
+    # The registered semantic_dedup pins k=8 cells so the DuckDB oracle's
+    # CTE replay stays tractable — with k FIXED, within-cell pairs grow
+    # ~N^2/k (measured 13.8x at a 10x scale-up). The production form is
+    # semantic_dedup_gemm: sample-trained coarse quantizer, Arrow-GEMM
+    # cell assignment, per-cell blocked-GEMM pair scoring with n_cells ∝ N
+    # (~64 rows/cell) — bench it so the scale story is a recorded number.
+    from simtradedata_spark.operators.clustering import semantic_dedup_gemm
+
+    _prod(
+        "semantic_dedup@gemm",
+        lambda: semantic_dedup_gemm(emb, n_cells="auto", threshold=0.45),
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION

@@ -461,6 +461,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def grouped_cosine_pairs(
+    bucketed: DataFrame, threshold: float, id_type: str = "bigint"
+) -> DataFrame:
+    """Within-group cosine pairs >= threshold via per-group blocked GEMM.
+
+    ``bucketed`` must carry (id, v, __bucket); every group is scored by ONE
+    numpy matmul inside applyInPandas (blocked at 2048 rows to bound task
+    memory), emitting only qualifying (id_a < id_b) pairs — the quadratic
+    candidate set never exists as Spark rows and the scorer is vectorized.
+    The blocking column decides the recall/cost trade: LSH sign patterns
+    (cosine_near_dups bits>0) or k-means cells (clustering.semantic_dedup_gemm).
+    """
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
+
+    def bucket_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+                 "cos_sim": pd.Series([], dtype="float64")}
+            )
+        ids = pdf["id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        out_a, out_b, out_s = [], [], []
+        block = 2048  # bounds per-task memory at B*block doubles
+        for c0 in range(0, len(ids), block):
+            c1 = min(c0 + block, len(ids))
+            sims = mat[c0:c1] @ mat.T  # (c1-c0, B)
+            rows, cols = np.nonzero(sims >= threshold)
+            keep = (rows + c0) < cols  # upper triangle, each pair once
+            rows, cols = rows[keep], cols[keep]
+            a, b = ids[rows + c0], ids[cols]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_s.append(sims[rows, cols])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+             "cos_sim": np.concatenate(out_s)}
+        )
+
+    return bucketed.groupBy("__bucket").applyInPandas(bucket_pairs, out_schema)
+
+
 def cosine_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -510,43 +559,8 @@ def cosine_near_dups(
         bucketed = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
         ).withColumn("__bucket", lsh_bucket_key(F.col("v"), planes))
-        id_type = df.schema[id_col].dataType.simpleString()
-        out_schema = f"id_a {id_type}, id_b {id_type}, cos_sim double"
-
-        def bucket_pairs(pdf):
-            import numpy as np
-            import pandas as pd
-
-            if len(pdf) < 2:
-                return pd.DataFrame(
-                    {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
-                     "cos_sim": pd.Series([], dtype="float64")}
-                )
-            ids = pdf["id"].to_numpy()
-            mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            mat /= norms
-            out_a, out_b, out_s = [], [], []
-            block = 2048  # bounds per-task memory at B*block doubles
-            for c0 in range(0, len(ids), block):
-                c1 = min(c0 + block, len(ids))
-                sims = mat[c0:c1] @ mat.T  # (c1-c0, B)
-                rows, cols = np.nonzero(sims >= threshold)
-                keep = (rows + c0) < cols  # upper triangle, each pair once
-                rows, cols = rows[keep], cols[keep]
-                a, b = ids[rows + c0], ids[cols]
-                lo, hi = np.minimum(a, b), np.maximum(a, b)
-                out_a.append(lo)
-                out_b.append(hi)
-                out_s.append(sims[rows, cols])
-            return pd.DataFrame(
-                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-                 "cos_sim": np.concatenate(out_s)}
-            )
-
-        return bucketed.groupBy("__bucket").applyInPandas(
-            bucket_pairs, out_schema
+        return grouped_cosine_pairs(
+            bucketed, threshold, df.schema[id_col].dataType.simpleString()
         )
 
     import numpy as np
