@@ -49,19 +49,28 @@ def _sq_dist(a, b):
 def kmeans(
     df: DataFrame,
     k: int = 8,
-    iters: int = 2,
+    iters: int | str = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dp: int = 6,
+    max_iters: int = 25,
 ) -> DataFrame:
     """Lloyd's k-means over an embedding column, deterministic end-to-end.
 
     Init: centroids are the vectors of the ``k`` smallest ids; each cell is
-    labeled by its seed's id (stable labels, no rank window). Each of the
-    ``iters`` rounds assigns every vector to the nearest centroid
-    (Euclidean, rounded to ``dp`` decimals, ties to the smallest cell
-    label) and re-estimates centroids as the per-dimension mean (rounded to
-    ``dp``); a cell that loses all members keeps its previous centroid.
+    labeled by its seed's id (stable labels, no rank window). Each round
+    assigns every vector to the nearest centroid (Euclidean, rounded to
+    ``dp`` decimals, ties to the smallest cell label) and re-estimates
+    centroids as the per-dimension mean (rounded to ``dp``); a cell that
+    loses all members keeps its previous centroid.
+
+    ``iters``: a fixed round count (the oracle-replayable form the
+    registered query uses), or ``"auto"`` — iterate until the ROUNDED
+    centroid table reaches a fixed point (then the returned assignment is
+    Lloyd-stable: one more round would change nothing), capped at
+    ``max_iters``. Convergence is detected on the k-row centroid frame
+    (one bounded count per round, the connected_components discipline),
+    never by comparing corpus-sized assignments.
 
     Returns the LAST round's assignment: (id_col, cluster, dist) where
     ``dist`` is the rounded Euclidean distance to the assigned centroid.
@@ -69,6 +78,7 @@ def kmeans(
     assignment; only the (cluster, dim) mean update exchanges, with
     map-side combine — the 100 TB-safe Lloyd shape.
     """
+    auto = iters == "auto"
     corpus = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
@@ -79,8 +89,9 @@ def kmeans(
         .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
         .localCheckpoint(eager=True)
     )
-    assigned = None
-    for it in range(iters):
+    it = 0
+    while True:
+        it += 1
         d = F.round(F.sqrt(_sq_dist(F.col("__v"), F.col("__c"))), dp)
         assigned = (
             corpus.join(F.broadcast(cent))
@@ -97,7 +108,7 @@ def kmeans(
                 "__v",
             )
         )
-        if it == iters - 1:
+        if (not auto and it == iters) or (auto and it >= max_iters):
             break
         means = (
             assigned.select("cluster", F.posexplode("__v").alias("__dim", "__x"))
@@ -113,13 +124,27 @@ def kmeans(
                 ).alias("__new")
             )
         )
-        cent = (
+        cent_next = (
             cent.join(means, "cluster", "left")
             .select(
                 "cluster", F.coalesce("__new", "__c").alias("__c")
             )
             .localCheckpoint(eager=True)
         )
+        if auto:
+            changed = (
+                cent.join(
+                    cent_next.withColumnRenamed("__c", "__c2"), "cluster"
+                )
+                .filter(F.col("__c") != F.col("__c2"))
+                .count()
+            )
+            if changed == 0:
+                # centroids are a fixed point: `assigned` (computed under
+                # them) is the stable assignment — one more round would
+                # reproduce it exactly
+                break
+        cent = cent_next
     return assigned.select(id_col, "cluster", "dist")
 
 

@@ -184,3 +184,31 @@ def test_semantic_dedup_gemm_recall_vs_exact_on_driver_corpus(spark):
     # near-identical pairs always co-cell (the fixture test above); this
     # gate exists to catch RELATIVE collapse in the quantizer/assignment.
     assert len(grouped_ids) >= 0.3 * len(exact_ids)
+
+
+def test_kmeans_auto_converges_to_lloyd_fixed_point(vec_df):
+    """iters='auto' must stop at a Lloyd fixed point: running ONE more
+    fixed round from the converged state reproduces the assignment
+    exactly. On three well-separated blobs this converges in a few
+    rounds, long before the max_iters cap."""
+    from simtradedata_spark.operators.clustering import kmeans
+
+    df, rows = vec_df
+    stable = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans(df, k=3, iters="auto").collect()
+    }
+    # find the iteration count by replaying fixed rounds until match
+    for n in range(1, 26):
+        fixed = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans(df, k=3, iters=n).collect()
+        }
+        if fixed == stable:
+            break
+    assert fixed == stable
+    plus_one = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans(df, k=3, iters=n + 1).collect()
+    }
+    assert plus_one == stable
