@@ -330,17 +330,31 @@ def build_ivf_index(
     vec_col: str = "embedding",
     seed: int = 11,
     max_iter: int = 5,
+    centroids=None,
 ) -> None:
     """Persist the IVF index: the corpus written ``partitionBy(cell)`` so a
     probe READS ONLY THE PROBED CELL DIRECTORIES (partition pruning at the
     file listing — the scan-time realization of IVF's "visit n_probe of
     n_lists" promise), plus the trained centroids as a JSON sidecar. Train
     and assign once; every query batch then prunes ~(1 − n_probe/n_lists)
-    of the corpus bytes before any I/O happens."""
+    of the corpus bytes before any I/O happens.
+
+    ``centroids`` (a k×dim array) skips training and pins the quantizer —
+    the rebuild/compaction path: an index rewritten under its existing
+    sidecar centroids assigns every vector to the same cell it already
+    lives in, so rebuilds never drift the cell structure (and
+    ivf_index_append's incremental result can be byte-compared against
+    a from-scratch rebuild in tests)."""
     import json
     import os
 
-    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    import numpy as np
+
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    )
     _cell = _cell_udf(corpus, cent)
     (
         corpus.select(
@@ -352,6 +366,57 @@ def build_ivf_index(
     )
     with open(os.path.join(out_path, "centroids.json"), "w") as fh:
         json.dump([[float(x) for x in c] for c in cent], fh)
+
+
+def ivf_index_append(
+    spark,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally fold a new vector batch into a persisted IVF index —
+    the embedding-side analog of dedup.minhash_index/minhash_probe_index
+    (daily-ingest cost scales with the BATCH, never the corpus):
+
+      1. assign the batch to cells under the EXISTING sidecar centroids
+         (the quantizer is pinned at build time — FAISS's add-vs-train
+         split; a drifting quantizer would silently orphan old cells);
+      2. heal-append: only batch ids NOT already present are written —
+         the presence check reads ONLY the batch's own cell partitions
+         (partition-pruned, like ingest-ticks' anti-join heal), so a
+         crashed-and-retried append converges instead of duplicating;
+      3. append cell-partitioned files; existing files are never touched
+         (probes see old cells byte-identically, asserted in tests).
+
+    Returns the number of vectors actually appended. Centroids are NOT
+    retrained: recall degrades only as the data distribution drifts from
+    the training sample, at which point a rebuild (build_ivf_index with
+    fresh training) is the operational answer — the same
+    fold-then-periodic-rebuild shape as the minute-bar ingest."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(index_path, "centroids.json")) as fh:
+        cent = np.asarray(json.load(fh), dtype=np.float64)
+    _cell = _cell_udf(new_vectors, cent)
+    batch = new_vectors.select(
+        F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
+    )
+    vec_dir = os.path.join(index_path, "vectors")
+    touched = sorted({r["cell"] for r in batch.select("cell").distinct().collect()})
+    existing = (
+        spark.read.parquet(vec_dir)
+        .filter(F.col("cell").isin(touched))
+        .select(id_col)
+    )
+    to_add = batch.join(existing, id_col, "left_anti")
+    n_new = to_add.count()
+    if n_new:
+        to_add.write.mode("append").partitionBy("cell").parquet(vec_dir)
+    return n_new
 
 
 def ivf_probe_persisted(

@@ -102,3 +102,59 @@ def test_persisted_ivf_index_prunes_and_matches_brute_force(spark, tmp_path):
              spark.read.parquet(f"{idx}/vectors").select("cell").distinct().collect()}
     assert len(cells) == 8
     assert partial.count() > 0
+
+
+def test_ivf_index_append_equals_rebuild_under_same_centroids(spark, tmp_path):
+    """Incremental index maintenance: append a new batch into the
+    persisted index, then compare against an index REBUILT from scratch
+    over the union under the pinned sidecar centroids — probe results
+    must be identical (the quantizer never drifts on append). The
+    replayed append must be a no-op, and the original index files must
+    be byte-untouched."""
+    import json
+    import os
+
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+        ivf_probe_persisted,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter("vec_id % 5 != 0")
+    batch = emb.filter("vec_id % 5 = 0")
+
+    idx = str(tmp_path / "ivf_incr")
+    build_ivf_index(base, idx, n_lists=8)
+
+    def _files(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(os.path.join(root, "vectors")):
+            for f in files:
+                if not f.startswith(("_", ".")):
+                    p = os.path.join(dirpath, f)
+                    out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    before = _files(idx)
+    n1 = ivf_index_append(spark, idx, batch)
+    assert n1 == batch.count()
+    after = _files(idx)
+    # append-only: every original file still present with its exact size
+    assert before.items() <= after.items()
+
+    # replay (crash-retry) converges: nothing new to add
+    assert ivf_index_append(spark, idx, batch) == 0
+    assert _files(idx) == after
+
+    # rebuild from scratch over the union, quantizer PINNED to the
+    # incremental index's sidecar — probes must agree exactly
+    with open(os.path.join(idx, "centroids.json")) as fh:
+        cent = json.load(fh)
+    idx2 = str(tmp_path / "ivf_rebuilt")
+    build_ivf_index(emb, idx2, n_lists=8, centroids=cent)
+    queries = emb.filter("vec_id < 5")
+    a = ivf_probe_persisted(spark, idx, queries, k=3, n_probe=3)
+    b = ivf_probe_persisted(spark, idx2, queries, k=3, n_probe=3)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
