@@ -21,6 +21,9 @@ exist). Subcommands:
   python -m simtradedata_spark stream-ticks --root PATH --ticks DIR
       # same fold as a Structured Streaming query (exactly-once via the
       # checkpointed version pointer); one-shot by default, --follow tails
+  python -m simtradedata_spark ingest-vectors --index PATH --vectors DIR
+      # exactly-once embedding-batch fold into a persisted IVF index
+      # (bootstrap trains the quantizer; appends pin it)
 
 ``bench`` and ``check`` shell out to the repo-root harnesses so the CLI and
 the driver measure the exact same code path.
@@ -239,6 +242,65 @@ def _cmd_stream_ticks(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_ingest_vectors(args: argparse.Namespace) -> int:
+    """Exactly-once embedding-batch ingest into a persisted IVF index —
+    the vector-side sibling of ``ingest-ticks``:
+
+      1. replay guard: a batch id (``--batch-id``, else a
+         (name, size, mtime) fingerprint of the batch dir) checked
+         against ``<index>/_ingest_log``;
+      2. first batch bootstraps the index (trains the quantizer); later
+         batches fold via similarity.ivf_index_append — cell-assigned
+         under the PINNED sidecar centroids, anti-join heal against only
+         the batch's own cell partitions, append-only files;
+      3. commit the batch id.
+
+    Retrain-by-rebuild (build_ivf_index with fresh training) is the
+    operational answer to distribution drift, same as the minute-bar
+    fold's periodic compaction."""
+    import hashlib
+
+    from simtradedata_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_append,
+    )
+    from simtradedata_spark.session import get_spark
+
+    spark = get_spark("ingest_vectors")
+    batch_files = sorted(
+        f for f in os.listdir(args.vectors) if not f.startswith(("_", "."))
+    )
+    if not batch_files:
+        print("empty batch dir — no-op")
+        return 0
+    if args.batch_id:
+        bid = args.batch_id
+    else:
+        files = [
+            (f, os.stat(p := os.path.join(args.vectors, f)).st_size,
+             os.stat(p).st_mtime_ns)
+            for f in batch_files
+        ]
+        bid = hashlib.md5(repr(files).encode()).hexdigest()[:16]
+    log = os.path.join(args.index, "_ingest_log")
+    committed = set(open(log).read().split()) if os.path.exists(log) else set()
+    if bid in committed:
+        print(f"batch {bid} already ingested — no-op")
+        return 0
+    batch = spark.read.parquet(args.vectors)
+    if not os.path.exists(os.path.join(args.index, "centroids.json")):
+        build_ivf_index(batch, args.index, n_lists=args.n_lists)
+        n = batch.count()
+        print(f"batch {bid}: bootstrapped index at {args.index} ({n} vectors)")
+    else:
+        n = ivf_index_append(spark, args.index, batch)
+        print(f"batch {bid}: appended {n} new vectors into {args.index}")
+    os.makedirs(args.index, exist_ok=True)
+    with open(log, "a") as fh:
+        fh.write(bid + "\n")
+    return 0
+
+
 def _cmd_export_corpus(args: argparse.Namespace) -> int:
     from simtradedata_spark.catalog import load_table
     from simtradedata_spark.operators.pipeline import export_training_corpus
@@ -307,6 +369,19 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--follow", action="store_true",
                     help="keep tailing the dir instead of one-shot drain")
     st.set_defaults(fn=_cmd_stream_ticks)
+
+    iv = sub.add_parser(
+        "ingest-vectors",
+        help="exactly-once embedding-batch fold into a persisted IVF index",
+    )
+    iv.add_argument("--index", required=True, help="IVF index dir")
+    iv.add_argument("--vectors", required=True,
+                    help="parquet dir of (vec_id, embedding) batch files")
+    iv.add_argument("--n-lists", type=int, default=16,
+                    help="cells to train when bootstrapping a new index")
+    iv.add_argument("--batch-id", default=None,
+                    help="explicit replay-guard id (default: dir fingerprint)")
+    iv.set_defaults(fn=_cmd_ingest_vectors)
 
     m = sub.add_parser("maintain", help="compact tables / vacuum snapshot stores")
     m.add_argument("--root", required=True)

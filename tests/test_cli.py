@@ -233,3 +233,44 @@ def test_cli_stream_ticks_equals_batch_ingest(spark, tmp_path):
     ).select(*cols)
     assert again.count() == n
     assert again.exceptAll(b).count() == 0
+
+
+def test_cli_ingest_vectors_exactly_once(spark, tmp_path):
+    """ingest-vectors: first batch bootstraps the index (trains the
+    quantizer), the second folds under the pinned centroids, a replayed
+    batch is a no-op, and the refreshed index serves probes over the
+    union."""
+    import json
+    import os
+
+    from simtradedata_spark.catalog import load_table
+    from simtradedata_spark.operators.similarity import ivf_probe_persisted
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b1_dir, b2_dir = str(tmp_path / "b1"), str(tmp_path / "b2")
+    emb.filter("vec_id % 3 != 0").write.parquet(b1_dir)
+    emb.filter("vec_id % 3 = 0").write.parquet(b2_dir)
+    idx = str(tmp_path / "ivf")
+
+    assert main(["ingest-vectors", "--index", idx, "--vectors", b1_dir,
+                 "--n-lists", "8"]) == 0
+    cent_after_boot = json.load(open(os.path.join(idx, "centroids.json")))
+
+    assert main(["ingest-vectors", "--index", idx, "--vectors", b2_dir]) == 0
+    # append pinned the quantizer — centroids unchanged
+    assert json.load(open(os.path.join(idx, "centroids.json"))) == cent_after_boot
+    # replay guard: same batch dir again is a no-op (log has 2 ids)
+    assert main(["ingest-vectors", "--index", idx, "--vectors", b2_dir]) == 0
+    assert len(open(os.path.join(idx, "_ingest_log")).read().split()) == 2
+
+    n = emb.count()
+    ids = {
+        r["neighbor_id"]
+        for r in ivf_probe_persisted(
+            spark, idx, emb.filter("vec_id < 3"), k=3, n_probe=8
+        ).collect()
+    }
+    assert ids  # probes see the union
+    got = spark.read.parquet(os.path.join(idx, "vectors"))
+    assert got.count() == n
+    assert got.select("vec_id").distinct().count() == n
