@@ -107,3 +107,87 @@ def make_baostock_csv_provider(path: str):
     option — a partial of a module-level function, so it pickles to
     executors."""
     return functools.partial(_csv_provider, path=path)
+
+
+# Mootdx client.bars native columns → unified names. The reference's
+# mootdx_fetcher.py:89-217 documents the dialect: numeric (not string)
+# columns, 'vol' is the share volume ('volume' there is a different
+# field and is dropped), 'amount' is the money column, the date lives in
+# a 'datetime' column/index, the frame carries NO symbol column, and the
+# provider serves OHLCV ONLY — valuation/status fields come from
+# BaoStock ("Use BaoStockFetcher for those fields").
+MOOTDX_RENAMES = {
+    "datetime": "trade_date",
+    "date": "trade_date",
+    "open": "open",
+    "high": "high",
+    "low": "low",
+    "close": "close",
+    "vol": "volume",
+    "amount": "money",
+}
+
+
+def mootdx_to_unified(pdf: pd.DataFrame, symbol: str) -> pd.DataFrame:
+    """Mootdx bars frame → unified wide frame: rename (vol→volume,
+    amount→money), date normalize, inject the PTrade symbol (mootdx rows
+    carry none), numeric coercion, canonical order with the valuation /
+    status columns as typed nulls — exactly the OHLCV-only contract the
+    reference's mootdx path produces before the BaoStock merge."""
+    pdf = pdf.reset_index() if "datetime" not in pdf.columns and "date" not in pdf.columns else pdf
+    present = {src: dst for src, dst in MOOTDX_RENAMES.items() if src in pdf.columns}
+    out = pdf[list(present)].rename(columns=present)
+    out = out.loc[:, ~out.columns.duplicated()]
+    out["symbol"] = symbol
+    if "trade_date" in out.columns:
+        out["trade_date"] = pd.to_datetime(out["trade_date"]).dt.date
+    for c in _NUMERIC:
+        if c in out.columns:
+            out[c] = pd.to_numeric(out[c], errors="coerce")
+    for c in UNIFIED_COLUMNS:
+        if c not in out.columns:
+            if c in ("is_st", "trade_status"):
+                out[c] = pd.Series([None] * len(out), dtype="object")
+            else:
+                out[c] = pd.Series([None] * len(out), dtype="float64")
+    return out[UNIFIED_COLUMNS]
+
+
+def _mootdx_csv_provider(symbol: str, start: str, end: str, path: str) -> pd.DataFrame:
+    """Recorded-fixture mootdx provider: the CSV holds mootdx-native bars
+    per simple code; slices one symbol's range like the client would
+    (newest-first pagination is the caller's concern — provider.paginated
+    reproduces the 800-bar chunking the reference walks)."""
+    raw = pd.read_csv(path)
+    num = symbol.partition(".")[0]
+    sliced = raw[
+        (raw["code"].astype(str).str.zfill(6) == num)
+        & (raw["datetime"] >= start)
+        & (raw["datetime"] <= end)
+    ].drop(columns=["code"])
+    return mootdx_to_unified(sliced, symbol)
+
+
+def make_mootdx_csv_provider(path: str):
+    return functools.partial(_mootdx_csv_provider, path=path)
+
+
+def _fallback(symbol: str, start: str, end: str, primary, secondary) -> pd.DataFrame:
+    """Provider-level fallback (the unified_fetcher posture: BaoStock
+    primary, mootdx secondary): a primary failure or empty answer for
+    THIS symbol falls through to the secondary — per-symbol, so one
+    provider's outage never blanks the batch."""
+    try:
+        out = primary(symbol, start, end)
+        if len(out):
+            return out
+    except Exception:
+        pass
+    return secondary(symbol, start, end)
+
+
+def make_fallback_provider(primary, secondary):
+    """Compose two providers into one ``fetch_unified``-compatible
+    callable. Both args must be picklable (module-level functions or
+    partials of them) so the composition ships to executors."""
+    return functools.partial(_fallback, primary=primary, secondary=secondary)

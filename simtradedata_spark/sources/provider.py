@@ -125,3 +125,28 @@ def paginated(
         return out[(out["trade_date"].astype(str) >= start) & (out["trade_date"].astype(str) <= end)]
 
     return fetch
+
+
+def merge_unified(primary: DataFrame, secondary: DataFrame) -> DataFrame:
+    """Column-level merge of two providers' unified frames — the engine
+    form of the reference's split sourcing (mootdx serves OHLCV only,
+    "Use BaoStockFetcher for those fields", mootdx_fetcher.py:108-120;
+    unified_fetcher.py:83-189 is the single-provider BaoStock shape):
+    full outer join on (symbol, trade_date), every other column
+    coalesced primary-first. A field the primary lacks (mootdx's null
+    valuation block) fills from the secondary; a day only one provider
+    covers survives with the other side's fields null. One shuffle on
+    the natural key; at warehouse scale both sides are already
+    partitioned by it."""
+    from pyspark.sql import functions as F
+
+    keys = ["symbol", "trade_date"]
+    cols = [c for c in primary.columns if c not in keys]
+    p, s = primary.alias("p"), secondary.alias("s")
+    return p.join(s, keys, "full_outer").select(
+        *keys,
+        *[
+            F.coalesce(F.col(f"p.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in cols
+        ],
+    )

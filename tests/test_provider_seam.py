@@ -104,3 +104,100 @@ def test_fixture_to_warehouse_to_get_price(spark, tmp_path):
     # valuation routed with provider→PTrade renames intact
     val = wh.read("valuation").filter("symbol = '000001.SZ'").toPandas()
     assert val["pe_ttm"].notna().sum() == 4  # suspension day is NULL
+
+
+# ---------------------------------------------------------------------------
+# Second provider dialect: mootdx (reference mootdx_fetcher.py:89-217 —
+# numeric columns, 'vol' is the share volume and 'volume' a DIFFERENT
+# field to drop, no symbol column, OHLCV only) + the unified_fetcher
+# posture of BaoStock-primary / mootdx-fallback and the column-level
+# valuation merge.
+# ---------------------------------------------------------------------------
+
+MOOTDX_FIXTURE = os.path.join(
+    os.path.dirname(__file__), "fixtures", "mootdx_daily.csv"
+)
+
+
+def test_mootdx_adapter_dialect(spark):
+    from simtradedata_spark.sources.adapters import make_mootdx_csv_provider
+
+    symbols = spark.createDataFrame([("600000.SS",)], ["symbol"])
+    unified = fetch_unified(
+        symbols, make_mootdx_csv_provider(MOOTDX_FIXTURE),
+        "2023-01-03", "2023-01-09",
+    )
+    rows = {str(r.trade_date): r for r in unified.collect()}
+    assert len(rows) == 5
+    r = rows["2023-01-03"]
+    # 'vol' (share volume) won, the misleading 'volume' column dropped
+    assert r.volume == 28451200.0 and r.money == 206834512.34
+    # OHLCV-only provider: valuation/status columns are typed nulls
+    assert r.pe_ttm is None and r.is_st is None and r.trade_status is None
+
+
+def test_fallback_provider_per_symbol(spark):
+    """BaoStock-primary, mootdx-secondary: 000001.SZ exists in both (the
+    primary wins, valuation present); a symbol the primary errors on is
+    served by the secondary (OHLCV-only) instead of failing the batch."""
+    from simtradedata_spark.sources.adapters import (
+        make_baostock_csv_provider,
+        make_fallback_provider,
+        make_mootdx_csv_provider,
+    )
+
+    primary = make_baostock_csv_provider(FIXTURE)
+    secondary = make_mootdx_csv_provider(MOOTDX_FIXTURE)
+    both = make_fallback_provider(primary, secondary)
+
+    symbols = spark.createDataFrame([("000001.SZ",), ("600000.SS",)], ["symbol"])
+    unified = fetch_unified(symbols, both, "2023-01-03", "2023-01-04")
+    rows = {(r.symbol, str(r.trade_date)): r for r in unified.collect()}
+    # primary covers both symbols on these dates → valuation populated
+    assert rows[("000001.SZ", "2023-01-03")].pe_ttm is not None
+
+    def broken_for_600000(symbol, start, end):
+        if symbol == "600000.SS":
+            raise RuntimeError("provider outage")
+        return primary(symbol, start, end)
+
+    patched = make_fallback_provider(broken_for_600000, secondary)
+    unified2 = fetch_unified(symbols, patched, "2023-01-03", "2023-01-04")
+    rows2 = {(r.symbol, str(r.trade_date)): r for r in unified2.collect()}
+    # 600000.SS fell through to mootdx: bars present, valuation null
+    assert rows2[("600000.SS", "2023-01-03")].close == 7.30
+    assert rows2[("600000.SS", "2023-01-03")].pe_ttm is None
+    # 000001.SZ still came from the primary
+    assert rows2[("000001.SZ", "2023-01-03")].pe_ttm is not None
+
+
+def test_merge_unified_fills_valuation_from_secondary(spark):
+    """Column-level provider merge: mootdx bars as primary + BaoStock as
+    secondary → the valuation block fills in from BaoStock while the
+    primary's OHLCV wins where both cover; days only one side has
+    survive the full outer join."""
+    from simtradedata_spark.sources.adapters import (
+        make_baostock_csv_provider,
+        make_mootdx_csv_provider,
+    )
+    from simtradedata_spark.sources.provider import merge_unified
+
+    symbols = spark.createDataFrame([("000001.SZ",)], ["symbol"])
+    md = fetch_unified(
+        symbols, make_mootdx_csv_provider(MOOTDX_FIXTURE),
+        "2023-01-03", "2023-01-09",
+    )
+    bs = fetch_unified(
+        symbols, make_baostock_csv_provider(FIXTURE),
+        "2023-01-03", "2023-01-09",
+    )
+    merged = merge_unified(md, bs)
+    rows = {str(r.trade_date): r for r in merged.collect()}
+    # mootdx skips 2023-01-05 (suspension day): BaoStock's row survives
+    assert set(rows) == {
+        "2023-01-03", "2023-01-04", "2023-01-05", "2023-01-06", "2023-01-09"
+    }
+    r = rows["2023-01-03"]
+    assert r.volume == 98123400.0          # primary's OHLCV
+    assert r.pe_ttm is not None            # secondary's valuation filled
+    assert rows["2023-01-05"].trade_status == 0  # secondary-only day kept
