@@ -1978,6 +1978,80 @@ GROUP BY d.doc_id
 """
 
 
+_LOGIT_LR = 2.0
+
+
+def _sql_logit_ctes(steps: int, lr: float = _LOGIT_LR, dp: int = 6) -> str:
+    """DuckDB replay of operators/mlr.py::logistic_regression — per step,
+    the gradient aggregate (sums rounded at dp) and the re-rounded weight
+    update, the dot product in the identical left-to-right association
+    order as the Spark column chain. Feature: whitespace token count
+    scaled by /50 and rounded at dp (exact cross-engine); label: the doc
+    is longer than the corpus-typical 280 chars — a real, learnable
+    relationship so the certified trajectory visibly converges."""
+    feats = f"""feats AS (
+  SELECT round(len({_DUCK_TOKENS}) / 50.0, {dp}) AS f1,
+         CAST(n_chars >= 280 AS INT) AS y
+  FROM documents
+)"""
+    parts = [feats, "w0 AS (SELECT 0.0 AS b, 0.0 AS w1)"]
+    for i in range(1, steps + 1):
+        z = "w.b + w.w1 * f.f1"
+        resid = f"(1.0 / (1.0 + exp(-({z}))) - f.y)"
+        parts.append(f"""g{i} AS (
+  SELECT round(sum({resid}), {dp}) AS g0,
+         round(sum({resid} * f.f1), {dp}) AS g1,
+         count(*) AS n
+  FROM feats f CROSS JOIN w{i - 1} w
+)""")
+        parts.append(f"""w{i} AS (
+  SELECT round(w.b - {lr!r} * g.g0 / g.n, {dp}) AS b,
+         round(w.w1 - {lr!r} * g.g1 / g.n, {dp}) AS w1
+  FROM g{i} g CROSS JOIN w{i - 1} w
+)""")
+    return ",\n".join(parts)
+
+
+_LOGIT_STEPS = 6
+
+
+def q_logit_training(spark, sf_dir):
+    """In-engine MODEL TRAINING under the hard gate: 6 steps of full-batch
+    logistic-regression GD (operators/mlr.py) learning "is this doc
+    longer than 280 chars" from its scaled token count — a real,
+    converging fit (long docs have more tokens), not a toy on random
+    labels. Each step is ONE corpus scan with a map-side-combined
+    gradient aggregate; the weight vector is bounded driver state like
+    the BPE merge table. The oracle replays the entire trajectory: a
+    green row certifies the gradient math, the 6dp rounding contract,
+    and the update rule at every step — the kmeans treatment applied to
+    model training. (The trained-coefficient INFERENCE path is already
+    certified by quality_classifier.)"""
+    from simtradedata_spark.operators.mlr import logistic_regression
+    from simtradedata_spark.operators.dedup import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.round(F.size(tokens("text")) / F.lit(50.0), 6).alias("f1"),
+        (F.col("n_chars") >= 280).cast("int").alias("y"),
+    )
+    traj = logistic_regression(
+        feats, ["f1"], "y", steps=_LOGIT_STEPS, lr=_LOGIT_LR
+    )
+    return spark.createDataFrame(
+        [(i + 1, w[0], w[1]) for i, w in enumerate(traj)],
+        "step int, b double, w1 double",
+    )
+
+
+SQL_LOGIT_TRAINING = (
+    "WITH " + _sql_logit_ctes(_LOGIT_STEPS) + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {i} AS step, b, w1 FROM w{i}" for i in range(1, _LOGIT_STEPS + 1)
+    )
+)
+
+
 def q_dsir_selection(spark, sf_dir):
     """DSIR data selection (textstats::dsir_importance, Xie et al. 2023):
     hashed-unigram bucket LMs fit on the src0 target corpus vs the rest of
@@ -6900,6 +6974,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_CLUSTER_BALANCED_SAMPLE,
     ),
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
+    "logit_training": (q_logit_training, SQL_LOGIT_TRAINING),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -7062,7 +7137,7 @@ _FRONT_WINDOW = [
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
     # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
     # percent_roundtrip, json_props, language_votes, hourly_event_stats,
-    # monthly_growth, sessionize_users, unpivot_measures
+    # monthly_growth, sessionize_users, unpivot_measures, user_value_cumlog
     # (displaced by this
     # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
     # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
@@ -7082,6 +7157,7 @@ _FRONT_WINDOW = [
     "bpe_token_counts",
     "cluster_balanced_sample",
     "curriculum_buckets",
+    "logit_training",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
@@ -7115,7 +7191,6 @@ _FRONT_WINDOW = [
     "top_customers",
     "trailing_3_per_supplier",
     "user_retention_cohorts",
-    "user_value_cumlog",
     "weekly_ohlc",
 ]
 QUERIES = {
