@@ -72,3 +72,82 @@ def predict(z_weights: list[float], feature_cols: list[str]) -> Column:
     for i, c in enumerate(feature_cols):
         z = z + F.lit(z_weights[i + 1]) * F.col(c)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def classifier_eval(
+    df: DataFrame,
+    weights: list[float],
+    feature_cols: list[str],
+    label_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Distributed classifier evaluation, engine-exact: confusion counts
+    at the z>0 decision boundary plus rank-based AUC (the Mann-Whitney U
+    statistic with average ranks for ties).
+
+    Everything stays in exact arithmetic: the margin z is the same
+    fixed-order double chain as training (no sigmoid needed — p>0.5 ⇔
+    z>0, and AUC only needs z's ORDER), tie groups collapse to one row
+    per distinct margin, and the rank sum is integer/half-integer math —
+    so AUC is a rational number both engines compute bit-identically
+    before one terminal rounding. Plan: one scan → groupBy(z, y) counts
+    → a window over the DISTINCT-margin frame (bounded by feature
+    cardinality, not corpus size) → 1-row reduce.
+    """
+    z: Column = F.lit(weights[0])
+    for i, c in enumerate(feature_cols):
+        z = z + F.lit(weights[i + 1]) * F.col(c)
+    y = F.col(label_col).cast("int")
+    per = (
+        df.select(z.alias("__z"), y.alias("__y"))
+        .groupBy("__z")
+        .agg(
+            F.sum("__y").alias("__pos"),
+            F.sum(1 - F.col("__y")).alias("__neg"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("__z").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per.select(
+        "__z",
+        "__pos",
+        "__neg",
+        F.coalesce(F.sum(F.col("__pos") + F.col("__neg")).over(w), F.lit(0)).alias(
+            "__before"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("__pos").alias("n_pos"),
+        F.sum("__neg").alias("n_neg"),
+        F.sum(F.when(F.col("__z") > 0, F.col("__pos")).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("__z") > 0, F.col("__neg")).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("__z") <= 0, F.col("__pos")).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("__z") <= 0, F.col("__neg")).otherwise(0)).alias("tn"),
+        F.sum(
+            F.col("__pos")
+            * (
+                F.col("__before").cast("double")
+                + (F.col("__pos") + F.col("__neg") + 1) / 2.0
+            )
+        ).alias("__rank_sum_pos"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round((F.col("tp") + F.col("tn")) / (F.col("n_pos") + F.col("n_neg")), dp).alias(
+            "accuracy"
+        ),
+        F.round(
+            (
+                F.col("__rank_sum_pos")
+                - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+            )
+            / (F.col("n_pos") * F.col("n_neg")),
+            dp,
+        ).alias("auc"),
+    )

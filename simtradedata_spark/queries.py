@@ -2052,6 +2052,63 @@ SQL_LOGIT_TRAINING = (
 )
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Train → EVALUATE, both in-engine and both certified: the 6-step GD
+    model from logit_training scored over the corpus — confusion counts
+    at the z>0 boundary plus rank-based AUC (Mann-Whitney U with average
+    ranks for ties). AUC needs only the ORDER of the exact double margin
+    z, and the rank sum is integer/half-integer math over one row per
+    DISTINCT margin — a rational number both engines compute identically
+    before the single terminal rounding. The distinct-margin window is
+    bounded by feature cardinality (~60 token counts), never corpus
+    size."""
+    from simtradedata_spark.operators.dedup import tokens
+    from simtradedata_spark.operators.mlr import (
+        classifier_eval,
+        logistic_regression,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        F.round(F.size(tokens("text")) / F.lit(50.0), 6).alias("f1"),
+        (F.col("n_chars") >= 280).cast("int").alias("y"),
+    )
+    traj = logistic_regression(
+        feats, ["f1"], "y", steps=_LOGIT_STEPS, lr=_LOGIT_LR
+    )
+    return classifier_eval(feats, traj[-1], ["f1"], "y")
+
+
+SQL_CLASSIFIER_EVAL = f"""
+WITH {_sql_logit_ctes(_LOGIT_STEPS)},
+scored AS (
+  SELECT w.b + w.w1 * f.f1 AS z, f.y
+  FROM feats f CROSS JOIN w{_LOGIT_STEPS} w
+), per AS (
+  SELECT z, sum(y) AS pos, sum(1 - y) AS neg FROM scored GROUP BY z
+), ranked AS (
+  SELECT z, pos, neg,
+         coalesce(sum(pos + neg) OVER (
+           ORDER BY z ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS bef
+  FROM per
+)
+SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+       CAST(sum(neg) AS BIGINT) AS n_neg,
+       CAST(sum(CASE WHEN z > 0 THEN pos ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN z > 0 THEN neg ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN z <= 0 THEN pos ELSE 0 END) AS BIGINT) AS fn,
+       CAST(sum(CASE WHEN z <= 0 THEN neg ELSE 0 END) AS BIGINT) AS tn,
+       round((sum(CASE WHEN z > 0 THEN pos ELSE 0 END)
+              + sum(CASE WHEN z <= 0 THEN neg ELSE 0 END))
+             / CAST(sum(pos) + sum(neg) AS DOUBLE), 6) AS accuracy,
+       round((sum(pos * (CAST(bef AS DOUBLE) + (pos + neg + 1) / 2.0))
+              - sum(pos) * (sum(pos) + 1) / 2.0)
+             / (sum(pos) * CAST(sum(neg) AS DOUBLE)), 6) AS auc
+FROM ranked
+"""
+
+
 def q_dsir_selection(spark, sf_dir):
     """DSIR data selection (textstats::dsir_importance, Xie et al. 2023):
     hashed-unigram bucket LMs fit on the src0 target corpus vs the rest of
@@ -6975,6 +7032,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "curriculum_buckets": (q_curriculum_buckets, SQL_CURRICULUM_BUCKETS),
     "logit_training": (q_logit_training, SQL_LOGIT_TRAINING),
+    "classifier_eval": (q_classifier_eval, SQL_CLASSIFIER_EVAL),
     "benchmark_contamination": (
         q_benchmark_contamination,
         SQL_BENCHMARK_CONTAMINATION,
@@ -7137,7 +7195,8 @@ _FRONT_WINDOW = [
     # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
     # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
     # percent_roundtrip, json_props, language_votes, hourly_event_stats,
-    # monthly_growth, sessionize_users, unpivot_measures, user_value_cumlog
+    # monthly_growth, sessionize_users, unpivot_measures, user_value_cumlog,
+    # weekly_ohlc
     # (displaced by this
     # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
     # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
@@ -7158,6 +7217,7 @@ _FRONT_WINDOW = [
     "cluster_balanced_sample",
     "curriculum_buckets",
     "logit_training",
+    "classifier_eval",
     "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
@@ -7191,7 +7251,6 @@ _FRONT_WINDOW = [
     "top_customers",
     "trailing_3_per_supplier",
     "user_retention_cohorts",
-    "weekly_ohlc",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -578,3 +578,31 @@ def test_logistic_regression_predict_scores_columnar(spark):
         .agg(F.avg("ok")).first()[0]
     )
     assert acc == 1.0  # separable problem: the columnar scorer classifies
+
+
+def test_classifier_eval_auc_matches_python_with_ties(spark):
+    """Rank-based AUC with average ranks for ties vs an independent
+    pure-python Mann-Whitney computation, on a case WITH tied margins
+    (duplicate feature values across classes) and an exactly-known
+    confusion matrix."""
+    from simtradedata_spark.operators.mlr import classifier_eval
+
+    # w = [b=-1, w1=1] → z = f1 - 1;  f1 values engineered for ties
+    rows = [(0.0, 0), (0.5, 0), (0.5, 1), (2.0, 0), (2.0, 1), (2.0, 1), (3.0, 1)]
+    df = spark.createDataFrame(rows, "f1 double, y int")
+    r = classifier_eval(df, [-1.0, 1.0], ["f1"], "y").collect()[0]
+
+    import itertools
+
+    pos = [f for f, y in rows if y == 1]
+    neg = [f for f, y in rows if y == 0]
+    u = sum(
+        1.0 if p > n_ else (0.5 if p == n_ else 0.0)
+        for p, n_ in itertools.product(pos, neg)
+    )
+    want_auc = round(u / (len(pos) * len(neg)), 6)
+    assert r["auc"] == want_auc
+    assert (r["n_pos"], r["n_neg"]) == (4, 3)
+    # z>0 ⇔ f1>1: predictions 1 for f∈{2,2,2,3}, so tp=3 fp=1 fn=1 tn=2
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 1, 2)
+    assert r["accuracy"] == round(5 / 7, 6)

@@ -74,6 +74,8 @@ ALLOW_SINGLE_PARTITION = {
     "daily_factor_top3",     # bounded top-k driver merge
     "region_daily_ffill",    # distinct-dates dim for the calendar seed
     "conversion_funnel",     # final funnel rollup (few step-count rows)
+    "classifier_eval",       # distinct-margin rank frame (~feature
+                             # cardinality rows) + 1-row metric reduce
 }
 
 
