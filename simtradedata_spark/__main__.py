@@ -104,6 +104,25 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
     return 0
 
 
+def _batch_fingerprint(batch_dir: str) -> tuple[list[str], str]:
+    """Shared ingest replay-guard key: the sorted data-file listing and a
+    digest of its (name, size, mtime_ns) triples. size alone misses a file
+    regenerated in place with identical byte-length but different contents
+    — that batch would silently be treated as a replay and skipped. Used
+    by both ingest-ticks and ingest-vectors so the fingerprint semantics
+    cannot drift between the two CLIs."""
+    import hashlib
+
+    batch_files = sorted(
+        f for f in os.listdir(batch_dir) if not f.startswith(("_", "."))
+    )
+    files = []
+    for f in batch_files:
+        st = os.stat(os.path.join(batch_dir, f))
+        files.append((f, st.st_size, st.st_mtime_ns))
+    return batch_files, hashlib.md5(repr(files).encode()).hexdigest()[:16]
+
+
 def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
     """Exactly-once daily ingest with the TICKS TABLE as source of truth:
 
@@ -131,7 +150,6 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
     the STREAMING path's operator, where the checkpointed version pointer
     provides the replay guard this CLI gets from the log + rebuild."""
     import calendar
-    import hashlib
 
     from pyspark.sql import functions as F
 
@@ -141,24 +159,11 @@ def _cmd_ingest_ticks(args: argparse.Namespace) -> int:
 
     spark = get_spark("ingest_ticks")
     wh = Warehouse(spark, args.root)
-    batch_files = sorted(
-        f for f in os.listdir(args.ticks) if not f.startswith(("_", "."))
-    )
+    batch_files, fingerprint = _batch_fingerprint(args.ticks)
     if not batch_files:
         print("empty batch dir — no-op")
         return 0
-    if args.batch_id:
-        bid = args.batch_id
-    else:
-        # (name, size, mtime_ns): size alone misses a file regenerated in
-        # place with identical bytes-length but different contents — that
-        # batch would silently be treated as a replay and skipped.
-        files = [
-            (f, os.stat(p := os.path.join(args.ticks, f)).st_size,
-             os.stat(p).st_mtime_ns)
-            for f in batch_files
-        ]
-        bid = hashlib.md5(repr(files).encode()).hexdigest()[:16]
+    bid = args.batch_id or fingerprint
     log = os.path.join(args.root, "minute_bars", "_ingest_log")
     committed = set(open(log).read().split()) if os.path.exists(log) else set()
     if bid in committed:
@@ -258,8 +263,6 @@ def _cmd_ingest_vectors(args: argparse.Namespace) -> int:
     Retrain-by-rebuild (build_ivf_index with fresh training) is the
     operational answer to distribution drift, same as the minute-bar
     fold's periodic compaction."""
-    import hashlib
-
     from simtradedata_spark.operators.similarity import (
         build_ivf_index,
         ivf_index_append,
@@ -267,21 +270,11 @@ def _cmd_ingest_vectors(args: argparse.Namespace) -> int:
     from simtradedata_spark.session import get_spark
 
     spark = get_spark("ingest_vectors")
-    batch_files = sorted(
-        f for f in os.listdir(args.vectors) if not f.startswith(("_", "."))
-    )
+    batch_files, fingerprint = _batch_fingerprint(args.vectors)
     if not batch_files:
         print("empty batch dir — no-op")
         return 0
-    if args.batch_id:
-        bid = args.batch_id
-    else:
-        files = [
-            (f, os.stat(p := os.path.join(args.vectors, f)).st_size,
-             os.stat(p).st_mtime_ns)
-            for f in batch_files
-        ]
-        bid = hashlib.md5(repr(files).encode()).hexdigest()[:16]
+    bid = args.batch_id or fingerprint
     log = os.path.join(args.index, "_ingest_log")
     committed = set(open(log).read().split()) if os.path.exists(log) else set()
     if bid in committed:

@@ -79,6 +79,10 @@ def kmeans(
     map-side combine — the 100 TB-safe Lloyd shape.
     """
     auto = iters == "auto"
+    if not auto and (not isinstance(iters, int) or iters < 1):
+        # the loop's only non-auto exit is `it == iters`; anything else
+        # (0, negatives, a typo'd string) would spin Spark jobs forever
+        raise ValueError(f"iters must be a positive int or 'auto', got {iters!r}")
     corpus = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),

@@ -37,8 +37,12 @@ def logistic_regression(
     """Train logistic regression by full-batch GD; returns the weight
     trajectory [[w0, w1..wd] after each step] (w0 = bias). Feature
     columns must already be the model's inputs (round them upstream if
-    they are derived floats — see q_logit_training)."""
+    they are derived floats — see q_logit_training). Rows with a null
+    feature or label are dropped up front: F.sum skips nulls but the row
+    count wouldn't, so keeping them would silently mis-scale every
+    gradient by the wrong denominator."""
     d = len(feature_cols)
+    df = df.na.drop(subset=[*feature_cols, label_col])
     w = [0.0] * (d + 1)
     n = None
     out: list[list[float]] = []
@@ -57,6 +61,11 @@ def logistic_regression(
         row = df.agg(*aggs).first()
         if n is None:
             n = row["n"]
+            if not n:
+                raise ValueError(
+                    "logistic_regression: no trainable rows (empty input "
+                    "or every row has a null feature/label)"
+                )
         w = [
             round(w[i] - lr * row[f"g{i}"] / n, dp)
             for i in range(d + 1)

@@ -402,9 +402,12 @@ def ivf_index_append(
     with open(os.path.join(index_path, "centroids.json")) as fh:
         cent = np.asarray(json.load(fh), dtype=np.float64)
     _cell = _cell_udf(new_vectors, cent)
+    # checkpoint the cell assignment once: without it, the Arrow UDF pass
+    # over the batch re-executes for the touched-cells collect, the count,
+    # and the write (and the pruned `existing` read runs twice)
     batch = new_vectors.select(
         F.col(id_col), F.col(vec_col), _cell(F.col(vec_col)).alias("cell")
-    )
+    ).localCheckpoint(eager=True)
     vec_dir = os.path.join(index_path, "vectors")
     touched = sorted({r["cell"] for r in batch.select("cell").distinct().collect()})
     existing = (
@@ -412,7 +415,7 @@ def ivf_index_append(
         .filter(F.col("cell").isin(touched))
         .select(id_col)
     )
-    to_add = batch.join(existing, id_col, "left_anti")
+    to_add = batch.join(existing, id_col, "left_anti").localCheckpoint(eager=True)
     n_new = to_add.count()
     if n_new:
         to_add.write.mode("append").partitionBy("cell").parquet(vec_dir)

@@ -1916,7 +1916,7 @@ def _sql_bpe_ctes(num_merges: int, final_vocab: bool = False) -> str:
              WHEN len(acc) > 0 AND acc[-1] = m.l AND t[1] = m.r
              THEN list_append(acc[1:len(acc)-1], m.l || m.r)
              ELSE list_append(acc, t[1]) END) AS sym
-  FROM v{i - 1} v CROSS JOIN m{i} m
+  FROM v{i - 1} v LEFT JOIN m{i} m ON TRUE
 )""")
     return ",\n".join(parts)
 

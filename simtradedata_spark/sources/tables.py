@@ -421,15 +421,25 @@ class ZOrderWarehouse(Warehouse):
                 / span
             ).cast("long")
             z = zorder_value(F.col("__sx").cast("long"), dx, bits=bits)
+            # Same partition grain as the base writer (trade_month for
+            # intraday tables, trade_year for dailies): a z-ordered build
+            # and a later plain-Warehouse ingest must land the same layout,
+            # or partition discovery fails on the mixed directory names.
+            if table in MONTH_GRAIN:
+                part_col = "trade_month"
+                part_val = F.year("trade_date") * 100 + F.month("trade_date")
+            else:
+                part_col = "trade_year"
+                part_val = F.year("trade_date")
             staged = (
                 df.join(F.broadcast(sym_dim), "symbol")
-                .withColumn("trade_year", F.year("trade_date"))
+                .withColumn(part_col, part_val)
                 .withColumn("__z", z)
-                .repartitionByRange(self.files, "trade_year", "__z")
-                .sortWithinPartitions("trade_year", "__z")
+                .repartitionByRange(self.files, part_col, "__z")
+                .sortWithinPartitions(part_col, "__z")
                 .drop("__z", "__sx")
             )
-            staged.write.mode(mode).partitionBy("trade_year").parquet(
+            staged.write.mode(mode).partitionBy(part_col).parquet(
                 self.path(table)
             )
         else:

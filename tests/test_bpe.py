@@ -130,3 +130,28 @@ def test_bpe_apply_oov_falls_back_to_chars(spark):
     # trained segmentation
     low_len = len(segment_word("low", bpe_learn(train, num_merges=6)[0]))
     assert row["n_words"] == 2 and row["n_bpe_tokens"] == 5 + low_len
+
+
+def test_token_counts_oracle_survives_merge_exhaustion(spark):
+    """The SQL_BPE_TOKEN_COUNTS final-vocab chain must keep the vocabulary
+    when merges exhaust before num_merges: an empty m{i} joined with a
+    LEFT JOIN leaves sym unchanged (the engine's early-break behavior);
+    the old CROSS JOIN emptied v{i}..v8 and the oracle returned 0 rows."""
+    import duckdb
+
+    from simtradedata_spark.operators.bpe import bpe_apply
+    from simtradedata_spark.queries import SQL_BPE_TOKEN_COUNTS
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab"), (2, "ab")], "doc_id long, text string"
+    )
+    _merges, vocab = bpe_learn(docs, num_merges=8)  # exhausts after 2
+    got = sorted(map(tuple, bpe_apply(docs, vocab).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "(VALUES (1, 'ab ab'), (2, 'ab')) t(doc_id, text)"
+    )
+    want = sorted(con.execute(SQL_BPE_TOKEN_COUNTS).fetchall())
+    assert got == want and len(want) == 2

@@ -212,3 +212,10 @@ def test_kmeans_auto_converges_to_lloyd_fixed_point(vec_df):
         for r in kmeans(df, k=3, iters=n + 1).collect()
     }
     assert plus_one == stable
+
+
+def test_kmeans_rejects_nonpositive_and_typo_iters(vec_df):
+    df, _ = vec_df
+    for bad in (0, -1, "Auto"):
+        with pytest.raises(ValueError, match="iters"):
+            kmeans(df, k=3, iters=bad)

@@ -606,3 +606,27 @@ def test_classifier_eval_auc_matches_python_with_ties(spark):
     # z>0 ⇔ f1>1: predictions 1 for f∈{2,2,2,3}, so tp=3 fp=1 fn=1 tn=2
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 1, 1, 2)
     assert r["accuracy"] == round(5 / 7, 6)
+
+
+def test_logistic_regression_empty_raises_and_nulls_dropped(spark):
+    """Empty input raises a clear error (not a None-arithmetic TypeError);
+    rows with a null feature or label are excluded from BOTH the gradient
+    sums and the denominator — otherwise n counts rows F.sum skipped and
+    every step's weights are silently mis-scaled."""
+    import pytest as _pytest
+
+    from simtradedata_spark.operators.mlr import logistic_regression
+
+    empty = spark.createDataFrame([], "f1 double, y int")
+    with _pytest.raises(ValueError, match="no trainable rows"):
+        logistic_regression(empty, ["f1"], "y", steps=1)
+
+    rows = [(float(i % 7), 1 if i % 7 >= 3 else 0) for i in range(40)]
+    clean = spark.createDataFrame(rows, "f1 double, y int")
+    noisy = spark.createDataFrame(
+        rows + [(None, 1), (3.0, None), (None, None)], "f1 double, y int"
+    )
+    assert (
+        logistic_regression(noisy, ["f1"], "y", steps=3, lr=0.3)
+        == logistic_regression(clean, ["f1"], "y", steps=3, lr=0.3)
+    )

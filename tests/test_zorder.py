@@ -99,3 +99,38 @@ def test_symbol_sorted_layout_cannot_prune_dates(spark, grid, tmp_path):
         "expected the symbol-sorted layout to be date-unprunable; "
         f"straddle={frac}"
     )
+
+
+def test_zorder_minute_grain_matches_plain_writer(spark, tmp_path):
+    """ticks/minute_bars must land trade_month= dirs from BOTH writers: a
+    z-ordered build followed by a plain-Warehouse dynamic ingest into the
+    same table root would otherwise mix trade_year=/trade_month= dirs and
+    break partition discovery (the round-5 review finding)."""
+    intraday = (
+        spark.range(8)
+        .select(
+            F.concat(F.lit("S"), F.col("id").cast("string")).alias("symbol")
+        )
+        .crossJoin(
+            spark.sql(
+                "SELECT explode(sequence(date'2022-01-03', date'2022-03-28')) AS trade_date"
+            )
+        )
+        .withColumn("close", F.xxhash64("symbol", "trade_date").cast("double") / 1e18)
+    )
+    zw = ZOrderWarehouse(spark, str(tmp_path / "z"), files_per_partition=4)
+    zw.write("minute_bars", intraday)
+    dirs = {
+        d.split("=")[0]
+        for d in os.listdir(zw.path("minute_bars"))
+        if "=" in d
+    }
+    assert dirs == {"trade_month"}
+
+    # the plain writer's dynamic overwrite lands beside it without conflict
+    feb = intraday.filter(F.month("trade_date") == 2)
+    Warehouse(spark, str(tmp_path / "z")).write_partitions_dynamic(
+        "minute_bars", feb
+    )
+    got = spark.read.parquet(zw.path("minute_bars"))
+    assert got.count() == intraday.count()
