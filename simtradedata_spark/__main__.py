@@ -13,8 +13,9 @@ exist). Subcommands:
       [--sample-pct N] [--shards N]
       # curate documents and ship JSONL shards + _datacard.json
   python -m simtradedata_spark maintain --root PATH [--tables T ...]
-      [--target-file-mb N] [--vacuum DIR ...] [--keep N]
-      # nightly maintenance: compact warehouse tables, vacuum snapshot stores
+      [--target-file-mb N] [--vacuum DIR ...] [--keep N] [--regrain T ...]
+      # nightly maintenance: compact warehouse tables, vacuum snapshot
+      # stores, migrate tables left at a pre-upgrade partition grain
   python -m simtradedata_spark ingest-ticks --root PATH --ticks DIR
       # fold a new tick batch into the stateful minute_bars table
       # (partition-selective dynamic overwrite) and append to ticks
@@ -91,6 +92,13 @@ def _cmd_maintain(args: argparse.Namespace) -> int:
         raise SystemExit("--target-file-mb must be >= 1")
     spark = get_spark("maintain")
     wh = Warehouse(spark, args.root)
+    for t in args.regrain or []:
+        r = wh.regrain(t)
+        print(
+            f"regrain {t}: "
+            + (f"rewritten at {r['grain']} grain" if r["regrained"]
+               else f"no-op (grain={r['grain']})")
+        )
     tables = args.tables or wh.tables()
     for t in tables:
         stats = wh.compact(t, target_file_bytes=args.target_file_mb << 20)
@@ -382,6 +390,15 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--target-file-mb", type=int, default=128)
     m.add_argument("--vacuum", nargs="*", default=None)
     m.add_argument("--keep", type=int, default=2)
+    m.add_argument(
+        "--regrain",
+        nargs="*",
+        default=None,
+        metavar="TABLE",
+        help="rewrite tables whose on-disk partition grain predates the "
+        "current layout (e.g. trade_year= minute_bars from before the "
+        "month-grain move); runs before compaction",
+    )
     m.set_defaults(fn=_cmd_maintain)
 
     args = p.parse_args(argv)

@@ -82,6 +82,12 @@ class Warehouse:
             else:
                 part_col = "trade_year"
                 part_val = F.year("trade_date")
+            if mode == "append" or dynamic:
+                # a full overwrite replaces the table dir wholesale, but an
+                # append/dynamic write LANDS BESIDE existing partition dirs
+                # — mixing grains there breaks partition discovery on the
+                # next read ("Conflicting partition column names")
+                self._check_grain(table, part_col)
             w = (
                 df.withColumn(part_col, part_val)
                 .repartition(part_col)
@@ -103,6 +109,68 @@ class Warehouse:
         writer (bucketed/z-order subclasses route their own full writes
         through saveAsTable, which has no dynamic mode)."""
         Warehouse.write(self, table, df, dynamic=True)
+
+    def _on_disk_part_col(self, table: str) -> str | None:
+        """The partition column actually present on disk (None for a
+        missing or unpartitioned table)."""
+        root = self.path(table)
+        if not os.path.isdir(root):
+            return None
+        for d in os.listdir(root):
+            if "=" in d and os.path.isdir(os.path.join(root, d)):
+                name = d.split("=", 1)[0]
+                if name in _PART_COLS:
+                    return name
+        return None
+
+    def _check_grain(self, table: str, part_col: str) -> None:
+        on_disk = self._on_disk_part_col(table)
+        if on_disk and on_disk != part_col:
+            raise ValueError(
+                f"{table} at {self.path(table)} is partitioned by "
+                f"{on_disk}= on disk but this writer lands {part_col}= "
+                f"dirs; migrate first: python -m simtradedata_spark "
+                f"maintain --root {self.root} --regrain {table}"
+            )
+
+    def regrain(self, table: str) -> dict:
+        """Migrate a table whose on-disk partition grain predates the
+        current layout (e.g. a minute_bars written under trade_year=
+        before intraday tables moved to month grain) by rewriting it at
+        the grain ``write`` uses today. Staged like ``compact``: the
+        replacement is fully written beside the live dir, then swapped —
+        a crash leaves either the old table or a finished staging dir,
+        never a mixed-grain table. No-op (regrained=False) when the grain
+        already matches, the table is unpartitioned, or it is absent."""
+        import shutil
+
+        live = self.path(table)
+        tmp_root = os.path.join(self.root, f".{table}.regrain-tmp")
+        trash = os.path.join(self.root, f".{table}.regrain-trash")
+        # sweep a previous crashed run: a stranded trash dir is a
+        # superseded original (drop it); a stranded staging table with no
+        # live dir is a finished rewrite whose swap never happened
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
+        staged = os.path.join(tmp_root, table)
+        if os.path.isdir(staged) and not os.path.isdir(live):
+            os.rename(staged, live)
+        if os.path.isdir(tmp_root):
+            shutil.rmtree(tmp_root)
+
+        want = "trade_month" if table in MONTH_GRAIN else "trade_year"
+        on_disk = self._on_disk_part_col(table)
+        if table not in PARTITIONED or on_disk in (None, want):
+            return {"table": table, "regrained": False, "grain": on_disk}
+        # plain-Warehouse staging layout: grain is what regrain fixes;
+        # clustered layouts (bucketed/z-order) are restored by their own
+        # writers afterwards if wanted
+        Warehouse(self.spark, tmp_root).write(table, self.read(table))
+        os.rename(live, trash)
+        os.rename(staged, live)
+        shutil.rmtree(trash)
+        os.rmdir(tmp_root)
+        return {"table": table, "regrained": True, "grain": want}
 
     def read(self, table: str, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` unions the footers of every file so a
@@ -431,6 +499,8 @@ class ZOrderWarehouse(Warehouse):
             else:
                 part_col = "trade_year"
                 part_val = F.year("trade_date")
+            if mode == "append":
+                self._check_grain(table, part_col)
             staged = (
                 df.join(F.broadcast(sym_dim), "symbol")
                 .withColumn(part_col, part_val)

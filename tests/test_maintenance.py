@@ -492,3 +492,73 @@ def test_streaming_minute_rollup_restart_equals_flat(spark, market, tmp_path):
     flat = time_bars_from_ticks(ticks, minutes=30)
     assert got.exceptAll(flat).count() == 0
     assert flat.exceptAll(got).count() == 0
+
+
+def _intraday(spark, months=("2022-01-03", "2022-03-28")):
+    return (
+        spark.range(6)
+        .select(F.concat(F.lit("S"), F.col("id").cast("string")).alias("symbol"))
+        .crossJoin(
+            spark.sql(
+                f"SELECT explode(sequence(date'{months[0]}', date'{months[1]}'))"
+                " AS trade_date"
+            )
+        )
+        .withColumn(
+            "close", F.xxhash64("symbol", "trade_date").cast("double") / 1e18
+        )
+    )
+
+
+def test_grain_guard_refuses_mixed_layout_and_regrain_migrates(spark, tmp_path):
+    """A warehouse whose minute_bars predates the month-grain move (on-disk
+    trade_year= dirs) must REFUSE an append/dynamic write — landing
+    trade_month= dirs beside trade_year= ones breaks partition discovery —
+    and regrain() must migrate it in place, after which the same write
+    succeeds. Full overwrites replace the dir wholesale, so they stay
+    un-guarded."""
+    import pytest
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = _intraday(spark)
+    # simulate the pre-upgrade layout: year-grain minute_bars on disk
+    df.withColumn("trade_year", F.year("trade_date")).write.partitionBy(
+        "trade_year"
+    ).parquet(wh.path("minute_bars"))
+    assert wh._on_disk_part_col("minute_bars") == "trade_year"
+
+    feb = df.filter(F.month("trade_date") == 2)
+    with pytest.raises(ValueError, match="regrain"):
+        wh.write_partitions_dynamic("minute_bars", feb)
+    with pytest.raises(ValueError, match="regrain"):
+        wh.write("minute_bars", feb, mode="append")
+
+    r = wh.regrain("minute_bars")
+    assert r["regrained"] and r["grain"] == "trade_month"
+    assert wh._on_disk_part_col("minute_bars") == "trade_month"
+    assert wh.read("minute_bars").count() == df.count()
+    # idempotent second run is a no-op
+    assert wh.regrain("minute_bars")["regrained"] is False
+    # the previously refused dynamic write now lands cleanly
+    wh.write_partitions_dynamic("minute_bars", feb)
+    assert wh.read("minute_bars").count() == df.count()
+    # staging/trash fully cleaned up
+    leftovers = [d for d in os.listdir(str(tmp_path)) if "regrain" in d]
+    assert leftovers == []
+
+
+def test_cli_maintain_regrain(spark, tmp_path):
+    from simtradedata_spark.__main__ import main
+
+    wh = Warehouse(spark, str(tmp_path))
+    df = _intraday(spark, ("2022-01-03", "2022-01-20"))
+    df.withColumn("trade_year", F.year("trade_date")).write.partitionBy(
+        "trade_year"
+    ).parquet(wh.path("minute_bars"))
+    rc = main(
+        ["maintain", "--root", str(tmp_path), "--tables", "minute_bars",
+         "--regrain", "minute_bars"]
+    )
+    assert rc == 0
+    assert wh._on_disk_part_col("minute_bars") == "trade_month"
+    assert wh.read("minute_bars").count() == df.count()
