@@ -266,6 +266,82 @@ def repetition_filter(
     return df.join(stats.select(key_col), key_col, "left_semi")
 
 
+def dup_gram_coverage(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher §A1.1's SECOND repetition signal (Rae et al. 2021) — the
+    "fraction of characters in duplicate n-grams" family, token-position
+    exact: a position is COVERED when any within-document n-gram occurring
+    ≥2 times spans it, and overlapping occurrences count each position
+    once (the union of intervals, not the sum — a doc that is one phrase
+    repeated should approach 1.0, never exceed it).
+    ``repetition_stats`` measures only the single most frequent gram; this
+    measures total internal duplication, the filter Gopher applies at
+    n=5..10.
+
+    Returns (key, n_tokens, covered_tokens, dup_gram_frac). Scale: the
+    text is tokenized once (let-bound), occurrences carry their start
+    index, and both aggregations — (key, gram) start-collection and the
+    per-key distinct-position count — shuffle ONLY on document keys;
+    nothing is bounded by corpus size per task. The per-gram start list is
+    bounded by one document's occurrences of one gram."""
+
+    def occ_struct(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.struct(
+            F.size(t).alias("n_tokens"),
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+                ),
+            ).alias("occ"),
+        )
+
+    toked = df.select(key_col, let(tokens(text_col), occ_struct).alias("__s"))
+    per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
+    occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
+        key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
+    )
+    dup = occ.groupBy(key_col, "gram").agg(
+        F.collect_list("s").alias("starts")
+    ).filter(F.size("starts") >= 2)
+    covered = (
+        dup.select(
+            key_col,
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "starts", lambda s: F.sequence(s, s + (n - 1))
+                    )
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return per_doc.join(covered, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_gram_frac"),
+    )
+
+
 # GPT-2-style pre-tokenizer segments: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs. Deliberately restricted to
 # syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB oracle) — no

@@ -4422,6 +4422,56 @@ FROM base b LEFT JOIN top t USING (doc_id)
 """
 
 
+def q_dup_gram_coverage(spark, sf_dir):
+    """Gopher §A1.1's second repetition signal (textstats.dup_gram_coverage):
+    the fraction of token positions covered by ANY within-document trigram
+    occurring ≥2 times — interval UNION, so overlapping occurrences count a
+    position once and the fraction is capped at 1.0. doc_repetition
+    measures only the single top gram; this is the total-duplication filter
+    Gopher applies at n=5..10 (n=3 here: the corpus docs are short). Both
+    shuffles are doc-keyed — nothing corpus-bounded per task."""
+    from simtradedata_spark.operators.textstats import dup_gram_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_gram_coverage(docs, "doc_id", "text", n=3).select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        F.round("dup_gram_frac", 6).alias("dup_gram_frac"),
+    )
+
+
+SQL_DUP_GRAM_COVERAGE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks, len({_DUCK_TOKENS}) AS nt
+  FROM documents
+), occ AS (
+  SELECT doc_id,
+         unnest(CASE WHEN nt >= 3
+           THEN list_transform(range(1, nt - 1),
+                i -> {{'s': i, 'gram': array_to_string(toks[i:i+2], ' ')}})
+           ELSE [] END) AS o
+  FROM base
+), dup AS (
+  SELECT doc_id, o.gram AS gram, list(o.s) AS starts
+  FROM occ GROUP BY doc_id, o.gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id,
+           unnest(flatten(list_transform(starts, s -> range(s, s + 3)))) AS pos
+    FROM dup)
+), covered AS (
+  SELECT doc_id, count(*) AS covered_tokens FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.nt AS n_tokens,
+       CAST(coalesce(c.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       round(CASE WHEN b.nt > 0
+             THEN CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / b.nt
+             ELSE 0.0 END, 6) AS dup_gram_frac
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label mean embedding (the reduce step of k-means / class
     prototypes), emitted tall as (label, dim, centroid). posexplode keeps the
@@ -7110,6 +7160,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "dup_gram_coverage": (q_dup_gram_coverage, SQL_DUP_GRAM_COVERAGE),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
     "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),

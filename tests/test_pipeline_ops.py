@@ -630,3 +630,31 @@ def test_logistic_regression_empty_raises_and_nulls_dropped(spark):
         logistic_regression(noisy, ["f1"], "y", steps=3, lr=0.3)
         == logistic_regression(clean, ["f1"], "y", steps=3, lr=0.3)
     )
+
+
+def test_dup_gram_coverage_interval_union(spark):
+    """Gopher's duplicated-n-gram coverage is an interval UNION: overlapping
+    occurrences count each token position once (frac caps at 1.0), short
+    docs and dup-free docs come back 0."""
+    from simtradedata_spark.operators.textstats import dup_gram_coverage
+
+    rows = [
+        # trigram "a b c" at positions 1 and 4 → covers tokens 1..6 of 7
+        (0, "a b c a b c x"),
+        # "a a a" at 1 and 2 overlap → union covers all 4 (not 6)
+        (1, "a a a a"),
+        (2, "p q r s t"),   # no duplicated trigram
+        (3, "x y"),          # too short for a trigram
+        (4, ""),             # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dup_gram_coverage(df, "doc_id", "text", n=3).collect()
+    }
+    assert (out[0]["covered_tokens"], out[0]["n_tokens"]) == (6, 7)
+    assert abs(out[0]["dup_gram_frac"] - 6 / 7) < 1e-12
+    assert (out[1]["covered_tokens"], out[1]["dup_gram_frac"]) == (4, 1.0)
+    assert out[2]["covered_tokens"] == 0 and out[2]["dup_gram_frac"] == 0.0
+    assert out[3]["covered_tokens"] == 0 and out[4]["covered_tokens"] == 0
+    assert out[4]["dup_gram_frac"] == 0.0
