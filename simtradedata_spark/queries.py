@@ -7301,7 +7301,10 @@ _FRONT_WINDOW = [
     "token_jaccard_pairs",
     "top_customers",
     "trailing_3_per_supplier",
-    "user_retention_cohorts",
+    # new this round (keep-changed-in-window rule) — displaces
+    # user_retention_cohorts (r02-certified, unchanged code, pytest-covered)
+    # to the r6 window
+    "dup_gram_coverage",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
