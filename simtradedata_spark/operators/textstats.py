@@ -256,14 +256,24 @@ def repetition_filter(
     n: int = 2,
     max_frac_dup_tokens: float = 0.95,
     max_top_gram_char_frac: float = 0.20,
+    max_dup_gram_frac: float | None = None,
 ) -> DataFrame:
     """Drop documents failing the repetition thresholds (the filtering form
-    of ``repetition_stats`` — keeps the original columns)."""
+    of ``repetition_stats`` — keeps the original columns).
+    ``max_dup_gram_frac`` additionally applies the duplicated-n-gram
+    coverage rule (``dup_gram_coverage``, Gopher's second A1.1 signal) at
+    the same ``n``; None (default) skips that pass and its extra scan."""
     stats = repetition_stats(df, key_col, text_col, n).filter(
         (F.col("frac_dup_tokens") <= max_frac_dup_tokens)
         & (F.col("top_gram_char_frac") <= max_top_gram_char_frac)
     )
-    return df.join(stats.select(key_col), key_col, "left_semi")
+    out = df.join(stats.select(key_col), key_col, "left_semi")
+    if max_dup_gram_frac is not None:
+        cov = dup_gram_coverage(out, key_col, text_col, n).filter(
+            F.col("dup_gram_frac") <= max_dup_gram_frac
+        )
+        out = out.join(cov.select(key_col), key_col, "left_semi")
+    return out
 
 
 def dup_gram_coverage(

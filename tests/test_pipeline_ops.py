@@ -658,3 +658,21 @@ def test_dup_gram_coverage_interval_union(spark):
     assert out[2]["covered_tokens"] == 0 and out[2]["dup_gram_frac"] == 0.0
     assert out[3]["covered_tokens"] == 0 and out[4]["covered_tokens"] == 0
     assert out[4]["dup_gram_frac"] == 0.0
+
+
+def test_repetition_filter_dup_gram_threshold(spark):
+    """max_dup_gram_frac composes the coverage rule with the existing
+    thresholds; None (default) must not change the previous behavior."""
+    from simtradedata_spark.operators.textstats import repetition_filter
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c x"), (1, "p q r s t")], "doc_id long, text string"
+    )
+    loose = dict(max_frac_dup_tokens=1.0, max_top_gram_char_frac=10.0)
+    both = repetition_filter(df, "doc_id", "text", n=3, **loose)
+    assert {r["doc_id"] for r in both.collect()} == {0, 1}
+    kept = repetition_filter(
+        df, "doc_id", "text", n=3, max_dup_gram_frac=0.5, **loose
+    )
+    # doc 0's duplicated trigram covers 6/7 > 0.5 → dropped; doc 1 has none
+    assert {r["doc_id"] for r in kept.collect()} == {1}
