@@ -178,6 +178,18 @@ def main() -> None:
         "semantic_dedup@gemm",
         lambda: semantic_dedup_gemm(emb, n_cells="auto", threshold=0.45),
     )
+    # The registered ExactSubstr queries keep raw n-gram strings as join
+    # keys so DuckDB can replay them; production hashes each gram to 64
+    # bits before the two gram-keyed exchanges (8-byte shuffle keys instead
+    # of n-token text).
+    from simtradedata_spark.operators.substrings import strip_cross_doc_spans
+
+    _prod(
+        "exact_substr_trim@xxh64",
+        lambda: strip_cross_doc_spans(
+            docs, "doc_id", "text", n=8, hash_grams=True
+        ),
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION

@@ -12,7 +12,16 @@ pin down the engine's accuracy contract and keep call sites declarative:
   - ``approx_quantiles_by``: Greenwald-Khanna (`percentile_approx`),
     rank error ``1/accuracy`` — exact percentiles need a per-group sort.
 
-Both verified against exact answers within tolerance (tests).
+Plus one sketch Spark has no built-in for, assembled from declarative
+aggregation (and therefore still merge-distributed):
+
+  - ``count_min_sketch`` / ``cms_estimate``: Count-Min frequency sketch —
+    fixed depth×width counter table, upward-biased point estimates,
+    counter-wise mergeable across corpora.
+
+All verified against exact answers within tolerance (tests); the CMS
+additionally has an md5 backend whose counter table a DuckDB oracle
+rebuilds byte-identically (queries.py::cms_token_frequency).
 """
 
 from __future__ import annotations
@@ -20,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from simtradedata_spark.operators.dedup import _hash64
 
 
 def hll_distinct_by(
@@ -43,6 +54,89 @@ def approx_quantiles_by(
         F.percentile_approx(
             col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
         ).alias("quantiles")
+    )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of a column's value
+    frequencies: ``depth`` hash rows × ``width`` counters, returned as the
+    sparse counter table (d, bucket, cnt) — absent (d, bucket) pairs are 0.
+
+    The 100 TB shape: buckets are computed row-side (``depth`` hashes per
+    row) and ONE groupBy(d, bucket) aggregates them, so every task's
+    map-side partial state is bounded by depth×width counters no matter how
+    many distinct values pass through — unlike an exact groupBy(value),
+    whose hash-aggregate state grows with the live key space. The result is
+    a fixed-size, MERGEABLE summary (sketches over two corpora add
+    counter-wise), which is what you persist beside a 100 TB corpus to
+    answer "roughly how often does token X appear" without rescanning.
+
+    ``hash_fn='md5'`` uses the 60-bit md5-prefix hash (dedup._hash64) so a
+    DuckDB oracle reproduces the identical table; xxhash64 is the
+    JVM-native production path. Estimates are upward-biased only:
+    est(v) = min_d counter[d][h_d(v)] ≥ true(v), within εN with probability
+    1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉."""
+    ids = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    return (
+        df.select(F.col(col).cast("string").alias("__v"), ids)
+        .select(
+            "d",
+            F.pmod(
+                _hash64(
+                    F.concat_ws("|", F.col("d").cast("string"), F.col("__v")),
+                    hash_fn,
+                ),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int,
+    width: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Point-query a Count-Min sketch: (col, cms_count) per distinct item,
+    cms_count = min over the ``depth`` rows of the addressed counter.
+
+    The sketch is ≤ depth×width rows by construction, so the probe join is
+    BROADCAST — estimating any number of items never shuffles the corpus
+    (the sketch was the only pass over it). Buckets an item never hashed
+    into during build are absent from the sparse table → coalesce to 0,
+    which keeps the estimator exact for never-seen items."""
+    ids = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    probes = (
+        items.select(F.col(col).cast("string").alias(col))
+        .distinct()
+        .select(col, ids)
+        .select(
+            col,
+            "d",
+            F.pmod(
+                _hash64(
+                    F.concat_ws("|", F.col("d").cast("string"), F.col(col)),
+                    hash_fn,
+                ),
+                F.lit(width),
+            ).alias("bucket"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
 
 

@@ -1,0 +1,221 @@
+"""Cross-document exact-substring deduplication (the ExactSubstr family).
+
+Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+Better") showed web corpora carry long byte-identical spans repeated
+ACROSS documents — licence boilerplate, quoted passages, templated
+headers — that whole-document exact dedup and MinHash near-dup both
+miss. Their single-machine tool builds a suffix array; the distributed
+re-expression used here is the standard n-gram-anchor approximation:
+a duplicated span of length ≥ n tokens contains only duplicated
+length-n token windows, so the union of positions covered by token
+n-grams occurring in ≥ 2 distinct documents is exactly the set of
+positions inside cross-document duplicated spans of length ≥ n
+(mirroring the suffix-array minimum-match-length cutoff — spans
+shorter than n are below threshold by construction).
+
+Relationship to the neighbouring families in this package:
+
+- ``textstats.dup_gram_coverage`` — WITHIN-document repetition (Gopher).
+- ``dedup.*`` — whole-document exact / near duplicates.
+- this module — cross-document duplicated SPANS, and their removal.
+
+Plan shape (both operators): tokenize once per row (let-bound), emit
+(start, gram) occurrences, then two gram-keyed shuffles — the
+distinct-doc count and the occurrence join — followed by doc-keyed
+aggregation. Gram keys are near-unique (no skew); at 100 TB the gram
+string is hashed to 64 bits before the exchange (``hash_grams=True``,
+the ``@xxh64`` production variant) so the shuffle carries 8-byte keys
+instead of full n-gram text; the oracled form keeps the raw string so
+DuckDB can replay it exactly.
+
+Matching is case-sensitive by default: exact-substring dedup is
+byte-exact in the reference formulation, and ``strip_cross_doc_spans``
+re-emits the surviving tokens, which must preserve the original case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from simtradedata_spark.operators.dedup import _hash64, let, tokens
+
+
+def _occurrences(
+    df: DataFrame,
+    key_col: str,
+    text_col: str,
+    n: int,
+    lowercase: bool,
+    with_tokens: bool,
+) -> DataFrame:
+    """(key, __s struct) where __s carries n_tokens, the (s, gram)
+    occurrence list (1-based starts), and optionally the token array for
+    text reconstruction. Tokenization happens ONCE per row: the token
+    array is let-bound so the per-start slice lambdas reference a bound
+    variable Catalyst cannot inline back into a per-element regex split."""
+
+    def occ_struct(t: Column) -> Column:
+        idx = F.when(
+            F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        fields = [
+            F.size(t).alias("n_tokens"),
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.alias("s"),
+                    F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
+                ),
+            ).alias("occ"),
+        ]
+        if with_tokens:
+            fields.append(t.alias("toks"))
+        return F.struct(*fields)
+
+    return df.select(
+        key_col, let(tokens(text_col, lowercase=lowercase), occ_struct).alias("__s")
+    )
+
+
+def _gram_key(occ: DataFrame, hash_grams: bool) -> DataFrame:
+    if hash_grams:
+        return occ.withColumn("gram", _hash64("gram"))
+    return occ
+
+
+def cross_doc_dup_coverage(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    lowercase: bool = False,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """Per-document fraction of token positions inside a cross-document
+    duplicated span: position p in doc D is covered when some n-gram
+    occurrence spanning p also occurs in ANOTHER document. Symmetric —
+    every document sharing the span is covered, including the one an
+    eventual strip pass would keep — so it is the diagnostic/filter
+    signal (drop or down-weight docs above a coverage threshold), while
+    ``strip_cross_doc_spans`` is the surgical variant.
+
+    Returns (key, n_tokens, cross_dup_tokens, cross_dup_frac); interval
+    UNION semantics, so overlapping duplicated grams count each position
+    once and the fraction is capped at 1.0."""
+    toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=False)
+    per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
+    occ = _gram_key(
+        toked.select(key_col, F.explode("__s.occ").alias("o")).select(
+            key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
+        ),
+        hash_grams,
+    )
+    dup = (
+        occ.select(key_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    covered = (
+        occ.join(dup, "gram")
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cross_dup_tokens"))
+    )
+    return per_doc.join(covered, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        F.coalesce("cross_dup_tokens", F.lit(0)).cast("long").alias(
+            "cross_dup_tokens"
+        ),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce("cross_dup_tokens", F.lit(0)) / F.col("n_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("cross_dup_frac"),
+    )
+
+
+def strip_cross_doc_spans(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    lowercase: bool = False,
+    hash_grams: bool = False,
+) -> DataFrame:
+    """ExactSubstr REMOVAL: excise every cross-document duplicated span,
+    keeping the copy in the gram's OWNER document (the minimum key among
+    documents containing it — deterministic, engine-invariant). A pair of
+    byte-identical documents therefore collapses to one surviving text and
+    one empty one, exactly the degenerate case where ExactSubstr meets
+    whole-document dedup; within-owner repeats are untouched (that is
+    within-doc repetition — ``textstats.dup_gram_coverage``'s job).
+
+    Returns (key, n_tokens, kept_tokens, removed_tokens, text_clean).
+    ``text_clean`` is the ordered concatenation of surviving tokens —
+    whitespace-NORMALIZED relative to the input (original token order and
+    case preserved, runs of whitespace collapsed to one space), the same
+    contract as the reference tool, which re-emits the byte ranges it
+    keeps. Reconstruction is one doc-keyed aggregation: positions are
+    collected as (pos, token) structs and ``array_sort`` orders them —
+    no window, no assumption about ``collect_list`` ordering."""
+    toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=True)
+    per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
+    occ = _gram_key(
+        toked.select(key_col, F.explode("__s.occ").alias("o")).select(
+            key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
+        ),
+        hash_grams,
+    )
+    dup = (
+        occ.select(key_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.min(key_col).alias("owner"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram", "owner")
+    )
+    removed = (
+        occ.join(dup, "gram")
+        .filter(F.col(key_col) != F.col("owner"))
+        .select(
+            key_col,
+            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    toks_pos = toked.select(
+        key_col, F.posexplode("__s.toks").alias("pos0", "tok")
+    ).select(key_col, (F.col("pos0") + 1).alias("pos"), "tok")
+    rebuilt = (
+        toks_pos.join(removed, [key_col, "pos"], "left_anti")
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("kept_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    return per_doc.join(rebuilt, key_col, "left").select(
+        key_col,
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
+        .cast("long")
+        .alias("removed_tokens"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

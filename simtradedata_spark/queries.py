@@ -4472,6 +4472,108 @@ FROM base b LEFT JOIN covered c USING (doc_id)
 """
 
 
+# Case-SENSITIVE tokens for the ExactSubstr family (substrings.py): the
+# reference formulation matches bytes exactly, and the strip operator
+# re-emits surviving tokens, which must keep their original case.
+_DUCK_TOKENS_CS = (
+    "list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '')"
+)
+
+
+def q_cross_doc_dup_coverage(spark, sf_dir):
+    """ExactSubstr diagnostic (substrings.cross_doc_dup_coverage): per doc,
+    the fraction of token positions inside a span duplicated ACROSS
+    documents — an 8-gram anchor approximates Lee et al. 2022's
+    suffix-array match-length cutoff. Interval union, symmetric (every doc
+    sharing the span counts). Two gram-keyed shuffles + doc-keyed
+    aggregation; the @xxh64 production form shrinks the shuffle key to 8
+    bytes (benched separately)."""
+    from simtradedata_spark.operators.substrings import cross_doc_dup_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return cross_doc_dup_coverage(docs, "doc_id", "text", n=8).select(
+        "doc_id",
+        "n_tokens",
+        "cross_dup_tokens",
+        F.round("cross_dup_frac", 6).alias("cross_dup_frac"),
+    )
+
+
+SQL_CROSS_DOC_DUP_COVERAGE = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS_CS} AS toks, len({_DUCK_TOKENS_CS}) AS nt
+  FROM documents
+), occ AS (
+  SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(nt - 7, 0))) AS u(s)
+), dup AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id AS doc_id,
+           unnest(generate_series(o.s, o.s + 7)) AS pos
+    FROM occ o JOIN dup USING (gram))
+), covered AS (
+  SELECT doc_id, count(*) AS c FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id, b.nt AS n_tokens,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS cross_dup_tokens,
+       round(CASE WHEN b.nt > 0
+             THEN CAST(coalesce(c.c, 0) AS DOUBLE) / b.nt
+             ELSE 0.0 END, 6) AS cross_dup_frac
+FROM base b LEFT JOIN covered c USING (doc_id)
+"""
+
+
+def q_exact_substr_trim(spark, sf_dir):
+    """ExactSubstr REMOVAL (substrings.strip_cross_doc_spans): excise every
+    cross-document duplicated 8-gram span, keeping the copy in the owner
+    doc (min doc_id containing the gram — deterministic). Re-emits the
+    surviving token stream, so an identical-pair collapses to one text and
+    one empty string. Reconstruction is a single doc-keyed array_sort
+    aggregation — no window over token positions."""
+    from simtradedata_spark.operators.substrings import strip_cross_doc_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return strip_cross_doc_spans(docs, "doc_id", "text", n=8)
+
+
+SQL_EXACT_SUBSTR_TRIM = f"""
+WITH base AS (
+  SELECT doc_id, {_DUCK_TOKENS_CS} AS toks, len({_DUCK_TOKENS_CS}) AS nt
+  FROM documents
+), occ AS (
+  SELECT doc_id, s, array_to_string(toks[s:s+7], ' ') AS gram
+  FROM base, unnest(generate_series(1, greatest(nt - 7, 0))) AS u(s)
+), dup AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), rem AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id AS doc_id,
+           unnest(generate_series(o.s, o.s + 7)) AS pos
+    FROM occ o JOIN dup d USING (gram) WHERE o.doc_id <> d.owner)
+), toks_pos AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM base, unnest(generate_series(1, nt)) AS u(i)
+), rebuilt AS (
+  SELECT t.doc_id, count(*) AS kept_tokens,
+         string_agg(t.tok, ' ' ORDER BY t.pos) AS text_clean
+  FROM toks_pos t
+  LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+  WHERE r.pos IS NULL
+  GROUP BY t.doc_id
+)
+SELECT b.doc_id, b.nt AS n_tokens,
+       CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(b.nt - coalesce(r.kept_tokens, 0) AS BIGINT) AS removed_tokens,
+       coalesce(r.text_clean, '') AS text_clean
+FROM base b LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label mean embedding (the reduce step of k-means / class
     prototypes), emitted tall as (label, dim, centroid). posexplode keeps the
@@ -6308,6 +6410,66 @@ SELECT tok, n FROM counts, total WHERE n * 500 > t
 """
 
 
+def q_cms_token_frequency(spark, sf_dir):
+    """Count-Min sketch end-to-end (sketches.count_min_sketch /
+    cms_estimate): build a 3×512 CMS over the corpus token stream — ONE
+    groupBy whose map-side partial state is bounded at depth×width
+    counters regardless of vocabulary size — then point-query it for the
+    exact heavy hitters and emit (tok, n, cms_count). The probe join is
+    broadcast (the sketch is ≤1536 rows by construction); cms_count ≥ n
+    always (CMS overcounts only), and the md5 hash backend lets DuckDB
+    rebuild the byte-identical counter table."""
+    from simtradedata_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    sketch = count_min_sketch(toks, "tok", depth=3, width=512, hash_fn="md5")
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("_total"))
+    heavy = (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 500 > F.col("_total"))
+        .select("tok", "n")
+    )
+    return heavy.join(
+        cms_estimate(sketch, heavy, "tok", depth=3, width=512, hash_fn="md5"),
+        "tok",
+    ).select("tok", "n", F.col("cms_count").cast("long").alias("cms_count"))
+
+
+SQL_CMS_TOKEN_FREQUENCY = f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+), sketch AS (
+  SELECT d,
+         ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 15))::BIGINT
+           % 512 AS bucket,
+         count(*) AS cnt
+  FROM toks, unnest([0, 1, 2]) AS u(d)
+  GROUP BY 1, 2
+), counts AS (
+  SELECT tok, count(*) AS n FROM toks GROUP BY 1
+), total AS (
+  SELECT count(*) AS t FROM toks
+), heavy AS (
+  SELECT tok, n FROM counts, total WHERE n * 500 > t
+), est AS (
+  SELECT h.tok, min(s.cnt) AS cms_count
+  FROM heavy h, unnest([0, 1, 2]) AS u(d)
+  JOIN sketch s
+    ON s.d = u.d
+   AND s.bucket = ('0x' || substr(md5(CAST(u.d AS VARCHAR) || '|' || h.tok),
+                   1, 15))::BIGINT % 512
+  GROUP BY h.tok
+)
+SELECT h.tok, h.n, CAST(e.cms_count AS BIGINT) AS cms_count
+FROM heavy h JOIN est e USING (tok)
+"""
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental ingest dedup (dedup.minhash_index / minhash_probe_index):
     the corpus (doc_id % 10 != 0) is indexed once as LSH band postings; the
@@ -7161,6 +7323,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "dedup_docs_exact": (q_dedup_docs_exact, SQL_DEDUP_DOCS_EXACT),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "dup_gram_coverage": (q_dup_gram_coverage, SQL_DUP_GRAM_COVERAGE),
+    "cross_doc_dup_coverage": (
+        q_cross_doc_dup_coverage,
+        SQL_CROSS_DOC_DUP_COVERAGE,
+    ),
+    "exact_substr_trim": (q_exact_substr_trim, SQL_EXACT_SUBSTR_TRIM),
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "top_supplier_revenue": (q_top_supplier_revenue, SQL_TOP_SUPPLIER_REVENUE),
     "important_parts": (q_important_parts, SQL_IMPORTANT_PARTS),
@@ -7223,6 +7390,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "weighted_sample_docs": (q_weighted_sample_docs, SQL_WEIGHTED_SAMPLE_DOCS),
     "monthly_winsorized": (q_monthly_winsorized, SQL_MONTHLY_WINSORIZED),
     "frequent_tokens": (q_frequent_tokens, SQL_FREQUENT_TOKENS),
+    "cms_token_frequency": (q_cms_token_frequency, SQL_CMS_TOKEN_FREQUENCY),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -7258,6 +7426,12 @@ _FRONT_WINDOW = [
     "kdj_orders",
     "macd_orders",
     "rsi_orders",
+    # new this round (keep-changed-in-window rule): the ExactSubstr family
+    # (operators/substrings.py) — displaces active_nations and
+    # big_spender_segments (r02-certified, unchanged code, pytest-covered)
+    # to the r6 window
+    "cross_doc_dup_coverage",
+    "exact_substr_trim",
     "hard_negatives",
     "kmeans_clusters",
     "semantic_dedup",
@@ -7269,11 +7443,11 @@ _FRONT_WINDOW = [
     "curriculum_buckets",
     "logit_training",
     "classifier_eval",
-    "active_nations",
     "asof_purchase_signup",
     "benchmark_contamination",
-    "big_spender_segments",
-    "brand_type_revenue",
+    # new this round: the Count-Min sketch build+probe (sketches.py) —
+    # displaces brand_type_revenue (r02-certified, unchanged code) to r6
+    "cms_token_frequency",
     "cosine_near_dups",
     "cosine_top5",
     "customers_without_orders",

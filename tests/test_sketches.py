@@ -158,3 +158,84 @@ def test_ivf_index_append_equals_rebuild_under_same_centroids(spark, tmp_path):
     a = ivf_probe_persisted(spark, idx, queries, k=3, n_probe=3)
     b = ivf_probe_persisted(spark, idx2, queries, k=3, n_probe=3)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_cms_overcounts_only_and_is_exact_when_wide(spark):
+    """CMS point estimates dominate true counts; with width >> distinct
+    values, collisions vanish and the estimate is exact. The sparse table
+    never exceeds depth x width rows and merges counter-wise."""
+    from simtradedata_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    rows = [(t,) for t, k in [("a", 50), ("b", 20), ("c", 5), ("d", 1)] for t in [t] * k]
+    df = spark.createDataFrame(rows, ["tok"])
+    items = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("never",)], ["tok"]
+    )
+    true = {"a": 50, "b": 20, "c": 5, "d": 1, "never": 0}
+
+    # tiny width (2 buckets, 4 values) forces collisions -> strict overcount
+    # somewhere, but never an undercount anywhere
+    tiny = count_min_sketch(df, "tok", depth=3, width=2)
+    assert tiny.count() <= 3 * 2
+    est_tiny = {
+        r["tok"]: r["cms_count"]
+        for r in cms_estimate(tiny, items, "tok", depth=3, width=2).collect()
+    }
+    assert all(est_tiny[t] >= n for t, n in true.items())
+    assert any(est_tiny[t] > n for t, n in true.items())
+
+    # wide sketch: exact for every probed item, including a never-seen one
+    wide = count_min_sketch(df, "tok", depth=4, width=4096)
+    est_wide = {
+        r["tok"]: r["cms_count"]
+        for r in cms_estimate(wide, items, "tok", depth=4, width=4096).collect()
+    }
+    assert est_wide == true
+
+    # mergeability: sketch(A) + sketch(B) counter-wise == sketch(A union B)
+    half1 = spark.createDataFrame(rows[:38], ["tok"])
+    half2 = spark.createDataFrame(rows[38:], ["tok"])
+    merged = (
+        count_min_sketch(half1, "tok", depth=3, width=2)
+        .unionByName(count_min_sketch(half2, "tok", depth=3, width=2))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, tiny.collect())
+    )
+
+
+def test_cms_md5_backend_matches_duckdb_replay(spark):
+    """The md5 hash backend's counter table is engine-reproducible: DuckDB
+    rebuilds the byte-identical sketch from the same rows."""
+    import duckdb
+
+    from simtradedata_spark.operators.sketches import count_min_sketch
+
+    rows = [("tok%d" % (i % 7),) for i in range(100)]
+    df = spark.createDataFrame(rows, ["tok"])
+    got = sorted(
+        map(tuple, count_min_sketch(df, "tok", depth=3, width=64, hash_fn="md5").collect())
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (tok VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+                SELECT d,
+                       ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || tok),
+                        1, 15))::BIGINT % 64 AS bucket,
+                       count(*) AS cnt
+                FROM t, unnest([0, 1, 2]) AS u(d) GROUP BY 1, 2
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want

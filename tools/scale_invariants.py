@@ -55,6 +55,12 @@ FAMILY = {
     "dedup_clusters": (["doc_id", "cluster_id"], "doc"),
     "cluster_representatives": (["cluster_id", "rep_doc"], "doc"),
     "dup_chunks": (["first_doc"], "doc"),
+    # ExactSubstr family: replica texts are word-tagged, so cross-replica
+    # 8-gram overlap is zero — every replica's dup grams (and owners) stay
+    # internal to it. One output row per doc -> exact N x counts; replica-0
+    # slice byte-identical.
+    "cross_doc_dup_coverage": (["doc_id"], "doc"),
+    "exact_substr_trim": (["doc_id"], "doc"),
 }
 
 # The cosine-threshold family needs a WEAKER count invariant: the replica
