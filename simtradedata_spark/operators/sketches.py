@@ -12,16 +12,20 @@ pin down the engine's accuracy contract and keep call sites declarative:
   - ``approx_quantiles_by``: Greenwald-Khanna (`percentile_approx`),
     rank error ``1/accuracy`` — exact percentiles need a per-group sort.
 
-Plus one sketch Spark has no built-in for, assembled from declarative
-aggregation (and therefore still merge-distributed):
+Plus two sketches Spark has no user-facing built-in for, assembled from
+declarative aggregation (and therefore still merge-distributed):
 
   - ``count_min_sketch`` / ``cms_estimate``: Count-Min frequency sketch —
     fixed depth×width counter table, upward-biased point estimates,
     counter-wise mergeable across corpora.
+  - ``bloom_build`` / ``bloom_might_contain``: Bloom membership filter —
+    fixed m-bit packed-word table, false-positives-only, OR-mergeable;
+    the broadcast-able decontamination bitset.
 
-All verified against exact answers within tolerance (tests); the CMS
-additionally has an md5 backend whose counter table a DuckDB oracle
-rebuilds byte-identically (queries.py::cms_token_frequency).
+All verified against exact answers within tolerance (tests); the CMS and
+Bloom additionally have an md5 backend whose tables a DuckDB oracle
+rebuilds byte-identically (queries.py::cms_token_frequency /
+bloom_decontam).
 """
 
 from __future__ import annotations
@@ -137,6 +141,98 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
         .groupBy(col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Bloom filter over a column's values: ``m_bits`` bit positions, ``k``
+    hash functions, returned as the sparse packed-word table
+    (word_idx, word) — absent words are 0.
+
+    Words pack 63 bits (positions ``word_idx*63 .. word_idx*63+62``), NOT
+    64: both engines' BIGINT ``1 << 63`` is the sign bit (DuckDB raises an
+    overflow), and the word split is internal packing, not semantics. The
+    build is one bounded groupBy — map-side ``bit_or`` partials never
+    exceed ⌈m_bits/63⌉ words per task no matter how many values stream
+    through, and two filters over different corpora merge by OR-ing words.
+
+    This is the 100 TB decontamination shape: a benchmark's n-gram set as
+    a ~KB-to-MB bitset BROADCAST to every executor, instead of a
+    broadcast-joined gram dimension whose size tracks the benchmark.
+    ``hash_fn='md5'`` makes the bit pattern DuckDB-reproducible
+    (queries.py::bloom_decontam); xxhash64 is the production backend.
+    False positives only (rate ≈ (1-e^{-kn/m})^k); never false negatives."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    return (
+        df.select(F.col(col).cast("string").alias("__v"), seeds)
+        .select(
+            F.pmod(
+                _hash64(
+                    F.concat_ws("|", F.col("seed").cast("string"), F.col("__v")),
+                    hash_fn,
+                ),
+                F.lit(m_bits),
+            ).alias("pos")
+        )
+        .select(
+            F.floor(F.col("pos") / 63).cast("long").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(63)).cast("int").alias("bit"),
+        )
+        .selectExpr("word_idx", "shiftleft(CAST(1 AS BIGINT), bit) AS mask")
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+
+
+def bloom_might_contain(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Probe a Bloom filter: (col, might_contain) per distinct item —
+    true iff ALL ``k`` addressed bits are set. The sketch is ≤ ⌈m_bits/63⌉
+    rows, so the probe join is BROADCAST: membership testing any number of
+    items costs one map-side pass, no corpus shuffle. Missing words
+    coalesce to 0, keeping never-seen items exact (false)."""
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    probes = (
+        items.select(F.col(col).cast("string").alias(col))
+        .distinct()
+        .select(col, seeds)
+        .select(
+            col,
+            F.pmod(
+                _hash64(
+                    F.concat_ws("|", F.col("seed").cast("string"), F.col(col)),
+                    hash_fn,
+                ),
+                F.lit(m_bits),
+            ).alias("pos"),
+        )
+        .select(
+            col,
+            F.floor(F.col("pos") / 63).cast("long").alias("word_idx"),
+            F.pmod(F.col("pos"), F.lit(63)).cast("int").alias("bit"),
+        )
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["word_idx"], "left")
+        .selectExpr(
+            col,
+            "CAST(shiftright(coalesce(word, CAST(0 AS BIGINT)), bit) & 1"
+            " AS INT) AS present",
+        )
+        .groupBy(col)
+        .agg((F.min("present") == 1).alias("might_contain"))
     )
 
 

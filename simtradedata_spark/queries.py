@@ -4574,6 +4574,103 @@ FROM base b LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def q_bloom_decontam(spark, sf_dir):
+    """Bloom-filter decontamination (sketches.bloom_build /
+    bloom_might_contain): the benchmark's (source 'src0') distinct word
+    5-grams become a 16384-bit / 4-hash bitset — ≤260 packed words,
+    BROADCAST — and every corpus gram is membership-tested against it.
+    This is the 100 TB alternative to benchmark_contamination's
+    broadcast-joined gram dimension: the bitset's size is fixed by m, not
+    by the benchmark. False positives only (≈0.6% at these parameters —
+    bloom_hits ≥ the exact n_hits, flagged docs a superset), never false
+    negatives; the md5 hash backend lets DuckDB rebuild the identical bit
+    pattern, so even the false positives are certified."""
+    from simtradedata_spark.operators.dedup import shingles_of, tokens
+    from simtradedata_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m_bits, k = 1 << 14, 4
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select("doc_id", "source", shingles_of(tokens("text"), 5).alias("gs"))
+    bench_g = (
+        g.filter(F.col("source") == "src0")
+        .select(F.explode("gs").alias("gram"))
+        .distinct()
+    )
+    corpus = g.filter(F.col("source") != "src0").select(
+        "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
+    )
+    sketch = bloom_build(bench_g, "gram", m_bits=m_bits, k=k, hash_fn="md5")
+    probed = bloom_might_contain(
+        sketch, corpus.select("gram"), "gram", m_bits=m_bits, k=k, hash_fn="md5"
+    )
+    per_doc = corpus.groupBy("doc_id").agg(F.min("n_grams").alias("n_grams"))
+    hits = (
+        corpus.join(probed.filter("might_contain"), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bloom_hits"))
+    )
+    return per_doc.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+        (F.coalesce("bloom_hits", F.lit(0)) > 0).alias("flagged"),
+    )
+
+
+SQL_BLOOM_DECONTAM = """
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         CASE WHEN len(ws) >= 5
+              THEN list_distinct([array_to_string(list_slice(ws, i, i+4), ' ')
+                                  FOR i IN range(1, len(ws)-3)])
+              ELSE list_distinct(ws) END AS gs
+  FROM words
+), bench_g AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE source = 'src0'
+), bench_bits AS (
+  SELECT (pos // 63) AS word_idx, (1::BIGINT << CAST(pos % 63 AS INT)) AS mask
+  FROM (SELECT ('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || gram),
+                1, 15))::BIGINT % 16384 AS pos
+        FROM bench_g, unnest([0, 1, 2, 3]) AS u(seed))
+), sketch AS (
+  SELECT word_idx, bit_or(mask) AS word FROM bench_bits GROUP BY 1
+), corp AS (
+  SELECT doc_id, len(gs) AS n_grams, unnest(gs) AS gram
+  FROM grams WHERE source <> 'src0'
+), cg AS (
+  SELECT DISTINCT gram FROM corp
+), cg_pos AS (
+  SELECT gram, ('0x' || substr(md5(CAST(seed AS VARCHAR) || '|' || gram),
+                1, 15))::BIGINT % 16384 AS pos
+  FROM cg, unnest([0, 1, 2, 3]) AS u(seed)
+), probe AS (
+  SELECT gram,
+         min(CAST((coalesce(s.word, 0) >> CAST(p.pos % 63 AS INT)) & 1
+             AS INT)) AS ok
+  FROM cg_pos p LEFT JOIN sketch s ON s.word_idx = p.pos // 63
+  GROUP BY gram
+), per_doc AS (
+  SELECT doc_id, min(n_grams) AS n_grams FROM corp GROUP BY doc_id
+), hits AS (
+  SELECT c.doc_id, count(*) AS bloom_hits
+  FROM corp c JOIN probe USING (gram) WHERE probe.ok = 1
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, d.n_grams,
+       CAST(coalesce(h.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+       coalesce(h.bloom_hits, 0) > 0 AS flagged
+FROM per_doc d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 def q_label_centroids(spark, sf_dir):
     """Per-label mean embedding (the reduce step of k-means / class
     prototypes), emitted tall as (label, dim, centroid). posexplode keeps the
@@ -7391,6 +7488,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "monthly_winsorized": (q_monthly_winsorized, SQL_MONTHLY_WINSORIZED),
     "frequent_tokens": (q_frequent_tokens, SQL_FREQUENT_TOKENS),
     "cms_token_frequency": (q_cms_token_frequency, SQL_CMS_TOKEN_FREQUENCY),
+    "bloom_decontam": (q_bloom_decontam, SQL_BLOOM_DECONTAM),
 }
 
 # The driver's correctness artifact checks only the FIRST 50 registry
@@ -7443,11 +7541,12 @@ _FRONT_WINDOW = [
     "curriculum_buckets",
     "logit_training",
     "classifier_eval",
-    "asof_purchase_signup",
     "benchmark_contamination",
-    # new this round: the Count-Min sketch build+probe (sketches.py) —
-    # displaces brand_type_revenue (r02-certified, unchanged code) to r6
+    # new this round: the Count-Min sketch and Bloom filter build+probe
+    # (sketches.py) — displace brand_type_revenue and asof_purchase_signup
+    # (r02-certified, unchanged code) to the r6 window
     "cms_token_frequency",
+    "bloom_decontam",
     "cosine_near_dups",
     "cosine_top5",
     "customers_without_orders",

@@ -239,3 +239,51 @@ def test_cms_md5_backend_matches_duckdb_replay(spark):
         )
     )
     assert got == want
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    """Every inserted value tests positive; a tiny filter yields a
+    deterministic false positive but never a false negative; two filters
+    OR-merge into the union's filter."""
+    from simtradedata_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    vals = [("v%d" % i,) for i in range(64)]
+    df = spark.createDataFrame(vals, ["v"])
+    m, k = 1 << 12, 4
+    sk = bloom_build(df, "v", m_bits=m, k=k)
+    assert sk.count() <= (m + 62) // 63
+
+    probe_rows = vals + [("absent%d" % i,) for i in range(200)]
+    items = spark.createDataFrame(probe_rows, ["v"])
+    got = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(sk, items, "v", m_bits=m, k=k).collect()
+    }
+    assert all(got["v%d" % i] for i in range(64))  # no false negatives
+    # at m=4096/k=4/n=64 the FP rate is ~1e-5: all 200 absents negative
+    assert not any(got["absent%d" % i] for i in range(200))
+
+    # a saturated filter (m=8: 128 draws over 8 bits) says yes to
+    # everything — the degenerate all-false-positive end of the
+    # trade-off, still no-FN
+    tiny = bloom_build(df, "v", m_bits=8, k=2)
+    got_tiny = bloom_might_contain(tiny, items, "v", m_bits=8, k=2)
+    assert got_tiny.filter("NOT might_contain").count() == 0
+
+    # OR-merge == filter of the union
+    from pyspark.sql import functions as F2
+
+    a = spark.createDataFrame(vals[:32], ["v"])
+    b = spark.createDataFrame(vals[32:], ["v"])
+    merged = (
+        bloom_build(a, "v", m_bits=m, k=k)
+        .unionByName(bloom_build(b, "v", m_bits=m, k=k))
+        .groupBy("word_idx")
+        .agg(F2.bit_or("word").alias("word"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )

@@ -34,6 +34,7 @@ ALLOW_BNLJ = {
     "value_histogram",       # min/max bounds (1 row)
     "dormant_rich_customers",  # integer-exact mean threshold (1 row)
     "frequent_tokens",       # global token-count threshold (1 row)
+    "cms_token_frequency",   # same 1-row total-count threshold scalar
     "tfidf_top_terms",       # corpus doc-count scalar (1 row)
     "perplexity_scores",     # corpus token-total scalar (1 row)
     "bigram_perplexity",     # same corpus-total scalar (1 row)
