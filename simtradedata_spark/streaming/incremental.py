@@ -552,3 +552,44 @@ def streaming_minute_rollup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_count_min(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    hash_fn: str = "xxhash64",
+    query_name: str = "cms_stream",
+):
+    """Maintain a Count-Min sketch over a file stream (the "frequency
+    monitor beside the 100 TB ingest" shape): identical bucket arithmetic
+    to the batch ``sketches.count_min_sketch``, run as a streaming
+    aggregation in COMPLETE output mode.
+
+    Complete mode over an unbounded-key groupBy is the classic streaming
+    state leak — but a CMS aggregation CANNOT leak: its key space is the
+    (depth × width) counter grid, fixed at plan time, no matter how many
+    distinct values the stream carries. That bounded-state property is the
+    whole reason the sketch exists, and it is what makes this one of the
+    few aggregations where complete mode is legitimate without a
+    watermark. The memory-sink table always holds the CURRENT sketch;
+    batch ≡ streaming parity is pinned in
+    tests/test_stateful_streaming.py."""
+    from simtradedata_spark.operators.sketches import count_min_sketch
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    sk = count_min_sketch(stream, col, depth=depth, width=width, hash_fn=hash_fn)
+    return (
+        sk.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )

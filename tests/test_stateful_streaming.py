@@ -283,3 +283,36 @@ def test_interval_left_outer_join_stream_equals_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got_set == expect_set
+
+
+def test_streaming_cms_matches_batch(spark, tmp_path):
+    """The streaming Count-Min sketch (complete-mode aggregation with
+    plan-time-bounded state) lands counter-for-counter on the batch
+    sketch after draining a multi-file stream."""
+    from simtradedata_spark.operators.sketches import count_min_sketch
+    from simtradedata_spark.streaming.incremental import streaming_count_min
+
+    src = str(tmp_path / "cms_src")
+    rows = [("tok%d" % (i % 13),) for i in range(400)]
+    df = spark.createDataFrame(rows, ["tok"])
+    # three files -> three micro-batches (counters must fold across them)
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    q = streaming_count_min(
+        spark, src, schema, "tok", depth=3, width=32, query_name="t_cms"
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            map(
+                tuple,
+                spark.sql("SELECT d, bucket, cnt FROM t_cms").collect(),
+            )
+        )
+    finally:
+        q.stop()
+    want = sorted(
+        map(tuple, count_min_sketch(df, "tok", depth=3, width=32).collect())
+    )
+    assert got == want
