@@ -51,6 +51,11 @@ def main() -> None:
     # Arrow-batch query so those engine paths are compiled too.
     warm_names = list(QUERIES)[:3] + [
         "active_nations", "supplier_moving_avg", "quality_classifier",
+        # tokenize/HOF/n-gram codegen: the ExactSubstr + sketch families sit
+        # at window positions 7-10, early enough to eat residual JIT without
+        # this (measured 8.2 s first-run vs 3.7-4.4 s steady-state for
+        # cross_doc_dup_coverage in the r5d recording)
+        "dup_gram_coverage",
     ]
     for warm in dict.fromkeys(n for n in warm_names if n in QUERIES):
         QUERIES[warm][0](spark, sf_dir).write.format("noop").mode(
@@ -190,6 +195,67 @@ def main() -> None:
             docs, "doc_id", "text", n=8, hash_grams=True
         ),
     )
+    # Sketch production backends: the registered queries run md5 so DuckDB
+    # can rebuild the tables; production is xxhash64 (JVM-native — the md5
+    # conv() path dominated cms_token_frequency at sf1.0: 12.5 s -> 2.7 s).
+    # bloom_decontam additionally sizes m from the data (bloom_sizing)
+    # instead of the oracle's pinned 16384 bits, which saturate once the
+    # benchmark's gram count approaches m/k. At sf1.0 that saturation costs
+    # PRECISION (~50% of corpus grams flag as might-contain), not runtime —
+    # gram construction dominates both forms equally — so the variant's
+    # point is the restored FP rate, recorded here so the sizing rule has a
+    # benched form.
+    from pyspark.sql import functions as FB
+
+    from simtradedata_spark.operators.dedup import shingles_of, tokens
+    from simtradedata_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_sizing,
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    def _cms_prod():
+        toks = docs.select(FB.explode(tokens("text")).alias("tok"))
+        sketch = count_min_sketch(toks, "tok", depth=3, width=512)
+        counts = toks.groupBy("tok").agg(FB.count(FB.lit(1)).alias("n"))
+        total = toks.agg(FB.count(FB.lit(1)).alias("_total"))
+        heavy = (
+            counts.crossJoin(FB.broadcast(total))
+            .filter(FB.col("n") * 500 > FB.col("_total"))
+            .select("tok", "n")
+        )
+        return heavy.join(
+            cms_estimate(sketch, heavy, "tok", depth=3, width=512), "tok"
+        )
+
+    _prod("cms_token_frequency@xxh64", _cms_prod)
+
+    def _bloom_prod():
+        g = docs.select(
+            "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
+        )
+        bench_g = (
+            g.filter(FB.col("source") == "src0")
+            .select(FB.explode("gs").alias("gram"))
+            .distinct()
+        )
+        m = bloom_sizing(bench_g.count())
+        corpus = g.filter(FB.col("source") != "src0").select(
+            "doc_id", FB.explode("gs").alias("gram")
+        )
+        sketch = bloom_build(bench_g, "gram", m_bits=m, k=4)
+        probed = bloom_might_contain(
+            sketch, corpus.select("gram"), "gram", m_bits=m, k=4
+        )
+        return (
+            corpus.join(probed.filter("might_contain"), "gram")
+            .groupBy("doc_id")
+            .agg(FB.count(FB.lit(1)).alias("bloom_hits"))
+        )
+
+    _prod("bloom_decontam@xxh64", _bloom_prod)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION

@@ -144,6 +144,19 @@ def cms_estimate(
     )
 
 
+def bloom_sizing(n_items: int, bits_per_item: int = 16) -> int:
+    """Production m_bits for an expected element count: 16 bits/element at
+    k=4 gives FP ≈ (1-e^{-k/16})^k ≈ 0.24%, rounded up to a power of two
+    (min 1024). The certified query pins m so DuckDB replays the identical
+    bit pattern; production sizes m from a (bounded, one-job) distinct
+    count — a fixed m saturates once n approaches m/k and the filter
+    degrades toward all-positive (still correct, never false-negative,
+    but the probe join stops pruning; measured in the sf1.0 bench before
+    this helper existed)."""
+    m = max(1024, n_items * bits_per_item)
+    return 1 << (m - 1).bit_length()
+
+
 def bloom_build(
     df: DataFrame,
     col: str,

@@ -73,9 +73,15 @@ def _occurrences(
             fields.append(t.alias("toks"))
         return F.struct(*fields)
 
+    # SCRATCH persist (released between queries by release_scratch, the
+    # minhash-signature lifecycle): this frame feeds the per-doc lengths,
+    # BOTH sides of the dup-gram self-aggregation, and (for strip) the
+    # posexplode rebuild — without it the tokenize+slice+concat gram
+    # construction, the dominant CPU cost, runs 3-4x per query (measured
+    # 38 s for exact_substr_trim at sf1.0 pre-persist).
     return df.select(
         key_col, let(tokens(text_col, lowercase=lowercase), occ_struct).alias("__s")
-    )
+    ).persist()
 
 
 def _gram_key(occ: DataFrame, hash_grams: bool) -> DataFrame:
