@@ -1,0 +1,243 @@
+"""Product quantization (Jégou, Douze & Schmid 2011, "Product
+Quantization for Nearest Neighbor Search"): split each d-dim vector into
+``m`` subvectors, vector-quantize each subspace against its own
+``k``-centroid codebook, and store m small codes instead of d floats —
+64-dim float64 (512 B) → int8 (64 B, similarity.quantize_int8) → PQ m=8
+codes (8 B). Queries are answered with Asymmetric Distance Computation
+(ADC): the query stays EXACT, and each corpus vector's distance is the
+sum of m query-to-centroid sub-distances read off its codes, so search
+cost is O(m) lookups per corpus row over data that fits ~64× more per
+executor. This is the compression rung production ANN systems (IVF-PQ)
+pair with the coarse quantizer in similarity.build_ivf_index.
+
+Scale shape: training is driver-side Lloyd per subspace on a bounded
+sample (PQ codebooks, like IVF quantizers, always train on a sample —
+same contract as similarity._train_centroids); encode is a narrow
+column-expression pass (no shuffle, no UDF — the m×k distance evaluations
+are unrolled into codegen'd array expressions); ADC search broadcasts the
+query set and ranks with one window, the cosine_top_k plan shape on
+8-byte rows instead of 512-byte vectors.
+
+Metric: squared L2, PQ's native metric. On unit-normalized inputs L2
+ranking equals cosine ranking (||a-b||² = 2-2cosθ), which is how the
+recall gate in tests/test_pq.py compares against brute-force cosine.
+
+Sub-distance folds are written index-ascending and left-associative in
+BOTH engines, so the certified query's scores match DuckDB bit-for-bit
+(no tolerance needed even at equal-score rank ties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pq_train(
+    corpus: DataFrame,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 7,
+    max_iter: int = 8,
+    train_cap: int = 4096,
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's on a bounded reservoir; returns
+    codebooks[m][k][d/m] (plain floats — broadcastable as plan literals)."""
+    import numpy as np
+
+    mat = np.stack(
+        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+    ).astype(np.float64)
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        s = mat[:, j * sub : (j + 1) * sub]
+        k_eff = min(k, len(s))
+        cent = s[rng.choice(len(s), size=k_eff, replace=False)]
+        for _ in range(max_iter):
+            assign = np.argmin(
+                -2.0 * (s @ cent.T) + (cent * cent).sum(axis=1), axis=1
+            )
+            for c in range(k_eff):
+                members = s[assign == c]
+                cent[c] = members.mean(axis=0) if len(members) else s[
+                    rng.integers(len(s))
+                ]
+        books.append([[float(x) for x in row] for row in cent])
+    return books
+
+
+def _sub_dist2(vec: Column, start0: int, sub: int, centroid: list[float]) -> Column:
+    """Σ_i (vec[start+i] - centroid[i])², index-ascending left-assoc fold —
+    the float-add order the DuckDB oracle reproduces exactly."""
+    out = None
+    for i, cval in enumerate(centroid):
+        t = (F.element_at(vec, start0 + i + 1) - F.lit(float(cval))) ** 2
+        out = t if out is None else out + t
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    out_col: str = "codes",
+) -> DataFrame:
+    """Append ``out_col``: array<int> of m codes, code j = argmin over the
+    subspace-j codebook of squared L2 (ties → lowest code, via array_min
+    on (dist, code) structs). Narrow column expressions only — the m×k
+    distance evaluations unroll into whole-stage codegen; no shuffle."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    codes = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _sub_dist2(v, j * sub, sub, codebooks[j][c]).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        codes.append(F.array_min(cands)["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_top_k(
+    codes_df: DataFrame,
+    id_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k: for each (broadcast) query, approximate squared-L2 to
+    every corpus row as Σ_j ||q_subj − codebook_j[code_j]||², rank
+    ascending (ties → lowest neighbor id). Returns (query_id, neighbor_id,
+    rank, adc_dist2). The corpus side carries only (id, m codes); the
+    decode is an element_at chain into the broadcast codebook literals —
+    no vectors move, no UDF runs."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    c = codes_df.select(
+        F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes")
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qvec")
+    )
+    dist = None
+    for j in range(m):
+        # codebook j as a k×sub literal; the row is picked by the stored code
+        cb_j = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in codebooks[j]
+            ]
+        )
+        cent = F.element_at(cb_j, F.element_at("__codes", j + 1) + 1)
+        t = None
+        for i in range(sub):
+            term = (
+                F.element_at("__qvec", j * sub + i + 1)
+                - F.element_at(cent, i + 1)
+            ) ** 2
+            t = term if t is None else t + term
+        dist = t if dist is None else dist + t
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select("query_id", "neighbor_id", dist.alias("adc_dist2"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_dist2")
+    )
+
+
+def pq_shortlist_rerank(
+    codes_df: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    qid_col: str,
+    qvec_col: str,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    shortlist: int = 100,
+) -> DataFrame:
+    """The production PQ serving pattern: ADC over the 8-byte codes
+    produces a ``shortlist`` of candidates per query, then ONLY those rows'
+    full vectors are fetched and re-ranked exactly (cosine). Quantization
+    error costs shortlist membership, not final ordering — measured on the
+    worst-case isotropic-Gaussian corpus, direct ADC top-10 recall 0.27
+    becomes 0.86 through a 100-candidate re-rank (tests/test_pq.py pins
+    the floor). The exact pass touches shortlist×|queries| vectors instead
+    of the corpus."""
+    from simtradedata_spark.operators.similarity import cosine
+
+    cand = pq_adc_top_k(
+        codes_df, id_col, queries, qid_col, qvec_col, codebooks, k=shortlist
+    ).select("query_id", "neighbor_id")
+    withv = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qvec")
+    )
+    scored = withv.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__nvec")).alias("__sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def pq_codebooks_from_rows(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, k: int
+) -> list[list[list[float]]]:
+    """Init-only codebooks: subspace j's codebook is the j-th subvectors of
+    the k lowest-id rows — a deterministic, SQL-replayable rule. The
+    certified query (queries.py::pq_ann_top5) uses THIS so the DuckDB
+    oracle can rebuild the identical codebooks from the table alone;
+    Lloyd-trained codebooks (pq_train) change quality, not algebra, and
+    are gated by the recall test instead."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    d = len(rows[0][vec_col])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    return [
+        [
+            [float(x) for x in r[vec_col][j * sub : (j + 1) * sub]]
+            for r in rows
+        ]
+        for j in range(m)
+    ]

@@ -1136,6 +1136,79 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
 
+def q_pq_ann_top5(spark, sf_dir):
+    """Product-quantized ANN (operators/pq.py, Jégou et al. 2011): encode
+    every 64-dim vector as 8 codes against per-subspace 16-centroid
+    codebooks (512 B → 8 B), then answer 10 queries by Asymmetric Distance
+    Computation — exact query, Σ of looked-up sub-distances, one window
+    rank. The certified codebooks use the SQL-replayable init-only rule
+    (subvectors of the 16 lowest-id rows, pq_codebooks_from_rows); Lloyd
+    training changes quality, not algebra, and is gated by the recall
+    floor in tests/test_pq.py. Sub-distance folds are index-ascending
+    left-associative in both engines, so scores (and therefore tie-broken
+    ranks) match exactly even where quantization makes distances equal."""
+    from simtradedata_spark.operators.pq import (
+        pq_adc_top_k,
+        pq_codebooks_from_rows,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=8, k=16)
+    codes = pq_encode(emb, "embedding", cb)
+    qs = emb.filter(F.col("vec_id") < 10)
+    out = pq_adc_top_k(codes, "vec_id", qs, "vec_id", "embedding", cb, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("adc_dist2", 6).alias("adc_dist2"),
+    )
+
+
+SQL_PQ_ANN_TOP5 = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cb AS (  -- init-only codebooks: code c = rank of the source row
+  SELECT c, j, v[j*8+1 : j*8+8] AS cent
+  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+        FROM emb ORDER BY vec_id LIMIT 16),
+       unnest(range(0, 8)) AS u(j)
+), enc AS (  -- argmin over the 16 codes per (vector, subspace)
+  SELECT vec_id, j, c FROM (
+    SELECT e.vec_id, cb.j, cb.c,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.j
+             ORDER BY list_reduce([(e.v[cb.j*8+i] - cent[i]) ^ 2
+                                   FOR i IN range(1, 9)],
+                                  (a, b) -> a + b),
+                      cb.c) AS rn
+    FROM emb e JOIN cb ON true
+  ) WHERE rn = 1
+), adc_sub AS (  -- per-(query, neighbor, subspace) looked-up sub-distance
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, n.j,
+         list_reduce([(q.v[n.j*8+i] - cb.cent[i]) ^ 2
+                      FOR i IN range(1, 9)],
+                     (a, b) -> a + b) AS dj
+  FROM (SELECT * FROM emb WHERE vec_id < 10) q
+  JOIN enc n ON n.vec_id <> q.vec_id
+  JOIN cb ON cb.j = n.j AND cb.c = n.c
+), adc AS (  -- subspace sums added in j order (left-assoc, Spark parity)
+  SELECT query_id, neighbor_id,
+         list_reduce(list(dj ORDER BY j), (a, b) -> a + b) AS adc_dist2
+  FROM adc_sub GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(adc_dist2, 6) AS adc_dist2
+FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist2, neighbor_id) AS rank,
+         adc_dist2
+  FROM adc
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Quantiles, unpivot, lag growth
 # ---------------------------------------------------------------------------
@@ -7350,6 +7423,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stratified_docs_sample": (q_stratified_docs_sample, SQL_STRATIFIED_DOCS_SAMPLE),
     "domain_capped_sample": (q_domain_capped_sample, SQL_DOMAIN_CAPPED_SAMPLE),
     "cosine_top5": (q_cosine_top5, SQL_COSINE_TOP5),
+    "pq_ann_top5": (q_pq_ann_top5, SQL_PQ_ANN_TOP5),
     "negative_pairs": (q_negative_pairs, SQL_NEGATIVE_PAIRS),
     "hard_negatives": (q_hard_negatives, SQL_HARD_NEGATIVES),
     "cosine_near_dups": (q_cosine_near_dups, SQL_COSINE_NEAR_DUPS),
@@ -7541,12 +7615,14 @@ _FRONT_WINDOW = [
     "curriculum_buckets",
     "logit_training",
     "classifier_eval",
-    "benchmark_contamination",
     # new this round: the Count-Min sketch and Bloom filter build+probe
     # (sketches.py) — displace brand_type_revenue and asof_purchase_signup
     # (r02-certified, unchanged code) to the r6 window
     "cms_token_frequency",
     "bloom_decontam",
+    # new this round: product-quantized ANN (operators/pq.py) — displaces
+    # benchmark_contamination (r02-certified, unchanged code) to r6
+    "pq_ann_top5",
     "cosine_near_dups",
     "cosine_top5",
     "customers_without_orders",

@@ -56,6 +56,9 @@ ALLOW_BNLJ = {
     "text_ann_top3",
     # bounded query-batch broadcast (10 vectors), hard-negative mining
     "hard_negatives",
+    # bounded query-batch broadcast (10 queries) over 8-byte PQ codes —
+    # scoring every corpus code against the broadcast batch IS the ADC scan
+    "pq_ann_top5",
     # bounded k-row centroid broadcast (Lloyd assignment is a cross join
     # against the k×d centroid table by construction)
     "kmeans_clusters", "semantic_dedup", "cluster_balanced_sample",
