@@ -256,6 +256,18 @@ def main() -> None:
         )
 
     _prod("bloom_decontam@xxh64", _bloom_prod)
+    # The registered pq_ann_top5 certifies the ADC algebra with init-only
+    # codebooks; production is the composed IVF-PQ stack (Lloyd-trained
+    # codebooks, n_probe cell pruning, shortlist re-rank).
+    from simtradedata_spark.operators.pq import ivfpq_top_k
+
+    _prod(
+        "pq_ann_top5@ivfpq",
+        lambda: ivfpq_top_k(
+            emb, emb.filter("vec_id < 10"), k=5, n_lists=16, n_probe=4,
+            shortlist=100,
+        ),
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION

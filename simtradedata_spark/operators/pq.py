@@ -122,6 +122,35 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes))
 
 
+def _adc_dist(
+    codes_col: str,
+    qvec_col: str,
+    codebooks: list[list[list[float]]],
+) -> Column:
+    """Σ_j ||q_subj − codebook_j[code_j]||² — index-ascending,
+    left-associative (the DuckDB oracle's exact float-add order)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist = None
+    for j in range(m):
+        cb_j = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in codebooks[j]
+            ]
+        )
+        cent = F.element_at(cb_j, F.element_at(codes_col, j + 1) + 1)
+        t = None
+        for i in range(sub):
+            term = (
+                F.element_at(qvec_col, j * sub + i + 1)
+                - F.element_at(cent, i + 1)
+            ) ** 2
+            t = term if t is None else t + term
+        dist = t if dist is None else dist + t
+    return dist
+
+
 def pq_adc_top_k(
     codes_df: DataFrame,
     id_col: str,
@@ -138,35 +167,19 @@ def pq_adc_top_k(
     rank, adc_dist2). The corpus side carries only (id, m codes); the
     decode is an element_at chain into the broadcast codebook literals —
     no vectors move, no UDF runs."""
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
     c = codes_df.select(
         F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes")
     )
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qvec")
     )
-    dist = None
-    for j in range(m):
-        # codebook j as a k×sub literal; the row is picked by the stored code
-        cb_j = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in codebooks[j]
-            ]
-        )
-        cent = F.element_at(cb_j, F.element_at("__codes", j + 1) + 1)
-        t = None
-        for i in range(sub):
-            term = (
-                F.element_at("__qvec", j * sub + i + 1)
-                - F.element_at(cent, i + 1)
-            ) ** 2
-            t = term if t is None else t + term
-        dist = t if dist is None else dist + t
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
-    ).select("query_id", "neighbor_id", dist.alias("adc_dist2"))
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _adc_dist("__codes", "__qvec", codebooks).alias("adc_dist2"),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist2").asc(), F.col("neighbor_id")
     )
@@ -210,6 +223,97 @@ def pq_shortlist_rerank(
     )
     q = queries.select(
         F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qvec")
+    )
+    scored = withv.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("__qvec"), F.col("__nvec")).alias("__sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivfpq_top_k(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    codebook_k: int = 16,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    max_iter: int = 5,
+) -> DataFrame:
+    """The full FAISS-style IVF-PQ serving stack, composed from this
+    package's tested pieces: the coarse quantizer
+    (similarity._train_centroids + Arrow-GEMM cell assignment) restricts
+    the scan to the queries' ``n_probe`` nearest cells; PQ codes answer
+    ADC *within* the probed cells; an exact cosine re-rank over the
+    per-query ``shortlist`` repairs quantization error. Cost per query:
+    ~(n_probe/n_lists) of the corpus touched as 8-byte codes, plus
+    ``shortlist`` full vectors — the 100 TB serving shape where neither
+    the vectors nor the scan fit a per-query budget on their own.
+
+    With ``n_probe == n_lists`` and ``shortlist >= |corpus|`` this is
+    EXACTLY brute-force cosine top-k (tested): both approximations are
+    pure candidate pruning, never scoring error.
+
+    Output: (query_id, neighbor_id, rank) — the cosine_top_k shape."""
+    from simtradedata_spark.operators.similarity import (
+        _cell_udf,
+        _probes_frame,
+        _train_centroids,
+        cosine,
+    )
+
+    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    _cell = _cell_udf(corpus, cent)
+    books = pq_train(corpus, vec_col, m=m, k=codebook_k, seed=seed)
+    c = pq_encode(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            _cell(F.col(vec_col)).alias("__cell"),
+        ),
+        "__cvec",
+        books,
+        out_col="__codes",
+    ).select("neighbor_id", "__cell", "__codes")
+    probes = _probes_frame(queries, id_col, vec_col, cent, n_probe, "__cell")
+    cand = (
+        c.join(F.broadcast(probes), ["__cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc_dist("__codes", "__qvec", books).alias("__adc"),
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").asc(), F.col("neighbor_id")
+    )
+    short = (
+        cand.withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    withv = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__nvec")
+        ),
+        "neighbor_id",
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
     scored = withv.join(F.broadcast(q), "query_id").select(
         "query_id",
