@@ -314,7 +314,12 @@ def dup_gram_coverage(
             ).alias("occ"),
         )
 
-    toked = df.select(key_col, let(tokens(text_col), occ_struct).alias("__s"))
+    # SCRATCH persist (released between queries by release_scratch): the
+    # frame feeds both the per-doc lengths and the occurrence explosion —
+    # without it the tokenize+slice+concat gram construction runs twice
+    toked = df.select(
+        key_col, let(tokens(text_col), occ_struct).alias("__s")
+    ).persist()
     per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
     occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
         key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")

@@ -4666,7 +4666,12 @@ def q_bloom_decontam(spark, sf_dir):
 
     m_bits, k = 1 << 14, 4
     docs = _t(spark, sf_dir, "documents")
-    g = docs.select("doc_id", "source", shingles_of(tokens("text"), 5).alias("gs"))
+    # SCRATCH persist (released between queries by release_scratch): this
+    # frame feeds the bench-gram build, the corpus probe set, AND the hits
+    # join — without it the shingle construction runs ~4x per query
+    g = docs.select(
+        "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
+    ).persist()
     bench_g = (
         g.filter(F.col("source") == "src0")
         .select(F.explode("gs").alias("gram"))
