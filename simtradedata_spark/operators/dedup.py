@@ -515,21 +515,29 @@ def cosine_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
-    bits: int | str = 0,
+    bits: int | str = "auto",
     dim: int | None = None,
     seed: int = 11,
+    exact: bool = False,
+    max_exact_rows: int = 200_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) with
     id_a < id_b and cosine >= threshold (the embedding-space member of the
     dedup family, alongside MinHash/SimHash/Jaccard).
 
-      - bits=0 — exact all-pairs via blocked matrix multiply: the full
-        (broadcastable) normalized matrix ships to every worker once, and each
-        Arrow batch of rows scores against it with one numpy GEMM, emitting
-        only pairs above threshold — the quadratic candidate set is never
-        materialized as Spark rows. An interpreted zip_with/aggregate pair
-        scorer measured ~70 s for 2k×2k×64d; the GEMM path is <1 s.
-      - bits>0 (or bits="auto") — random-hyperplane LSH prefilter: rows are
+      - bits=0 + exact=True — exact all-pairs via blocked matrix multiply:
+        the full (broadcastable) normalized matrix ships to every worker once,
+        and each Arrow batch of rows scores against it with one numpy GEMM,
+        emitting only pairs above threshold — the quadratic candidate set is
+        never materialized as Spark rows. An interpreted zip_with/aggregate
+        pair scorer measured ~70 s for 2k×2k×64d; the GEMM path is <1 s.
+        This path `toPandas()`s the full corpus side on the DRIVER, so it is
+        opt-in twice: ``exact=True`` is required (bits=0 alone raises), and a
+        ``max_exact_rows`` guard (default 200k ≈ 100 MB at 64d float64)
+        refuses larger corpora unless the caller raises the cap explicitly.
+        Use it as the oracle baseline / for bounded corpora only.
+      - bits>0 (or the DEFAULT bits="auto") — random-hyperplane LSH prefilter:
+        rows are
         bucketed by the sign pattern of ``bits`` fixed projections, then each
         bucket is scored by ONE blocked numpy GEMM inside applyInPandas —
         the quadratic candidate set never exists as Spark rows and the
@@ -552,9 +560,22 @@ def cosine_near_dups(
         n = df.count()
         bits = max(4, min(20, math.ceil(math.log2(max(n, 2) / 64))))
 
+    if bits == 0 and not exact:
+        raise ValueError(
+            "cosine_near_dups(bits=0) is the exact all-pairs path: it collects "
+            "the full corpus to the driver and runs a quadratic GEMM. Pass "
+            "exact=True to opt in (bounded corpora / oracle baselines only), "
+            'or use the default bits="auto" LSH prefilter for scale.'
+        )
+
     if bits > 0:
         if dim is None:
-            raise ValueError("dim is required when bits > 0")
+            # One-row probe; cheaper than failing loudly for the common case
+            # where the vector column has a uniform length.
+            first = df.select(F.size(vec_col).alias("d")).first()
+            if first is None:
+                raise ValueError("empty DataFrame: pass dim explicitly")
+            dim = first["d"]
         planes = _hyperplanes(dim, bits, seed)
         bucketed = df.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
@@ -565,6 +586,15 @@ def cosine_near_dups(
 
     import numpy as np
     import pandas as pd
+
+    n_rows = df.count()
+    if n_rows > max_exact_rows:
+        raise ValueError(
+            f"cosine_near_dups(exact=True) refuses {n_rows} rows "
+            f"(> max_exact_rows={max_exact_rows}): the exact path collects the "
+            "corpus to the driver. Raise max_exact_rows deliberately or use "
+            'bits="auto".'
+        )
 
     side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
     ids_b = side["id"].to_numpy()

@@ -1519,7 +1519,11 @@ def q_adjusted_bars_post(spark, sf_dir):
 def q_macd_indicators(spark, sf_dir):
     """W7 MACD/KDJ/RSI/CCI via grouped-map pandas UDF over synthetic bars.
     Outputs rounded to 2dp so the oracle's closed-form EMA (drift ~1e-12 vs
-    the recursion) can never flip a rounding boundary."""
+    the recursion) can never flip a rounding boundary. `+ 0.0` after the
+    round normalizes IEEE signed zero (round-to-nearest: -0.0 + 0.0 = +0.0)
+    — DuckDB's closed form and Spark's recursion otherwise disagree on the
+    SIGN of exact-zero cells, which byte-hash differently while comparing
+    numerically equal (r5 verdict)."""
     from simtradedata_spark.operators.indicators import compute_indicators
 
     df = compute_indicators(_market_bars(spark))
@@ -1527,7 +1531,10 @@ def q_macd_indicators(spark, sf_dir):
         "symbol",
         "trade_date",
         "close",
-        *[F.round(c, 2).alias(c) for c in ("dif", "dea", "macd", "k", "d", "j", "rsi", "cci")],
+        *[
+            (F.round(c, 2) + F.lit(0.0)).alias(c)
+            for c in ("dif", "dea", "macd", "k", "d", "j", "rsi", "cci")
+        ],
     )
 
 
@@ -1711,13 +1718,13 @@ SQL_MACD_INDICATORS = _SQL_MARKET_CTES + """
                    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
 )
 SELECT d.symbol, d.trade_date, d.close,
-       round(d.dif, 2) AS dif, round(d.dea, 2) AS dea,
-       round(2*(d.dif - d.dea), 2) AS macd,
-       round(k_t.k, 2) AS k, round(d_t.dv, 2) AS d,
-       round(3*k_t.k - 2*d_t.dv, 2) AS j,
+       round(d.dif, 2) + 0.0 AS dif, round(d.dea, 2) + 0.0 AS dea,
+       round(2*(d.dif - d.dea), 2) + 0.0 AS macd,
+       round(k_t.k, 2) + 0.0 AS k, round(d_t.dv, 2) + 0.0 AS d,
+       round(3*k_t.k - 2*d_t.dv, 2) + 0.0 AS j,
        round(CASE WHEN rsi_t.ag + rsi_t.al = 0 THEN 50.0
-                  ELSE 100.0 * rsi_t.ag / (rsi_t.ag + rsi_t.al) END, 2) AS rsi,
-       round(cci_t.cci, 2) AS cci
+                  ELSE 100.0 * rsi_t.ag / (rsi_t.ag + rsi_t.al) END, 2) + 0.0 AS rsi,
+       round(cci_t.cci, 2) + 0.0 AS cci
 FROM dea_t d
 JOIN k_t USING (symbol, trade_date)
 JOIN d_t USING (symbol, trade_date)
@@ -1775,9 +1782,11 @@ def q_cosine_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs variant (the
     LSH-prefiltered scale path is exercised in tests/test_operators.py).
     Threshold 0.45 is calibrated to the synthetic embeddings (max pairwise
-    cosine ~0.51) so the result is small but non-empty."""
+    cosine ~0.51) so the result is small but non-empty. Pinned explicitly to
+    the opt-in exact form (bits=0, exact=True) — the operator's DEFAULT is
+    now the bits="auto" LSH scale path (r5 verdict item 4)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_near_dups(emb, threshold=0.45)
+    return cosine_near_dups(emb, threshold=0.45, bits=0, exact=True)
 
 
 SQL_COSINE_NEAR_DUPS = """
@@ -5616,7 +5625,9 @@ def q_embedding_dup_clusters(spark, sf_dir):
     from simtradedata_spark.operators.graph import dedup_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dups(emb, "vec_id", "embedding", threshold=0.45)
+    pairs = cosine_near_dups(
+        emb, "vec_id", "embedding", threshold=0.45, bits=0, exact=True
+    )
     return dedup_clusters(pairs).withColumnRenamed("doc_id", "vec_id")
 
 

@@ -169,7 +169,7 @@ def test_semantic_dedup_gemm_recall_vs_exact_on_driver_corpus(spark):
     emb = load_table(spark, sf, "embeddings")
     exact = {
         frozenset((r["id_a"], r["id_b"]))
-        for r in cosine_near_dups(emb, threshold=0.45).collect()
+        for r in cosine_near_dups(emb, threshold=0.45, bits=0, exact=True).collect()
     }
     got_groups = semantic_dedup_gemm(emb, n_cells=8, threshold=0.45).collect()
     grouped_ids = {r["vec_id"] for r in got_groups}

@@ -185,7 +185,7 @@ def test_cosine_near_dups_exact_and_lsh(spark):
         [(i, v.tolist()) for i, v in enumerate(vecs)],
         "vec_id long, embedding array<float>",
     )
-    exact = cosine_near_dups(df, threshold=0.999).toPandas()
+    exact = cosine_near_dups(df, threshold=0.999, bits=0, exact=True).toPandas()
     planted = {(i, 20 + i) for i in range(3)}
     assert set(zip(exact.id_a, exact.id_b)) == planted
     assert (exact.cos_sim >= 0.999).all()
@@ -197,6 +197,29 @@ def test_cosine_near_dups_exact_and_lsh(spark):
     auto = cosine_near_dups(df, threshold=0.999, bits="auto", dim=8).toPandas()
     assert set(zip(auto.id_a, auto.id_b)) == planted
     assert np.allclose(sorted(auto.cos_sim), sorted(exact.cos_sim), atol=1e-9)
+    # dim is inferred from the vector column when omitted on the LSH path
+    inferred = cosine_near_dups(df, threshold=0.999, bits=6).toPandas()
+    assert set(zip(inferred.id_a, inferred.id_b)) == planted
+
+
+def test_cosine_near_dups_exact_is_opt_in(spark):
+    """r5 verdict item 4: the all-pairs/driver-collect path must never be
+    reachable by default — bits=0 without exact=True raises, and exact=True
+    refuses corpora above max_exact_rows."""
+    import pytest
+
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="exact=True"):
+        cosine_near_dups(df, threshold=0.9, bits=0)
+    with pytest.raises(ValueError, match="max_exact_rows"):
+        cosine_near_dups(df, threshold=0.9, bits=0, exact=True, max_exact_rows=5)
+    # opt-in with a sufficient cap works
+    cosine_near_dups(df, threshold=0.9, bits=0, exact=True, max_exact_rows=10).count()
 
 
 def test_ivf_full_probe_equals_brute_force(spark):

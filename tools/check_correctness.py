@@ -76,6 +76,19 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
         if ka and kb and ka != kb:
             problems.append(f"dtype-kind {c}: spark={ka} duck={kb}")
     a, b = canonicalize(spark_df), canonicalize(duck_df)
+    # Signed-zero divergence: -0.0 == 0.0 compares equal here, but the driver
+    # byte-hashes values, so a -0.0 on one engine vs +0.0 on the other is a
+    # hash RED this comparator would otherwise never see (r5 macd_indicators).
+    # Per-column negative-zero COUNTS are order-insensitive, so a count
+    # mismatch is exactly a multiset (⇒ hash) mismatch on the zero cells.
+    import numpy as np
+
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
+            za = int((np.signbit(a[c].to_numpy()) & (a[c].to_numpy() == 0.0)).sum())
+            zb = int((np.signbit(b[c].to_numpy()) & (b[c].to_numpy() == 0.0)).sum())
+            if za != zb:
+                problems.append(f"signed-zero {c}: spark has {za} -0.0 cells, duck {zb}")
     if len(a) == len(b):
         neq = (a != b) & ~(a.isna() & b.isna())
         if neq.any().any():
