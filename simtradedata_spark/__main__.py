@@ -304,11 +304,29 @@ def _cmd_ingest_vectors(args: argparse.Namespace) -> int:
 
 def _cmd_export_corpus(args: argparse.Namespace) -> int:
     from simtradedata_spark.catalog import load_table
-    from simtradedata_spark.operators.pipeline import export_training_corpus
+    from simtradedata_spark.operators.pipeline import (
+        export_curated_release,
+        export_training_corpus,
+    )
     from simtradedata_spark.session import get_spark
 
     spark = get_spark("export_corpus")
     docs = load_table(spark, args.sf_dir, "documents")
+    if args.full_curation:
+        card = export_curated_release(
+            docs, args.out, n_shards=args.shards,
+            select_top=args.select_top, seq_len=args.seq_len,
+        )
+        t = card["totals"]
+        print(
+            f"curated release at {args.out}: "
+            f"{t['n_docs']} docs → {t['n_quality']} quality → "
+            f"{t['n_unique']} unique → {t['n_canonical']} canonical → "
+            f"{t['n_nonempty']} non-empty → {t['n_clean']} clean → "
+            f"{t['n_selected']} selected, {t['selected_tokens']} tokens "
+            f"in {t['n_bins']} bins of {args.seq_len}"
+        )
+        return 0
     card = export_training_corpus(
         docs, args.out, n_shards=args.shards, sample_pct=args.sample_pct
     )
@@ -347,6 +365,15 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--sample-pct", type=int, default=50)
     e.add_argument("--shards", type=int, default=4)
+    e.add_argument(
+        "--full-curation", action="store_true",
+        help="run the COMPLETE chain (quality → exact dedup → near-dup → "
+        "cross-doc strip → bloom decontam → DSIR select → pack) instead of "
+        "the 4-stage funnel",
+    )
+    e.add_argument("--select-top", type=int, default=None,
+                   help="DSIR selection size (default: keep all clean docs)")
+    e.add_argument("--seq-len", type=int, default=4096)
     e.set_defaults(fn=_cmd_export_corpus)
 
     it = sub.add_parser(

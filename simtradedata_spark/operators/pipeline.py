@@ -126,6 +126,251 @@ def funnel_report(flagged: DataFrame, source_col: str = "source") -> DataFrame:
     )
 
 
+def full_curation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    benchmark_source: str = "src0",
+    min_tokens: int = 5,
+    max_punct: float = 0.3,
+    max_digit: float = 0.3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+    strip_n: int = 8,
+    contam_n: int = 5,
+    bloom_bits: int = 1 << 14,
+    bloom_k: int = 4,
+    select_top: int | None = None,
+    seq_len: int = 4096,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The COMPLETE curation release chain (r5 verdict item 7), every stage
+    the standalone-certified operator applied to the previous stage's
+    survivors:
+
+      stage        operator (its certified registry query)         flag
+      -----------  ----------------------------------------------  ----------
+      quality      textstats.char_stats thresholds (quality_scores) __q
+      exact dedup  fingerprint keep-first (dedup_docs_exact)        __unique
+      near-dup     minhash_lsh_candidates → graph.dedup_clusters
+                   keep cluster canonical (minhash_near_dups,
+                   dedup_clusters)                                  __canonical
+      x-doc strip  substrings.strip_cross_doc_spans rewrites text
+                   (exact_substr_trim); empty survivors drop        __nonempty
+      decontam     sketches.bloom_build/might_contain over the
+                   benchmark's word n-grams (bloom_decontam)        __clean
+      DSIR select  textstats.dsir_importance, top-k by
+                   (round(log_ratio,6) desc, id) (dsir_selection)   __selected
+      pack         packing.pack_sequences over kept tokens —
+                   bin_id on selected rows (sequence_packing)
+
+    Returns the enriched corpus frame: the original columns plus the stage
+    flags, ``text_clean``/``kept_tokens`` (post-strip), ``log_ratio``, and
+    ``bin_id`` (null on non-selected rows). Each flag implies the previous,
+    so ONE aggregation yields the whole funnel (see full_funnel_report) and
+    the invariant test can compare every stage count against the standalone
+    operators run independently.
+
+    Scale: no stage is quadratic — the chain is the per-stage certified
+    plans applied to monotonically shrinking frames; the benchmark bitset
+    and the DSIR bucket LMs are fixed-size broadcasts; packing's cumsum is
+    the two-pass range-bucket scheme (no single-partition window).
+    ``select_top=None`` keeps every clean doc (selection off).
+
+    Caching: stages persist scratch frames internally (minhash signatures,
+    the staged gram frames); callers in long-lived sessions should
+    ``functions.caching.release_scratch`` after the final action.
+    """
+    from simtradedata_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        shingles_of,
+        tokens,
+    )
+    from simtradedata_spark.operators.graph import dedup_clusters
+    from simtradedata_spark.operators.packing import pack_sequences
+    from simtradedata_spark.operators.sketches import bloom_build, bloom_might_contain
+    from simtradedata_spark.operators.substrings import strip_cross_doc_spans
+    from simtradedata_spark.operators.textstats import dsir_importance
+
+    corpus = docs.filter(F.col(source_col) != benchmark_source)
+    bench = docs.filter(F.col(source_col) == benchmark_source)
+
+    # 1-2: quality flags + exact dedup (curate_flags' first two stages)
+    feat = char_stats(corpus, text_col).withColumn("__fp", fingerprint(text_col))
+    quality = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct)
+        & (F.col("digit_ratio") <= max_digit)
+    )
+    w = Window.partitionBy("__fp", "__q").orderBy(id_col)
+    flagged = feat.withColumn("__q", quality).withColumn(
+        "__unique", F.col("__q") & (F.row_number().over(w) == 1)
+    )
+
+    # 3: near-dup clustering among exact-unique survivors
+    uniq = flagged.filter(F.col("__unique"))
+    pairs = minhash_lsh_candidates(
+        uniq, id_col, text_col,
+        num_hashes=num_hashes, bands=bands,
+        jaccard_threshold=jaccard_threshold, hash_fn=hash_fn,
+    )
+    clusters = dedup_clusters(pairs).select(
+        F.col("doc_id").alias(id_col), "is_canonical"
+    )
+    flagged = flagged.join(clusters, id_col, "left").withColumn(
+        "__canonical", F.col("__unique") & F.coalesce("is_canonical", F.lit(True))
+    ).drop("is_canonical")
+
+    # 4: cross-document exact-substring strip rewrites the surviving text
+    stripped = strip_cross_doc_spans(
+        flagged.filter(F.col("__canonical")).select(id_col, text_col),
+        key_col=id_col, text_col=text_col, n=strip_n,
+        hash_grams=(hash_fn != "md5"),
+    ).select(id_col, "kept_tokens", "text_clean")
+    flagged = flagged.join(stripped, id_col, "left").withColumn(
+        "__nonempty", F.col("__canonical") & (F.col("kept_tokens") > 0)
+    )
+
+    # 5: Bloom decontamination of the POST-STRIP text against the benchmark
+    bench_grams = bench.select(
+        F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
+    ).distinct()
+    sketch = bloom_build(bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn)
+    doc_grams = (
+        flagged.filter(F.col("__nonempty"))
+        .select(id_col, F.explode(shingles_of(tokens("text_clean"), contam_n)).alias("gram"))
+    )
+    probed = bloom_might_contain(
+        sketch, doc_grams.select("gram"), "gram",
+        m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn,
+    )
+    hit_docs = (
+        doc_grams.join(probed.filter(F.col("might_contain")), "gram")
+        .select(id_col).distinct().withColumn("__hit", F.lit(True))
+    )
+    flagged = flagged.join(hit_docs, id_col, "left").withColumn(
+        "__clean", F.col("__nonempty") & F.col("__hit").isNull()
+    ).drop("__hit")
+
+    # 6: DSIR importance selection over the clean pool (target = benchmark
+    # domain, the certified dsir_selection policy: round-6dp score desc, id)
+    clean = flagged.filter(F.col("__clean"))
+    if select_top is None:
+        flagged = flagged.withColumn("__selected", F.col("__clean"))
+    else:
+        scores = dsir_importance(
+            clean.select(id_col, F.col("text_clean").alias(text_col)),
+            bench.select(id_col, text_col),
+            hash_fn=hash_fn,
+        ).select(
+            id_col, F.round("log_ratio", 6).alias("log_ratio")
+        )
+        from simtradedata_spark.operators.topk import global_rank
+
+        # exact global rank WITHOUT a single-partition window (the
+        # bucketed two-pass scheme — this frame is corpus-sized):
+        # ascending (-score, id) == (score desc, id asc)
+        picked = (
+            global_rank(
+                scores.withColumn("__neg", -F.col("log_ratio")),
+                ["__neg", id_col],
+                rank_col="__rk",
+            )
+            .filter(F.col("__rk") <= select_top)
+            .select(id_col, "log_ratio")
+            .withColumn("__selected", F.lit(True))
+        )
+        flagged = flagged.join(picked, id_col, "left").withColumn(
+            "__selected", F.col("__clean") & F.coalesce("__selected", F.lit(False))
+        )
+
+    # 7: sequence packing over the selected docs' kept tokens
+    packed = pack_sequences(
+        flagged.filter(F.col("__selected")).select(id_col, "kept_tokens"),
+        key_cols=[id_col], token_col="kept_tokens", seq_len=seq_len,
+    ).select(id_col, "bin_id")
+    return flagged.join(packed, id_col, "left")
+
+
+def full_funnel_report(flagged: DataFrame, source_col: str = "source") -> DataFrame:
+    """Per-source funnel over a ``full_curation`` frame — every stage's
+    survivor count in one aggregation."""
+    n_if = lambda c: F.sum(F.col(c).cast("long"))
+    return flagged.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_if("__q").alias("n_quality"),
+        n_if("__unique").alias("n_unique"),
+        n_if("__canonical").alias("n_canonical"),
+        n_if("__nonempty").alias("n_nonempty"),
+        n_if("__clean").alias("n_clean"),
+        n_if("__selected").alias("n_selected"),
+        F.sum(F.when(F.col("__selected"), F.col("kept_tokens")).otherwise(0)).alias(
+            "selected_tokens"
+        ),
+        F.countDistinct(F.when(F.col("__selected"), F.col("bin_id"))).alias("n_bins"),
+    )
+
+
+def export_curated_release(
+    docs: DataFrame,
+    out_dir: str,
+    n_shards: int = 4,
+    **curation_kw,
+) -> dict:
+    """One-command FULL curation release (`export-corpus --full-curation`):
+    run the complete chain (quality → exact dedup → near-dup → cross-doc
+    strip → bloom decontam → DSIR select → pack) and ship the surviving
+    documents — post-strip text, packed ``bin_id`` — as compressed JSONL
+    shards plus a ``_datacard.json`` with the per-source stage funnel.
+    Returns the datacard dict."""
+    import json
+    import os
+
+    from simtradedata_spark.functions.caching import release_scratch
+    from simtradedata_spark.sources.jsonl import write_jsonl
+
+    id_col = curation_kw.get("id_col", "doc_id")
+    source_col = curation_kw.get("source_col", "source")
+    flagged = full_curation(docs, **curation_kw).persist()
+    try:
+        selected = flagged.filter(F.col("__selected")).select(
+            id_col, source_col,
+            F.col("text_clean").alias("text"),
+            F.col("kept_tokens").alias("n_tokens"),
+            "bin_id",
+        )
+        write_jsonl(selected, os.path.join(out_dir, "shards"), n_shards=n_shards)
+        report = full_funnel_report(flagged, source_col).collect()
+        # bins are GLOBAL (packing runs over all selected docs), so the
+        # total is a distinct count, not the sum of per-source distincts
+        n_bins_total = (
+            flagged.filter(F.col("__selected"))
+            .agg(F.countDistinct("bin_id"))
+            .first()[0]
+        )
+    finally:
+        flagged.unpersist()
+        release_scratch(docs.sparkSession)
+    keys = (
+        "n_docs", "n_quality", "n_unique", "n_canonical", "n_nonempty",
+        "n_clean", "n_selected", "selected_tokens", "n_bins",
+    )
+    card = {
+        "per_source": {r[source_col]: {k: r[k] for k in keys} for r in report},
+        "totals": {
+            k: sum(r[k] for r in report)
+            for k in keys
+            if k != "n_bins"
+        },
+    }
+    card["totals"]["n_bins"] = n_bins_total
+    with open(os.path.join(out_dir, "_datacard.json"), "w") as fh:
+        json.dump(card, fh, indent=2, sort_keys=True)
+    return card
+
+
 def export_training_corpus(
     docs: DataFrame,
     out_dir: str,

@@ -43,12 +43,22 @@ def pq_train(
     max_iter: int = 8,
     train_cap: int = 4096,
 ) -> list[list[list[float]]]:
-    """Per-subspace Lloyd's on a bounded reservoir; returns
-    codebooks[m][k][d/m] (plain floats — broadcastable as plan literals)."""
+    """Per-subspace Lloyd's on a bounded deterministic sample; returns
+    codebooks[m][k][d/m] (plain floats — broadcastable as plan literals).
+
+    The sample is the ``train_cap`` vectors with the smallest xxhash64 —
+    a TakeOrderedAndProject (distributed top-k, no full sort), and unlike
+    a bare ``limit`` it does not depend on the physical partition layout,
+    so a fixed ``seed`` reproduces the same codebooks across repartitions
+    (r5 advisory)."""
     import numpy as np
 
     mat = np.stack(
-        corpus.select(vec_col).limit(train_cap).toPandas()[vec_col].to_numpy()
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(vec_col))
+        .limit(train_cap)
+        .toPandas()[vec_col]
+        .to_numpy()
     ).astype(np.float64)
     d = mat.shape[1]
     if d % m:

@@ -85,10 +85,17 @@ def count_min_sketch(
     DuckDB oracle reproduces the identical table; xxhash64 is the
     JVM-native production path. Estimates are upward-biased only:
     est(v) = min_d counter[d][h_d(v)] ≥ true(v), within εN with probability
-    1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉."""
+    1-δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉.
+
+    NULL values are dropped before hashing (``concat_ws`` would otherwise
+    silently skip them and count the bare seed string into a real bucket,
+    while the DuckDB md5 oracle propagates NULL and drops the row — the
+    r5 advisory's cross-engine divergence)."""
     ids = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     return (
-        df.select(F.col(col).cast("string").alias("__v"), ids)
+        df.select(F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select("__v", ids)
         .select(
             "d",
             F.pmod(
@@ -123,6 +130,7 @@ def cms_estimate(
     ids = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
     probes = (
         items.select(F.col(col).cast("string").alias(col))
+        .where(F.col(col).isNotNull())  # build drops NULLs; probe must too
         .distinct()
         .select(col, ids)
         .select(
@@ -180,10 +188,14 @@ def bloom_build(
     broadcast-joined gram dimension whose size tracks the benchmark.
     ``hash_fn='md5'`` makes the bit pattern DuckDB-reproducible
     (queries.py::bloom_decontam); xxhash64 is the production backend.
-    False positives only (rate ≈ (1-e^{-kn/m})^k); never false negatives."""
+    False positives only (rate ≈ (1-e^{-kn/m})^k); never false negatives.
+    NULL values are dropped before hashing (see count_min_sketch — same
+    concat_ws NULL-skip divergence)."""
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
     return (
-        df.select(F.col(col).cast("string").alias("__v"), seeds)
+        df.select(F.col(col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
+        .select("__v", seeds)
         .select(
             F.pmod(
                 _hash64(
@@ -219,6 +231,7 @@ def bloom_might_contain(
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
     probes = (
         items.select(F.col(col).cast("string").alias(col))
+        .where(F.col(col).isNotNull())  # build drops NULLs; probe must too
         .distinct()
         .select(col, seeds)
         .select(

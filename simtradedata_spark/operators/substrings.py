@@ -108,7 +108,12 @@ def cross_doc_dup_coverage(
 
     Returns (key, n_tokens, cross_dup_tokens, cross_dup_frac); interval
     UNION semantics, so overlapping duplicated grams count each position
-    once and the fraction is capped at 1.0."""
+    once and the fraction is capped at 1.0.
+
+    Caching: the staged gram frame is ``persist()``-ed for the duration of
+    the query (it feeds multiple downstream branches). Library callers in
+    a long-lived session should call ``functions.caching.release_scratch``
+    after consuming the result, or the cached partitions accumulate."""
     toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=False)
     per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
     occ = _gram_key(
@@ -171,7 +176,9 @@ def strip_cross_doc_spans(
     whitespace-NORMALIZED relative to the input (original token order and
     case preserved, runs of whitespace collapsed to one space), the same
     contract as the reference tool, which re-emits the byte ranges it
-    keeps. Reconstruction is one doc-keyed aggregation: positions are
+    keeps. Caching: the staged gram frame is ``persist()``-ed for the
+    query's duration; long-lived sessions should
+    ``functions.caching.release_scratch`` after consuming the result. Reconstruction is one doc-keyed aggregation: positions are
     collected as (pos, token) structs and ``array_sort`` orders them —
     no window, no assumption about ``collect_list`` ordering."""
     toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=True)

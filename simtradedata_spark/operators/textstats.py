@@ -297,7 +297,12 @@ def dup_gram_coverage(
     index, and both aggregations — (key, gram) start-collection and the
     per-key distinct-position count — shuffle ONLY on document keys;
     nothing is bounded by corpus size per task. The per-gram start list is
-    bounded by one document's occurrences of one gram."""
+    bounded by one document's occurrences of one gram.
+
+    Caching: the staged gram frame is ``persist()``-ed for the duration of
+    the query (it feeds both output branches). Library callers in a
+    long-lived session should call ``functions.caching.release_scratch``
+    after consuming the result, or the cached partitions accumulate."""
 
     def occ_struct(t: Column) -> Column:
         idx = F.when(

@@ -3372,19 +3372,42 @@ q_eps_asof = _q_statement_asof("eps")
 
 
 def _sql_statement_asof(table: str) -> str:
-    """DuckDB regeneration of a statement table's fields (specs shared via
-    sources/synthetic.py::STATEMENT_FIELDS) through the same quarterly
-    publish/restate machinery as _sql_fund_asof."""
+    """DuckDB regeneration of a statement OR ability table's fields (range
+    specs shared via sources/synthetic.py::{STATEMENT_FIELDS, ABILITY_FIELDS,
+    TTM_FIELDS}) through the same quarterly publish/restate machinery as
+    _sql_fund_asof. TTM columns (profit_ability) are the rolling 4-quarter
+    mean of the rounded base value over (symbol, merge_seq), null for the
+    first three quarters — same identity the Spark generator computes."""
     from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
-    from simtradedata_spark.sources.synthetic import STATEMENT_FIELDS
+    from simtradedata_spark.sources.synthetic import (
+        ABILITY_FIELDS,
+        STATEMENT_FIELDS,
+        TTM_FIELDS,
+    )
 
     u = _duck_u01
+    ranges = {**STATEMENT_FIELDS, **ABILITY_FIELDS}
     fields = FUNDAMENTAL_TABLES[table]
-    exprs = ",\n         ".join(
-        f"round({STATEMENT_FIELDS[n][0]} + "
-        f"{STATEMENT_FIELDS[n][1] - STATEMENT_FIELDS[n][0]} * "
-        f"{u(n, 'sym_idx', 'end_date', 'merge_seq')}, 4) AS {n}"
-        for n in fields
+
+    def base_expr(n: str) -> str:
+        lo, hi = ranges[n]
+        return f"round({lo} + {hi - lo} * {u(n, 'sym_idx', 'end_date', 'merge_seq')}, 4)"
+
+    field_exprs = []
+    for n in fields:
+        if n in TTM_FIELDS:
+            field_exprs.append(
+                f"CASE WHEN count(*) OVER w4 >= 4 "
+                f"THEN round(avg({base_expr(TTM_FIELDS[n])}) OVER w4, 4) END AS {n}"
+            )
+        else:
+            field_exprs.append(f"{base_expr(n)} AS {n}")
+    exprs = ",\n         ".join(field_exprs)
+    window_clause = (
+        "\n  WINDOW w4 AS (PARTITION BY symbol, merge_seq ORDER BY end_date"
+        "\n                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        if any(n in TTM_FIELDS for n in fields)
+        else ""
     )
     cols = ", ".join(f"f.{n}" for n in fields)
     out_cols = ", ".join(fields)
@@ -3425,7 +3448,7 @@ WITH cal AS (
 ), fund AS (
   SELECT symbol, end_date, publ_date, merge_seq,
          {exprs}
-  FROM allrows
+  FROM allrows{window_clause}
 ), probes AS (
   SELECT s.symbol, d.trade_date AS query_date
   FROM syms s CROSS JOIN days d WHERE d.day_idx % 21 = 0
@@ -3446,6 +3469,20 @@ SQL_INCOME_STATEMENT_ASOF = _sql_statement_asof("income_statement")
 SQL_BALANCE_STATEMENT_ASOF = _sql_statement_asof("balance_statement")
 SQL_CASHFLOW_STATEMENT_ASOF = _sql_statement_asof("cashflow_statement")
 SQL_EPS_ASOF = _sql_statement_asof("eps")
+
+# The four "ability" tables (reference ``ptrade_data_api.py:484-590``; field
+# lists ``docs/PTrade_API_mini_Reference.md:3274-3412``) — the last §2.12
+# data surface without a DuckDB-oracled query (r5 verdict, missing #1).
+# profit_ability exercises the TTM rolling-4-quarter machinery end-to-end.
+q_profit_ability_asof = _q_statement_asof("profit_ability")
+q_growth_ability_asof = _q_statement_asof("growth_ability")
+q_operating_ability_asof = _q_statement_asof("operating_ability")
+q_debt_paying_ability_asof = _q_statement_asof("debt_paying_ability")
+
+SQL_PROFIT_ABILITY_ASOF = _sql_statement_asof("profit_ability")
+SQL_GROWTH_ABILITY_ASOF = _sql_statement_asof("growth_ability")
+SQL_OPERATING_ABILITY_ASOF = _sql_statement_asof("operating_ability")
+SQL_DEBT_PAYING_ABILITY_ASOF = _sql_statement_asof("debt_paying_ability")
 
 
 def q_weekly_bars(spark, sf_dir):
@@ -6642,14 +6679,18 @@ WITH toks AS (
   SELECT count(*) AS t FROM toks
 ), heavy AS (
   SELECT tok, n FROM counts, total WHERE n * 500 > t
+), probes AS (
+  SELECT h.tok, u.d,
+         ('0x' || substr(md5(CAST(u.d AS VARCHAR) || '|' || h.tok),
+          1, 15))::BIGINT % 512 AS bucket
+  FROM heavy h CROSS JOIN unnest([0, 1, 2]) AS u(d)
 ), est AS (
-  SELECT h.tok, min(s.cnt) AS cms_count
-  FROM heavy h, unnest([0, 1, 2]) AS u(d)
-  JOIN sketch s
-    ON s.d = u.d
-   AND s.bucket = ('0x' || substr(md5(CAST(u.d AS VARCHAR) || '|' || h.tok),
-                   1, 15))::BIGINT % 512
-  GROUP BY h.tok
+  -- LEFT JOIN + coalesce mirrors sketches.cms_estimate exactly: a (d,
+  -- bucket) absent from the sparse counter table is a 0, so the estimator
+  -- stays valid for rare/never-seen probe items (r5 advisory)
+  SELECT p.tok, min(coalesce(s.cnt, 0)) AS cms_count
+  FROM probes p LEFT JOIN sketch s ON s.d = p.d AND s.bucket = p.bucket
+  GROUP BY p.tok
 )
 SELECT h.tok, h.n, CAST(e.cms_count AS BIGINT) AS cms_count
 FROM heavy h JOIN est e USING (tok)
@@ -7478,6 +7519,16 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_CASHFLOW_STATEMENT_ASOF,
     ),
     "eps_asof": (q_eps_asof, SQL_EPS_ASOF),
+    "profit_ability_asof": (q_profit_ability_asof, SQL_PROFIT_ABILITY_ASOF),
+    "growth_ability_asof": (q_growth_ability_asof, SQL_GROWTH_ABILITY_ASOF),
+    "operating_ability_asof": (
+        q_operating_ability_asof,
+        SQL_OPERATING_ABILITY_ASOF,
+    ),
+    "debt_paying_ability_asof": (
+        q_debt_paying_ability_asof,
+        SQL_DEBT_PAYING_ABILITY_ASOF,
+    ),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
@@ -7589,87 +7640,77 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-5 rotation (freshness pass — every query below is green in the
-    # local 145/145 run; the window picks WHICH 50 the driver re-certifies):
-    #   1-3   the formerly-no-oracle trio: full DuckDB oracles landed in r4
-    #         but no driver artifact has EVER recorded them green,
-    #   4-6   the three r01-certified indicator queries (stalest greens),
-    #   7     hard_negatives — its operator file (operators/similarity.py)
-    #         changed this round (the @ivf variant), and a query whose code
-    #         path the round touched must stay in the certified window,
-    #   8-50  the 43 stalest r02-certified entries.
-    # Deferred to the r6 window (r02-certified, unchanged code, strong
-    # pytest coverage): doc_chunks, doc_stats, dup_chunks, quality_scores,
-    # token_budget, hash_sample_docs, domain_capped_sample, code_conversion,
-    # percent_roundtrip, json_props, language_votes, hourly_event_stats,
-    # monthly_growth, sessionize_users, unpivot_measures, user_value_cumlog,
-    # weekly_ohlc
-    # (displaced by this
-    # round's NEW kmeans_clusters / semantic_dedup / boilerplate_lines /
-    # dsir_selection / bpe_merges entries — new code takes the certified slots, per the r4 advisory's
-    # keep-changed-in-window rule).
-    "synthetic_bars",
-    "adjusted_bars_post",
+    # Round-6 rotation. Membership is now MECHANICALLY checked by
+    # tools/window_lint.py (definition-granular taint from the round's git
+    # diff — r5 verdict item 5); run it after any code change. This window:
+    #   1-17  every query the r6 diff taints (lint output): the ability-
+    #         table family (NEW — the last uncertified §2.12 surface, its
+    #         factory/generator refactor also taints the four statement
+    #         asofs + fundamentals_asof), macd_indicators (signed-zero fix;
+    #         the only never-driver-certified query), cosine_near_dups +
+    #         embedding_dup_clusters (exact-path default flip), the CMS/
+    #         Bloom NULL-handling + oracle LEFT JOIN fixes, the persist-
+    #         lifecycle docstrings (substrings/textstats), and the round's
+    #         later pipeline/provider work.
+    #   18-40 the 23 r02-certified entries deferred from the r5 window
+    #         (stalest driver greens in the registry).
+    #   41-50 stalest r03-certified entries, freshness re-certification.
+    # Displaced (r05-certified, unchanged code, pytest-covered): the entire
+    # r5 window minus its carried-over tainted members.
     "macd_indicators",
-    "kdj_orders",
-    "macd_orders",
-    "rsi_orders",
-    # new this round (keep-changed-in-window rule): the ExactSubstr family
-    # (operators/substrings.py) — displaces active_nations and
-    # big_spender_segments (r02-certified, unchanged code, pytest-covered)
-    # to the r6 window
-    "cross_doc_dup_coverage",
-    "exact_substr_trim",
-    "hard_negatives",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "boilerplate_lines",
-    "dsir_selection",
-    "bpe_merges",
-    "bpe_token_counts",
-    "cluster_balanced_sample",
-    "curriculum_buckets",
-    "logit_training",
-    "classifier_eval",
-    # new this round: the Count-Min sketch and Bloom filter build+probe
-    # (sketches.py) — displace brand_type_revenue and asof_purchase_signup
-    # (r02-certified, unchanged code) to the r6 window
+    "profit_ability_asof",
+    "growth_ability_asof",
+    "operating_ability_asof",
+    "debt_paying_ability_asof",
+    "fundamentals_asof",
+    "income_statement_asof",
+    "balance_statement_asof",
+    "cashflow_statement_asof",
+    "eps_asof",
+    "cosine_near_dups",
+    "embedding_dup_clusters",
     "cms_token_frequency",
     "bloom_decontam",
-    # new this round: product-quantized ANN (operators/pq.py) — displaces
-    # benchmark_contamination (r02-certified, unchanged code) to r6
-    "pq_ann_top5",
-    "cosine_near_dups",
-    "cosine_top5",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_lineitem_first",
-    "exrights_adjust",
-    "ivf_ann_top5",
-    "latest_event_per_user",
-    "lsh_ann_top5",
-    "minhash_near_dups",
-    "mixture_epochs",
-    "multimodal_features",
-    "order_priority_returns",
-    "pipeline_funnel",
-    "pivot_user_event_counts",
-    "price_quantiles",
-    "pricing_summary",
-    "purchases_within_7d",
-    "region_daily_ffill",
-    "region_revenue",
-    "rollup_region_nation",
-    "shipping_priority",
-    "simhash_signatures",
-    "supplier_moving_avg",
-    "token_jaccard_pairs",
-    "top_customers",
-    "trailing_3_per_supplier",
-    # new this round (keep-changed-in-window rule) — displaces
-    # user_retention_cohorts (r02-certified, unchanged code, pytest-covered)
-    # to the r6 window
+    "cross_doc_dup_coverage",
+    "exact_substr_trim",
     "dup_gram_coverage",
+    # the 23 deferred r02-certified entries (r5 window comment)
+    "doc_chunks",
+    "doc_stats",
+    "dup_chunks",
+    "quality_scores",
+    "token_budget",
+    "hash_sample_docs",
+    "domain_capped_sample",
+    "code_conversion",
+    "percent_roundtrip",
+    "json_props",
+    "language_votes",
+    "hourly_event_stats",
+    "monthly_growth",
+    "sessionize_users",
+    "unpivot_measures",
+    "user_value_cumlog",
+    "weekly_ohlc",
+    "active_nations",
+    "big_spender_segments",
+    "brand_type_revenue",
+    "asof_purchase_signup",
+    "benchmark_contamination",
+    "user_retention_cohorts",
+    # r6 work expected to taint these (curation-release composition,
+    # provider fixture edge cases) — reserved in-window up front
+    "pipeline_funnel",
+    "corpus_datacard",
+    "baostock_fixture_bars",
+    # stalest r03-certified entries, freshness re-certification
+    "amihud_illiquidity",
+    "bollinger_bands",
+    "conversion_funnel",
+    "event_transitions",
+    "exrights_events",
+    "index_membership",
+    "ma_crossover_signals",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

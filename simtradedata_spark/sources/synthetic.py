@@ -71,6 +71,44 @@ STATEMENT_FIELDS: dict[str, tuple[float, float]] = {
     "end_period_cash_equivalent": (0.0, 500.0),
 }
 
+# Ability-table base indicators (reference ``ptrade_data_api.py:484-590`` four
+# per-domain fetchers; field lists ``docs/PTrade_API_mini_Reference.md:3274-3412``).
+# name → (lo, hi); the generator salts _rng01 with the field name, so these
+# ranges are the single source of truth shared with the DuckDB oracles
+# (queries.py::_sql_statement_asof), exactly like STATEMENT_FIELDS.
+ABILITY_FIELDS: dict[str, tuple[float, float]] = {
+    # order preserved from the original inline generator list (column order
+    # of SyntheticMarket.fundamentals() is part of the fixture contract)
+    "roe": (-5.0, 25.0),
+    "roa": (-3.0, 15.0),
+    "net_profit_ratio": (-10.0, 40.0),
+    "gross_income_ratio": (5.0, 60.0),
+    "current_ratio": (0.5, 4.0),
+    "quick_ratio": (0.3, 3.0),
+    "debt_equity_ratio": (5.0, 150.0),
+    "accounts_receivables_turnover_rate": (1.0, 20.0),
+    "inventory_turnover_rate": (1.0, 15.0),
+    "total_asset_turnover_rate": (0.1, 3.0),
+    "current_assets_turnover_rate": (0.5, 6.0),
+    "operating_revenue_grow_rate": (-30.0, 80.0),
+    "net_profit_grow_rate": (-50.0, 120.0),
+    "total_asset_grow_rate": (-10.0, 50.0),
+    "basic_eps_yoy": (-40.0, 90.0),
+    "np_parent_company_yoy": (-40.0, 90.0),
+    "interest_cover": (0.5, 30.0),
+    "roic": (-5.0, 20.0),
+}
+
+# TTM columns: rolling 4-quarter mean of the (rounded) quarterly base value,
+# null for the first 3 quarters (DATA_MAPPING.md:741-755).
+TTM_FIELDS: dict[str, str] = {
+    "roe_ttm": "roe",
+    "roa_ttm": "roa",
+    "gross_income_ratio_ttm": "gross_income_ratio",
+    "net_profit_ratio_ttm": "net_profit_ratio",
+    "roa_ebit_ttm": "roa",
+}
+
 
 def _bounded_seq_window(*order_cols) -> Window:
     """One ordered partition over a BOUNDED-by-construction series.
@@ -426,21 +464,10 @@ class SyntheticMarket:
             4,
         ).alias(name)
         indicators = [
-            ind("roe", -5, 25), ind("roa", -3, 15),
-            ind("net_profit_ratio", -10, 40), ind("gross_income_ratio", 5, 60),
-            ind("current_ratio", 0.5, 4), ind("quick_ratio", 0.3, 3),
-            ind("debt_equity_ratio", 5, 150),
-            ind("accounts_receivables_turnover_rate", 1, 20),
-            ind("inventory_turnover_rate", 1, 15),
-            ind("total_asset_turnover_rate", 0.1, 3),
-            ind("current_assets_turnover_rate", 0.5, 6),
-            ind("operating_revenue_grow_rate", -30, 80),
-            ind("net_profit_grow_rate", -50, 120),
-            ind("total_asset_grow_rate", -10, 50),
-            ind("basic_eps_yoy", -40, 90), ind("np_parent_company_yoy", -40, 90),
-            ind("interest_cover", 0.5, 30), ind("roic", -5, 20),
-            # three statements + per-share table (same tall frame — each
-            # PTrade table name is a projection, api/ptrade.py)
+            # ability tables + three statements + per-share table (same tall
+            # frame — each PTrade table name is a projection, api/ptrade.py);
+            # ranges shared with the DuckDB oracles via the module dicts.
+            *[ind(n, lo, hi) for n, (lo, hi) in ABILITY_FIELDS.items()],
             *[ind(n, lo, hi) for n, (lo, hi) in STATEMENT_FIELDS.items()],
         ]
         out = allrows.select("symbol", "end_date", "publ_date", "report_type", "merge_seq", "sym_idx", *indicators)
@@ -452,12 +479,7 @@ class SyntheticMarket:
             .rowsBetween(-3, 0)
         )
         cnt = F.count(F.lit(1)).over(w4)
-        for src, ttm in [
-            ("roe", "roe_ttm"), ("roa", "roa_ttm"),
-            ("gross_income_ratio", "gross_income_ratio_ttm"),
-            ("net_profit_ratio", "net_profit_ratio_ttm"),
-            ("roa", "roa_ebit_ttm"),
-        ]:
+        for ttm, src in TTM_FIELDS.items():
             out = out.withColumn(
                 ttm, F.when(cnt >= 4, F.round(F.avg(src).over(w4), 4))
             )

@@ -45,7 +45,10 @@ ALLOW_BNLJ = {
     # bounded dimensions — they ARE the row source, never fact × fact)
     "synthetic_bars", "exrights_events", "valuation_table",
     "fundamentals_asof", "income_statement_asof", "balance_statement_asof",
-    "cashflow_statement_asof", "eps_asof", "index_membership", "index_churn",
+    "cashflow_statement_asof", "eps_asof",
+    "profit_ability_asof", "growth_ability_asof", "operating_ability_asof",
+    "debt_paying_ability_asof",  # same probes×quarterly-dim shape as above
+    "index_membership", "index_churn",
     "tick_vwap", "minute_bars_vwap", "minute_bars_fold",
     "rolling_beta", "factor_ic", "adjusted_bars_post",
     # calendar densification: dates × group dims, both bounded (J6)
