@@ -76,3 +76,56 @@ def adjust_bars(
         # lands on an exact decimal half — float rounding is tie-free here.
         out = out.withColumn("volume", F.round(F.col("volume") / factor, 2))
     return out.drop(fcol)
+
+
+def densify_adjust_factors(
+    events: DataFrame,
+    dates: DataFrame,
+) -> DataFrame:
+    """Provider EVENT rows → the warehouse's DAILY adjust-factor table.
+
+    A provider's ``query_adjust_factor`` answers with one row per ex-rights
+    event (``baostock_fetcher.py:85-119``: ``dividOperateDate`` keyed, the
+    post-step cumulative factors), while ``adjust_bars`` and the warehouse's
+    ``adjust_factor`` table are DAILY (synthetic.adjust_factor's step
+    function sampled on every trading day). This bridges the two:
+
+      - ``events``: (symbol, trade_date, fore_adj, back_adj) — the factor
+        values IN FORCE from that date forward (post-step).
+      - ``dates``:  (symbol, trade_date) — the trading-day spine to sample
+        on (usually ``bars.select("symbol", "trade_date")``).
+
+    Backward as-of join per symbol; days before a symbol's first event get
+    back_adj = 1 and fore_adj = 1 / max(back_adj) — the same cumprod
+    identity the synthetic generator satisfies, so densifying the
+    generator's own event rows reproduces its daily table exactly (tested).
+    Symbols with NO events (index series) come back all-1/1 — ``adjust_bars``
+    then leaves them untouched, the reference's documented index behavior
+    (``baostock_fetcher.py:96-104``).
+
+    Plan: one union+window as-of pass (operators/asof.py) plus a per-symbol
+    broadcast-side max — no cross join, daily-spine-sized output."""
+    from pyspark.sql.window import Window
+
+    from simtradedata_spark.operators.asof import asof_join
+
+    ev = events.select("symbol", "trade_date", "fore_adj", "back_adj")
+    joined = asof_join(
+        dates.select("symbol", "trade_date"),
+        ev,
+        on="trade_date",
+        by=["symbol"],
+        right_cols=["fore_adj", "back_adj"],
+    )
+    wall = Window.partitionBy("symbol").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    final_back = F.max(F.coalesce("back_adj", F.lit(1.0))).over(wall)
+    return joined.select(
+        "symbol",
+        "trade_date",
+        F.round(
+            F.coalesce(F.col("fore_adj"), F.lit(1.0) / final_back), 6
+        ).alias("fore_adj"),
+        F.round(F.coalesce(F.col("back_adj"), F.lit(1.0)), 6).alias("back_adj"),
+    )

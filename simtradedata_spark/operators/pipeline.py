@@ -140,7 +140,7 @@ def full_curation(
     jaccard_threshold: float = 0.5,
     strip_n: int = 8,
     contam_n: int = 5,
-    bloom_bits: int = 1 << 14,
+    bloom_bits: int | None = None,
     bloom_k: int = 4,
     select_top: int | None = None,
     seq_len: int = 4096,
@@ -233,10 +233,18 @@ def full_curation(
         "__nonempty", F.col("__canonical") & (F.col("kept_tokens") > 0)
     )
 
-    # 5: Bloom decontamination of the POST-STRIP text against the benchmark
+    # 5: Bloom decontamination of the POST-STRIP text against the benchmark.
+    # bloom_bits=None sizes the bitset to the ACTUAL benchmark gram count
+    # (bloom_sizing) — a pinned m saturates when the benchmark grows (at 10×
+    # data a 16-Kbit filter flagged 100% of the corpus, r6 measurement);
+    # the count is one tiny distinct-aggregate job over the benchmark side.
+    from simtradedata_spark.operators.sketches import bloom_sizing
+
     bench_grams = bench.select(
         F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
     ).distinct()
+    if bloom_bits is None:
+        bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
     sketch = bloom_build(bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn)
     doc_grams = (
         flagged.filter(F.col("__nonempty"))

@@ -109,6 +109,55 @@ def make_baostock_csv_provider(path: str):
     return functools.partial(_csv_provider, path=path)
 
 
+# BaoStock query_adjust_factor native columns → the warehouse adjust-factor
+# names (reference ``baostock_fetcher.py:85-119``: the RPC returns EVENT rows
+# keyed by ``dividOperateDate`` — not daily rows — with string factors).
+BAOSTOCK_ADJUST_RENAMES = {
+    "code": "symbol",
+    "dividOperateDate": "trade_date",
+    "foreAdjustFactor": "fore_adj",
+    "backAdjustFactor": "back_adj",
+}
+
+ADJUST_EVENT_COLUMNS = ["symbol", "trade_date", "fore_adj", "back_adj"]
+
+
+def baostock_adjust_to_unified(pdf: pd.DataFrame) -> pd.DataFrame:
+    """BaoStock adjust-factor result_frame → typed event rows
+    (symbol, trade_date, fore_adj, back_adj). An EMPTY input returns an
+    empty frame with the full column set — the reference treats an empty
+    answer for an index code as expected, not an error
+    (``baostock_fetcher.py:96-104``), and downstream ``adjust_bars``
+    defaults missing factors to 1 (index series pass through unadjusted)."""
+    if pdf.empty:
+        return pd.DataFrame({c: pd.Series(dtype="object") for c in ADJUST_EVENT_COLUMNS})
+    present = {s: d for s, d in BAOSTOCK_ADJUST_RENAMES.items() if s in pdf.columns}
+    out = pdf[list(present)].rename(columns=present)
+    out["symbol"] = out["symbol"].map(baostock_code_to_ptrade)
+    out["trade_date"] = pd.to_datetime(out["trade_date"]).dt.date
+    for c in ("fore_adj", "back_adj"):
+        out[c] = pd.to_numeric(out[c], errors="coerce")
+    return out[ADJUST_EVENT_COLUMNS]
+
+
+def _adjust_csv_provider(symbol: str, start: str, end: str, path: str) -> pd.DataFrame:
+    """Recorded adjust-factor fixture provider: slices one symbol's event
+    rows, as ``bs.query_adjust_factor`` would. Index codes are simply
+    absent from the fixture → empty frame, the RPC's documented answer."""
+    raw = pd.read_csv(path, dtype=str)
+    code = ptrade_code_to_baostock(symbol)
+    sliced = raw[
+        (raw["code"] == code)
+        & (raw["dividOperateDate"] >= start)
+        & (raw["dividOperateDate"] <= end)
+    ]
+    return baostock_adjust_to_unified(sliced)
+
+
+def make_baostock_adjust_csv_provider(path: str):
+    return functools.partial(_adjust_csv_provider, path=path)
+
+
 # Mootdx client.bars native columns → unified names. The reference's
 # mootdx_fetcher.py:89-217 documents the dialect: numeric (not string)
 # columns, 'vol' is the share volume ('volume' there is a different

@@ -36,6 +36,14 @@ UNIFIED_SCHEMA = (
     "trade_status tinyint"
 )
 
+# Adjust-factor EVENT rows (S3): what a provider's query_adjust_factor
+# emits after adapters.baostock_adjust_to_unified — pass as the ``schema``
+# of fetch_unified to fan the scan out; densify to daily with
+# operators.adjust.densify_adjust_factors before the warehouse write.
+ADJUST_EVENT_SCHEMA = (
+    "symbol string, trade_date date, fore_adj double, back_adj double"
+)
+
 
 def with_retry(
     fn: Callable[[], pd.DataFrame],
@@ -107,8 +115,12 @@ def paginated(
     max_pages: int = 1000,
 ) -> Callable[[str, str, str], pd.DataFrame]:
     """S9 pagination adapter: newest-first pages until the oldest row crosses
-    ``start`` (``mootdx_fetcher.py:137-154``); concat + range filter. Keyed
-    dedup stays downstream (``dedup_exact``), as in the reference (``:163``)."""
+    ``start`` (``mootdx_fetcher.py:137-154``); concat + keep-FIRST dedup on
+    ``trade_date`` + range filter. Real pagers overlap at chunk boundaries
+    when the provider's offset window slides during the walk — the reference
+    drops duplicate index entries keeping the first occurrence
+    (``mootdx_fetcher.py:163``), i.e. the NEWER page's row wins, which this
+    reproduces (pages are appended newest-first)."""
 
     def fetch(symbol: str, start: str, end: str) -> pd.DataFrame:
         pages = []
@@ -122,6 +134,7 @@ def paginated(
         if not pages:
             return pd.DataFrame()
         out = pd.concat(pages, ignore_index=True)
+        out = out.drop_duplicates(subset=["trade_date"], keep="first")
         return out[(out["trade_date"].astype(str) >= start) & (out["trade_date"].astype(str) <= end)]
 
     return fetch

@@ -16,7 +16,10 @@ from simtradedata_spark.functions.caching import release_scratch
 from simtradedata_spark.operators.pipeline import full_curation, full_funnel_report
 
 SF_DIR = "/root/testdata/sf0.001"
-KW = dict(jaccard_threshold=0.5, strip_n=8, contam_n=5, select_top=40)
+# bloom_bits pinned so the standalone stage-5 reproduction below builds the
+# byte-identical filter (the default auto-sizes to the benchmark gram count)
+KW = dict(jaccard_threshold=0.5, strip_n=8, contam_n=5, select_top=40,
+          bloom_bits=1 << 14)
 
 
 @pytest.fixture(scope="module")
