@@ -197,6 +197,16 @@ def full_curation(
     corpus = docs.filter(F.col(source_col) != benchmark_source)
     bench = docs.filter(F.col(source_col) == benchmark_source)
 
+    # Each stage below FILTERS the running `flagged` frame for its input
+    # AND joins its verdict back onto it — two consumers per stage. Without
+    # a materialization barrier Spark recomputes the whole prefix for both
+    # branches of every stage, compounding to ~2^stages recomputes of the
+    # quality/dedup base by the packing stage (measured: the sf0.01 funnel
+    # did not finish in 10 min unpersisted, 1.5 min with barriers). SCRATCH
+    # persists — released by functions.caching.release_scratch.
+    def barrier(df: DataFrame) -> DataFrame:
+        return df.persist()
+
     # 1-2: quality flags + exact dedup (curate_flags' first two stages)
     feat = char_stats(corpus, text_col).withColumn("__fp", fingerprint(text_col))
     quality = (
@@ -205,8 +215,10 @@ def full_curation(
         & (F.col("digit_ratio") <= max_digit)
     )
     w = Window.partitionBy("__fp", "__q").orderBy(id_col)
-    flagged = feat.withColumn("__q", quality).withColumn(
-        "__unique", F.col("__q") & (F.row_number().over(w) == 1)
+    flagged = barrier(
+        feat.withColumn("__q", quality).withColumn(
+            "__unique", F.col("__q") & (F.row_number().over(w) == 1)
+        )
     )
 
     # 3: near-dup clustering among exact-unique survivors
@@ -219,9 +231,12 @@ def full_curation(
     clusters = dedup_clusters(pairs).select(
         F.col("doc_id").alias(id_col), "is_canonical"
     )
-    flagged = flagged.join(clusters, id_col, "left").withColumn(
-        "__canonical", F.col("__unique") & F.coalesce("is_canonical", F.lit(True))
-    ).drop("is_canonical")
+    flagged = barrier(
+        flagged.join(clusters, id_col, "left").withColumn(
+            "__canonical",
+            F.col("__unique") & F.coalesce("is_canonical", F.lit(True)),
+        ).drop("is_canonical")
+    )
 
     # 4: cross-document exact-substring strip rewrites the surviving text
     stripped = strip_cross_doc_spans(
@@ -229,8 +244,10 @@ def full_curation(
         key_col=id_col, text_col=text_col, n=strip_n,
         hash_grams=(hash_fn != "md5"),
     ).select(id_col, "kept_tokens", "text_clean")
-    flagged = flagged.join(stripped, id_col, "left").withColumn(
-        "__nonempty", F.col("__canonical") & (F.col("kept_tokens") > 0)
+    flagged = barrier(
+        flagged.join(stripped, id_col, "left").withColumn(
+            "__nonempty", F.col("__canonical") & (F.col("kept_tokens") > 0)
+        )
     )
 
     # 5: Bloom decontamination of the POST-STRIP text against the benchmark.
@@ -258,9 +275,11 @@ def full_curation(
         doc_grams.join(probed.filter(F.col("might_contain")), "gram")
         .select(id_col).distinct().withColumn("__hit", F.lit(True))
     )
-    flagged = flagged.join(hit_docs, id_col, "left").withColumn(
-        "__clean", F.col("__nonempty") & F.col("__hit").isNull()
-    ).drop("__hit")
+    flagged = barrier(
+        flagged.join(hit_docs, id_col, "left").withColumn(
+            "__clean", F.col("__nonempty") & F.col("__hit").isNull()
+        ).drop("__hit")
+    )
 
     # 6: DSIR importance selection over the clean pool (target = benchmark
     # domain, the certified dsir_selection policy: round-6dp score desc, id)
@@ -290,8 +309,11 @@ def full_curation(
             .select(id_col, "log_ratio")
             .withColumn("__selected", F.lit(True))
         )
-        flagged = flagged.join(picked, id_col, "left").withColumn(
-            "__selected", F.col("__clean") & F.coalesce("__selected", F.lit(False))
+        flagged = barrier(
+            flagged.join(picked, id_col, "left").withColumn(
+                "__selected",
+                F.col("__clean") & F.coalesce("__selected", F.lit(False)),
+            )
         )
 
     # 7: sequence packing over the selected docs' kept tokens

@@ -3887,6 +3887,261 @@ def q_pipeline_funnel(spark, sf_dir):
     return training_mix_report(docs)
 
 
+def q_full_curation_funnel(spark, sf_dir):
+    """The COMPLETE curation-release chain, driver-hash-certified END TO
+    END (pipeline.full_curation): quality → exact dedup → MinHash-LSH
+    near-dup clustering (min-label CC) → cross-document ExactSubstr strip
+    → Bloom decontamination → DSIR top-k selection → sequence packing,
+    reported as the per-source stage funnel. Every stage is already an
+    independently-certified registry query (quality_scores,
+    dedup_docs_exact, minhash_near_dups, dedup_clusters,
+    exact_substr_trim, bloom_decontam, dsir_selection, sequence_packing);
+    this entry certifies their COMPOSITION — each stage running on the
+    previous stage's survivors — against one DuckDB replay of the whole
+    chain. md5 hash backend throughout; bloom_bits pinned (the production
+    default auto-sizes, SCALE.md round-6). Deliberately the most expensive
+    registry entry: it IS eight certified pipelines in one plan."""
+    from simtradedata_spark.operators.pipeline import (
+        full_curation,
+        full_funnel_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = full_curation(
+        docs,
+        jaccard_threshold=0.5, strip_n=8, contam_n=5,
+        bloom_bits=1 << 14, bloom_k=4, select_top=50, seq_len=4096,
+        hash_fn="md5",
+    )
+    return full_funnel_report(flagged)
+
+
+def _sql_full_curation_funnel(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jac: float = 0.5,
+    seed: int = 7,
+    strip_n: int = 8,
+    contam_n: int = 5,
+    m_bits: int = 1 << 14,
+    k: int = 4,
+    n_buckets: int = 256,
+    select_top: int = 50,
+    seq_len: int = 4096,
+) -> str:
+    """DuckDB replay of the ENTIRE full_curation chain. Each stage block
+    is the same construction as its standalone certified oracle
+    (SQL_PIPELINE_FUNNEL's quality/fingerprint stages,
+    _sql_minhash_near_dups' signature/band machinery,
+    SQL_DEDUP_CLUSTERS' recursive min-label closure,
+    SQL_EXACT_SUBSTR_TRIM's occurrence/owner/rebuild,
+    SQL_BLOOM_DECONTAM's bitset, SQL_DSIR_SELECTION's bucket LMs,
+    SQL_SEQUENCE_PACKING's serial cumsum) — re-derived here standalone so
+    the shared builders stay untouched (window-taint isolation), with each
+    stage's input narrowed to the previous stage's survivors."""
+    from simtradedata_spark.operators.dedup import _MERSENNE, _perm_params
+
+    r = num_hashes // bands
+    mins = ",\n         ".join(
+        f"min((h * {a} + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(_perm_params(num_hashes, seed))
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig".format(
+            b=b,
+            key=_duck_h60(
+                "concat_ws(',', "
+                + ", ".join(f"CAST(m{b * r + j} AS VARCHAR)" for j in range(r))
+                + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(f"CAST(sa.m{i} = sb.m{i} AS INT)" for i in range(num_hashes))
+    seeds = ", ".join(str(i) for i in range(k))
+
+    def gram_list(arr: str, n: int) -> str:
+        return (
+            f"CASE WHEN len({arr}) >= {n} "
+            f"THEN list_distinct([array_to_string(list_slice({arr}, i, i+{n - 1}), ' ') "
+            f"FOR i IN range(1, len({arr})-{n - 2})]) "
+            f"ELSE list_distinct({arr}) END"
+        )
+
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, source, text FROM documents WHERE source <> 'src0'
+), feat AS (
+  SELECT doc_id, source, text,
+         {_DUCK_TOKENS} AS ws,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') AS cs,
+         length(text) AS nc,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM corpus
+), q AS (
+  SELECT *,
+         (len(ws) >= 5
+          AND CASE WHEN nc > 0 THEN
+                (nc - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')))
+                  / CAST(nc AS DOUBLE) ELSE 0.0 END <= 0.3
+          AND CASE WHEN nc > 0 THEN
+                (nc - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / CAST(nc AS DOUBLE) ELSE 0.0 END <= 0.3) AS qual
+  FROM feat
+), u AS MATERIALIZED (
+  SELECT *, qual AND row_number()
+              OVER (PARTITION BY fp, qual ORDER BY doc_id) = 1 AS uniq
+  FROM q
+), sh AS (
+  SELECT doc_id, {gram_list('ws', shingle_n)} AS gs
+  FROM u WHERE uniq
+), h AS (
+  SELECT doc_id, {_duck_h60('g')} % {_MERSENNE} AS h
+  FROM (SELECT doc_id, unnest(gs) AS g FROM sh)
+), sig AS MATERIALIZED (
+  SELECT doc_id,
+         {mins}
+  FROM h GROUP BY doc_id
+), banded AS MATERIALIZED (
+{band_rows}
+), prs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT p.id_a, p.id_b, ({agree}) / {float(num_hashes)} AS ej
+    FROM prs p JOIN sig sa ON sa.doc_id = p.id_a
+               JOIN sig sb ON sb.doc_id = p.id_b
+  ) WHERE ej >= {jac}
+), sym AS (
+  SELECT id_a AS uu, id_b AS vv FROM pairs
+  UNION
+  SELECT id_b AS uu, id_a AS vv FROM pairs
+), reach(uu, rr) AS (
+  SELECT uu, uu FROM (SELECT DISTINCT uu FROM sym)
+  UNION
+  SELECT s.uu, r.rr FROM sym s JOIN reach r ON s.vv = r.uu
+), noncanon AS MATERIALIZED (
+  SELECT uu AS doc_id FROM reach GROUP BY uu HAVING uu <> min(rr)
+), base4 AS MATERIALIZED (
+  SELECT u.doc_id, u.cs AS toks, len(u.cs) AS nt
+  FROM u LEFT JOIN noncanon n USING (doc_id)
+  WHERE u.uniq AND n.doc_id IS NULL
+), occ AS MATERIALIZED (
+  SELECT doc_id, s, array_to_string(toks[s:s+{strip_n - 1}], ' ') AS gram
+  FROM base4, unnest(generate_series(1, greatest(nt - {strip_n - 1}, 0))) AS t1(s)
+), dup AS (
+  SELECT gram, min(doc_id) AS owner
+  FROM (SELECT DISTINCT doc_id, gram FROM occ)
+  GROUP BY gram HAVING count(*) >= 2
+), rem AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT o.doc_id AS doc_id,
+           unnest(generate_series(o.s, o.s + {strip_n - 1})) AS pos
+    FROM occ o JOIN dup d USING (gram) WHERE o.doc_id <> d.owner)
+), toks_pos AS (
+  SELECT doc_id, i AS pos, toks[i] AS tok
+  FROM base4, unnest(generate_series(1, nt)) AS t2(i)
+), kept AS MATERIALIZED (
+  SELECT t.doc_id, count(*) AS kept_tokens,
+         array_agg(lower(t.tok) ORDER BY t.pos) AS lkt
+  FROM toks_pos t
+  LEFT JOIN rem r2 ON t.doc_id = r2.doc_id AND t.pos = r2.pos
+  WHERE r2.pos IS NULL
+  GROUP BY t.doc_id
+), bench_g AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM (
+    SELECT {gram_list('ws', contam_n)} AS gs
+    FROM (SELECT {_DUCK_TOKENS} AS ws FROM documents WHERE source = 'src0'))
+), sketch AS MATERIALIZED (
+  SELECT (pos // 63) AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS word
+  FROM (SELECT ('0x' || substr(md5(CAST(sd AS VARCHAR) || '|' || gram),
+                1, 15))::BIGINT % {m_bits} AS pos
+        FROM bench_g, unnest([{seeds}]) AS u1(sd))
+  GROUP BY 1
+), corp5 AS MATERIALIZED (
+  SELECT doc_id, unnest({gram_list('lkt', contam_n)}) AS gram FROM kept
+), cg_pos AS (
+  SELECT gram, ('0x' || substr(md5(CAST(sd AS VARCHAR) || '|' || gram),
+                1, 15))::BIGINT % {m_bits} AS pos
+  FROM (SELECT DISTINCT gram FROM corp5), unnest([{seeds}]) AS u2(sd)
+), probe AS (
+  SELECT gram,
+         min(CAST((coalesce(s.word, 0) >> CAST(p.pos % 63 AS INT)) & 1
+             AS INT)) AS ok
+  FROM cg_pos p LEFT JOIN sketch s ON s.word_idx = p.pos // 63
+  GROUP BY gram
+), hitdocs AS (
+  SELECT DISTINCT c.doc_id
+  FROM corp5 c JOIN probe USING (gram) WHERE probe.ok = 1
+), clean AS MATERIALIZED (
+  SELECT kk.doc_id, kk.kept_tokens, kk.lkt
+  FROM kept kk LEFT JOIN hitdocs hd USING (doc_id) WHERE hd.doc_id IS NULL
+), bk_pool AS MATERIALIZED (
+  SELECT doc_id, {_duck_h60('t')} % {n_buckets} AS b
+  FROM (SELECT doc_id, unnest(lkt) AS t FROM clean)
+), bk_tgt AS (
+  SELECT {_duck_h60('t')} % {n_buckets} AS b
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS t
+        FROM documents WHERE source = 'src0')
+), grid AS (
+  SELECT g.i AS b, coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+  FROM range(0, {n_buckets}) g(i)
+  LEFT JOIN (SELECT b, count(*) AS c FROM bk_pool GROUP BY b) cr ON cr.b = g.i
+  LEFT JOIN (SELECT b, count(*) AS c FROM bk_tgt GROUP BY b) ct ON ct.b = g.i
+), tot AS (
+  SELECT sum(cr) AS tr, sum(ct) AS tt FROM grid
+), ratio AS (
+  SELECT b, ln(CAST(ct + 1 AS DOUBLE)) - ln(CAST(tt + {n_buckets} AS DOUBLE))
+            - ln(CAST(cr + 1 AS DOUBLE)) + ln(CAST(tr + {n_buckets} AS DOUBLE)) AS lr
+  FROM grid CROSS JOIN tot
+), scored AS (
+  SELECT p.doc_id, round(sum(r.lr), 6) AS lr
+  FROM bk_pool p JOIN ratio r USING (b) GROUP BY p.doc_id
+), sel AS MATERIALIZED (
+  SELECT doc_id FROM scored ORDER BY lr DESC, doc_id LIMIT {select_top}
+), packed AS MATERIALIZED (
+  SELECT doc_id, CAST((cum - kept_tokens) // {seq_len} AS BIGINT) AS bin
+  FROM (SELECT c.doc_id, c.kept_tokens,
+               sum(c.kept_tokens) OVER (ORDER BY c.doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM clean c JOIN sel USING (doc_id))
+), flags AS (
+  SELECT u.doc_id, u.source, u.qual, u.uniq,
+         (u.uniq AND nc2.doc_id IS NULL) AS canonical,
+         (kk2.doc_id IS NOT NULL) AS nonempty,
+         (cl2.doc_id IS NOT NULL) AS clean_f,
+         (pk.doc_id IS NOT NULL) AS selected,
+         coalesce(kk2.kept_tokens, 0) AS kept_tokens,
+         pk.bin
+  FROM u
+  LEFT JOIN noncanon nc2 USING (doc_id)
+  LEFT JOIN kept kk2 USING (doc_id)
+  LEFT JOIN clean cl2 USING (doc_id)
+  LEFT JOIN packed pk USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CAST(qual AS INT)) AS BIGINT) AS n_quality,
+       CAST(sum(CAST(uniq AS INT)) AS BIGINT) AS n_unique,
+       CAST(sum(CAST(canonical AS INT)) AS BIGINT) AS n_canonical,
+       CAST(sum(CAST(nonempty AS INT)) AS BIGINT) AS n_nonempty,
+       CAST(sum(CAST(clean_f AS INT)) AS BIGINT) AS n_clean,
+       CAST(sum(CAST(selected AS INT)) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN selected THEN kept_tokens ELSE 0 END) AS BIGINT)
+         AS selected_tokens,
+       count(DISTINCT CASE WHEN selected THEN bin END) AS n_bins
+FROM flags GROUP BY source
+"""
+
+
+SQL_FULL_CURATION_FUNNEL = _sql_full_curation_funnel()
+
+
 SQL_PIPELINE_FUNNEL = f"""
 WITH corpus AS (
   SELECT doc_id, source, text,
@@ -7519,6 +7774,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         SQL_CASHFLOW_STATEMENT_ASOF,
     ),
     "eps_asof": (q_eps_asof, SQL_EPS_ASOF),
+    "full_curation_funnel": (q_full_curation_funnel, SQL_FULL_CURATION_FUNNEL),
     "profit_ability_asof": (q_profit_ability_asof, SQL_PROFIT_ABILITY_ASOF),
     "growth_ability_asof": (q_growth_ability_asof, SQL_GROWTH_ABILITY_ASOF),
     "operating_ability_asof": (
@@ -7703,6 +7959,8 @@ _FRONT_WINDOW = [
     "pipeline_funnel",
     "corpus_datacard",
     "baostock_fixture_bars",
+    # NEW this round: the composed end-to-end curation certification
+    "full_curation_funnel",
     # stalest r03-certified entries, freshness re-certification
     "amihud_illiquidity",
     "bollinger_bands",
@@ -7710,7 +7968,6 @@ _FRONT_WINDOW = [
     "event_transitions",
     "exrights_events",
     "index_membership",
-    "ma_crossover_signals",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -67,6 +67,10 @@ ALLOW_BNLJ = {
     "kmeans_clusters", "semantic_dedup", "cluster_balanced_sample",
     # 1-row LM-totals scalar folded into the bucket-ratio dim
     "dsir_selection",
+    # composed end-to-end chain: inherits dsir_selection's 1-row totals
+    # cross join (the only BNLJ in its plan — every other stage is the
+    # standalone certified shape)
+    "full_curation_funnel",
     # corpus-total scalar (perplexity LM) + bounded ntile offset frames
     "curriculum_buckets",
 }
