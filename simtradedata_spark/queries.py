@@ -3470,6 +3470,156 @@ SQL_BALANCE_STATEMENT_ASOF = _sql_statement_asof("balance_statement")
 SQL_CASHFLOW_STATEMENT_ASOF = _sql_statement_asof("cashflow_statement")
 SQL_EPS_ASOF = _sql_statement_asof("eps")
 
+def q_stock_metadata(spark, sf_dir):
+    """Stock-basic metadata scan (S4/S5 — reference
+    ``fetchers/baostock_fetcher.py::fetch_stock_basic`` and the blocks map
+    ``ptrade_data_api.py::get_stock_blocks``): names (ST-/退-prefixed edge
+    cases), listed/de-listed dates anchored at fixed trading-day indices,
+    and the industry blocks map projected to columns so the driver's
+    value-hash covers the map contents."""
+    m = _small_market(spark)
+    md = m.stock_metadata()
+    return md.select(
+        "symbol",
+        "stock_name",
+        "listed_date",
+        # stringly-typed: the column is null for all but the delisted
+        # symbol, and an all-null date column hashes as None/NaT depending
+        # on the engine's pandas dtype — a string column is unambiguous
+        F.col("de_listed_date").cast("string").alias("de_listed_date"),
+        F.col("blocks")["industry"].alias("industry"),
+        F.col("blocks")["industry_classification"].alias(
+            "industry_classification"
+        ),
+    )
+
+
+SQL_STOCK_METADATA = """
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), anchors AS (
+  SELECT (SELECT trade_date FROM days WHERE day_idx = 0) AS d0,
+         (SELECT trade_date FROM days
+          WHERE day_idx = (SELECT count(*) FROM days) // 3) AS ipo,
+         (SELECT trade_date FROM days
+          WHERE day_idx = (2 * (SELECT count(*) FROM days)) // 3) AS del
+)
+SELECT s.symbol,
+       CASE WHEN s.sym_idx = 2 THEN 'ST股票' || CAST(s.sym_idx AS VARCHAR)
+            WHEN s.sym_idx = 7 THEN '退市股' || CAST(s.sym_idx AS VARCHAR)
+            ELSE '股票' || CAST(s.sym_idx AS VARCHAR) END AS stock_name,
+       CASE WHEN s.sym_idx = 5 THEN a.ipo ELSE a.d0 END AS listed_date,
+       CAST(CASE WHEN s.sym_idx = 7 THEN a.del END AS VARCHAR) AS de_listed_date,
+       ['bank', 'tech', 'energy', 'consumer', 'health'][s.sym_idx % 5 + 1]
+         AS industry,
+       'csrc_' || ['bank', 'tech', 'energy', 'consumer', 'health'][s.sym_idx % 5 + 1]
+         AS industry_classification
+FROM syms s CROSS JOIN anchors a
+"""
+
+
+def q_etf_info(spark, sf_dir):
+    """ETF metadata dimension (spec ``PTrade_API_mini_Reference.md:
+    2424-2552,3464-3504`` — the ``get_etf_info`` field set): one ETF per
+    tracked index, md5-RNG numeric fields regenerated bit-for-bit by the
+    oracle. Certifies the formerly test-only ETF data surface."""
+    return _small_market(spark).etf_metadata()
+
+
+SQL_ETF_INFO = f"""
+WITH e AS (
+  SELECT * FROM (VALUES
+    ('510050.SS', '上证50ETF', '000016.SS', '510051'),
+    ('510300.SS', '沪深300ETF', '000300.SS', '510301'),
+    ('510500.SS', '中证500ETF', '000905.SS', '510501'))
+    t(etf_code, etf_name, index_code, etf_redemption_code)
+)
+SELECT etf_code, etf_name, index_code, etf_redemption_code,
+       1 AS publish,
+       1000000 AS report_unit,
+       0.4 AS max_cash_ratio,
+       round(({_duck_u01('cash42', 'etf_code')} - 0.5) * 2000, 2) AS cash_balance,
+       round({_duck_u01('pcc42', 'etf_code')} * 1000, 2) AS pre_cash_component,
+       round(100000.0 + {_duck_u01('navpc42', 'etf_code')} * 200000.0, 2) AS nav_percu,
+       round(0.1 + {_duck_u01('nav42', 'etf_code')} * 5, 3) AS nav_pre,
+       0.0 AS allot_max,
+       0.0 AS redeem_max
+FROM e
+"""
+
+
+def q_cb_info(spark, sf_dir):
+    """Convertible-bond metadata dimension (spec ``:1717-1776,2721-2774``
+    — the ``get_cb_info`` field set): one CB per sym_idx%4==1 stock,
+    list/convert/maturity dates anchored on the trading-day spine,
+    md5-RNG prices; convert_rate = 100/convert_price. Certifies the
+    formerly test-only CB data surface."""
+    return _small_market(spark).cb_metadata()
+
+
+SQL_CB_INFO = f"""
+WITH cal AS (
+  SELECT CAST(d AS DATE) AS calendar_date
+  FROM generate_series(DATE '2022-01-03', DATE '2022-12-30', INTERVAL 1 DAY) t(d)
+), days AS (
+  SELECT calendar_date AS trade_date,
+         row_number() OVER (ORDER BY calendar_date) - 1 AS day_idx
+  FROM cal
+  WHERE dayofweek(calendar_date) BETWEEN 1 AND 5
+    AND NOT ((month(calendar_date) = 1 AND dayofmonth(calendar_date) <= 3)
+          OR (month(calendar_date) = 10 AND dayofmonth(calendar_date) <= 5))
+), anchors AS (
+  SELECT (SELECT trade_date FROM days WHERE day_idx = 30) AS d30
+), syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+  WHERE i % 4 = 1
+), named AS (
+  SELECT s.sym_idx, s.symbol,
+         CASE WHEN s.sym_idx = 2 THEN 'ST股票' || CAST(s.sym_idx AS VARCHAR)
+              WHEN s.sym_idx = 7 THEN '退市股' || CAST(s.sym_idx AS VARCHAR)
+              ELSE '股票' || CAST(s.sym_idx AS VARCHAR) END AS stock_name
+  FROM syms s
+), priced AS (
+  SELECT *,
+         round((5.0 + 95.0 * {_duck_u01('base42', 'sym_idx')})
+               * (1.0 + 0.2 * {_duck_u01('cbp', 'sym_idx')}), 2) AS convert_price
+  FROM named
+)
+SELECT CASE WHEN symbol LIKE '%.SS'
+            THEN '110' || lpad(CAST(sym_idx AS VARCHAR), 3, '0') || '.SS'
+            ELSE '123' || lpad(CAST(sym_idx AS VARCHAR), 3, '0') || '.SZ' END
+         AS bond_code,
+       stock_name || '转债' AS bond_name,
+       symbol AS stock_code,
+       stock_name,
+       CAST(a.d30 AS VARCHAR) AS list_date,
+       round(5 + 30 * {_duck_u01('cbprem', 'sym_idx')}, 2) AS premium_rate,
+       CAST(a.d30 + INTERVAL 183 DAY AS DATE)::VARCHAR AS convert_date,
+       CAST(a.d30 + INTERVAL 6 YEAR AS DATE)::VARCHAR AS maturity_date,
+       round(100.0 / convert_price, 4) AS convert_rate,
+       convert_price
+FROM priced CROSS JOIN anchors a
+"""
+
+
 # The four "ability" tables (reference ``ptrade_data_api.py:484-590``; field
 # lists ``docs/PTrade_API_mini_Reference.md:3274-3412``) — the last §2.12
 # data surface without a DuckDB-oracled query (r5 verdict, missing #1).
@@ -7775,6 +7925,9 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     ),
     "eps_asof": (q_eps_asof, SQL_EPS_ASOF),
     "full_curation_funnel": (q_full_curation_funnel, SQL_FULL_CURATION_FUNNEL),
+    "stock_metadata": (q_stock_metadata, SQL_STOCK_METADATA),
+    "etf_info": (q_etf_info, SQL_ETF_INFO),
+    "cb_info": (q_cb_info, SQL_CB_INFO),
     "profit_ability_asof": (q_profit_ability_asof, SQL_PROFIT_ABILITY_ASOF),
     "growth_ability_asof": (q_growth_ability_asof, SQL_GROWTH_ABILITY_ASOF),
     "operating_ability_asof": (
@@ -7959,15 +8112,16 @@ _FRONT_WINDOW = [
     "pipeline_funnel",
     "corpus_datacard",
     "baostock_fixture_bars",
-    # NEW this round: the composed end-to-end curation certification
+    # NEW this round: the composed end-to-end curation certification +
+    # the formerly test-only metadata surfaces (stock-basic, ETF, CB)
     "full_curation_funnel",
+    "stock_metadata",
+    "etf_info",
+    "cb_info",
     # stalest r03-certified entries, freshness re-certification
     "amihud_illiquidity",
     "bollinger_bands",
-    "conversion_funnel",
-    "event_transitions",
     "exrights_events",
-    "index_membership",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -131,11 +131,15 @@ def main() -> int:
     emb_small = load_table(spark, small, "embeddings")
     emb_big = load_table(spark, big, "embeddings")
     t0 = time.time()
+    # the EXACT all-pairs form (bits=0, exact=True): these invariants state
+    # the exact answer's algebra; the bits="auto" LSH default (r5 advisory
+    # fix) deliberately drops cross-bucket pairs and is gated by the recall
+    # floors in tests/test_ann_recall.py instead
     pairs1 = cosine_near_dups(
-        emb_small, "vec_id", "embedding", threshold=0.45
+        emb_small, "vec_id", "embedding", threshold=0.45, bits=0, exact=True
     ).localCheckpoint(eager=True)
     pairsn = cosine_near_dups(
-        emb_big, "vec_id", "embedding", threshold=0.45
+        emb_big, "vec_id", "embedding", threshold=0.45, bits=0, exact=True
     ).localCheckpoint(eager=True)
     same_rep = F.floor(F.col("id_a") / d) == F.floor(F.col("id_b") / d)
     within = pairsn.filter(same_rep)
