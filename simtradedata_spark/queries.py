@@ -3532,6 +3532,128 @@ FROM syms s CROSS JOIN anchors a
 """
 
 
+def q_gear_prices(spark, sf_dir):
+    """Five-level synthetic order book as ROWS — the DataFrame dual of
+    ``get_snapshot``/``get_gear_price``'s per-code dict shaping
+    (api/ptrade.py::_synthetic_book, spec ``:2553-2609``): level i bids
+    last−0.01·i and offers last+0.01·i with qty base·(6−i), base =
+    max(100, volume//1000//100·100), evaluated on each symbol's final
+    trading day. Certifies the book-synthesis arithmetic under the hash
+    gate (the dict shape itself stays a tested client edge)."""
+    m = _small_market(spark)
+    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    w = Window.partitionBy("symbol").orderBy(F.col("trade_date").desc())
+    last = (
+        bars.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("symbol", F.col("close").alias("last_px"), "volume")
+    )
+    lv = F.explode(F.array(*[F.lit(i) for i in range(1, 6)])).alias("level")
+    base = F.expr(
+        "greatest(CAST(100 AS BIGINT), CAST(volume AS BIGINT) div 1000 div 100 * 100)"
+    )
+    return last.select("symbol", "last_px", "volume", lv).select(
+        "symbol",
+        "level",
+        F.round(F.col("last_px") - 0.01 * F.col("level"), 2).alias("bid_px"),
+        (base * (6 - F.col("level"))).cast("long").alias("bid_qty"),
+        F.round(F.col("last_px") + 0.01 * F.col("level"), 2).alias("ask_px"),
+        (base * (6 - F.col("level"))).cast("long").alias("ask_qty"),
+    )
+
+
+SQL_GEAR_PRICES = _SQL_MARKET_CTES + """
+, last AS (
+  SELECT symbol, close AS last_px, volume,
+         row_number() OVER (PARTITION BY symbol ORDER BY trade_date DESC) AS rn
+  FROM bars_out
+), based AS (
+  SELECT symbol, last_px,
+         greatest(100, CAST(volume AS BIGINT) // 1000 // 100 * 100) AS base
+  FROM last WHERE rn = 1
+)
+SELECT symbol, lvl AS level,
+       round(last_px - 0.01 * lvl, 2) AS bid_px,
+       CAST(base * (6 - lvl) AS BIGINT) AS bid_qty,
+       round(last_px + 0.01 * lvl, 2) AS ask_px,
+       CAST(base * (6 - lvl) AS BIGINT) AS ask_qty
+FROM based, unnest([1, 2, 3, 4, 5]) AS u(lvl)
+"""
+
+
+def q_sort_msg_industry(spark, sf_dir):
+    """Industry ranking — the DataFrame dual of ``get_sort_msg``
+    (api/ptrade.py, spec ``PTrade_API_mini_Reference.md:2320``; a surface
+    the reference never implemented): group stocks by their metadata
+    industry block and rank groups on the final trading day by
+    equal-weighted mean day-over-day change, Σvolume, Σmoney, rise/fall
+    counts and Σmoney/Σvolume. Floats rounded 6dp on both engines; member
+    sets are 2-3 stocks so the float sums are order-robust at 6dp."""
+    m = _small_market(spark)
+    bars = m.bars().filter(F.col("sym_idx") >= 0)
+    days = (
+        bars.select("trade_date").distinct().orderBy(F.col("trade_date").desc()).limit(2)
+    )
+    two = [r[0] for r in days.collect()]
+    d, prev_d = max(two), min(two)
+    meta = m.stock_metadata().select(
+        "symbol", F.col("blocks")["industry"].alias("grp")
+    )
+    on_day = lambda day, c: F.max(F.when(F.col("trade_date") == day, F.col(c)))
+    per_stock = (
+        bars.filter(F.col("trade_date").isin([prev_d, d]))
+        .join(F.broadcast(meta), "symbol")
+        .groupBy("symbol", "grp")
+        .agg(
+            on_day(d, "close").alias("close"),
+            on_day(prev_d, "close").alias("preclose"),
+            on_day(d, "volume").alias("volume"),
+            on_day(d, "money").alias("money"),
+        )
+        .filter(F.col("close").isNotNull() & F.col("preclose").isNotNull())
+    )
+    pct = F.col("close") / F.col("preclose") - 1
+    return per_stock.groupBy("grp").agg(
+        F.round(F.avg(pct), 6).alias("px_change_rate"),
+        F.round(F.sum("volume"), 2).alias("business_amount"),
+        F.round(F.sum("money"), 2).alias("business_balance"),
+        F.sum(F.when(pct > 0, 1).otherwise(0)).cast("long").alias("rise_count"),
+        F.sum(F.when(pct < 0, 1).otherwise(0)).cast("long").alias("fall_count"),
+        F.round(F.sum("money") / F.sum("volume"), 6).alias("wavg_px"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+SQL_SORT_MSG_INDUSTRY = _SQL_MARKET_CTES + """
+, lastdays AS (
+  SELECT max(day_idx) AS d1, max(day_idx) - 1 AS d0 FROM bars_out
+), per_stock0 AS (
+  SELECT b.symbol,
+         ['bank', 'tech', 'energy', 'consumer', 'health'][b.sym_idx % 5 + 1] AS grp,
+         max(CASE WHEN b.day_idx = l.d1 THEN b.close END) AS close,
+         max(CASE WHEN b.day_idx = l.d0 THEN b.close END) AS preclose,
+         max(CASE WHEN b.day_idx = l.d1 THEN b.volume END) AS volume,
+         max(CASE WHEN b.day_idx = l.d1 THEN b.money END) AS money
+  FROM bars_out b CROSS JOIN lastdays l
+  WHERE b.day_idx IN (l.d0, l.d1)
+  GROUP BY 1, 2
+), per_stock AS (
+  SELECT * FROM per_stock0 WHERE close IS NOT NULL AND preclose IS NOT NULL
+)
+SELECT grp,
+       round(avg(close / preclose - 1), 6) AS px_change_rate,
+       round(sum(volume), 2) AS business_amount,
+       round(sum(money), 2) AS business_balance,
+       CAST(sum(CASE WHEN close / preclose - 1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rise_count,
+       CAST(sum(CASE WHEN close / preclose - 1 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS fall_count,
+       round(sum(money) / sum(volume), 6) AS wavg_px,
+       count(*) AS n_members
+FROM per_stock GROUP BY grp
+"""
+
+
 def q_etf_info(spark, sf_dir):
     """ETF metadata dimension (spec ``PTrade_API_mini_Reference.md:
     2424-2552,3464-3504`` — the ``get_etf_info`` field set): one ETF per
@@ -7928,6 +8050,8 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "stock_metadata": (q_stock_metadata, SQL_STOCK_METADATA),
     "etf_info": (q_etf_info, SQL_ETF_INFO),
     "cb_info": (q_cb_info, SQL_CB_INFO),
+    "gear_prices": (q_gear_prices, SQL_GEAR_PRICES),
+    "sort_msg_industry": (q_sort_msg_industry, SQL_SORT_MSG_INDUSTRY),
     "profit_ability_asof": (q_profit_ability_asof, SQL_PROFIT_ABILITY_ASOF),
     "growth_ability_asof": (q_growth_ability_asof, SQL_GROWTH_ABILITY_ASOF),
     "operating_ability_asof": (
@@ -8118,10 +8242,10 @@ _FRONT_WINDOW = [
     "stock_metadata",
     "etf_info",
     "cb_info",
-    # stalest r03-certified entries, freshness re-certification
+    "gear_prices",
+    "sort_msg_industry",
+    # stalest r03-certified entry, freshness re-certification
     "amihud_illiquidity",
-    "bollinger_bands",
-    "exrights_events",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
