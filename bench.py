@@ -268,6 +268,23 @@ def main() -> None:
             shortlist=100,
         ),
     )
+    # The registered full_curation_funnel runs the composed chain on the
+    # md5 oracle backend with a pinned oracle-size bloom; production is
+    # xxhash64 throughout + the auto-sized bloom (the CLI's defaults).
+    from simtradedata_spark.operators.pipeline import (
+        full_curation,
+        full_funnel_report,
+    )
+
+    _prod(
+        "full_curation_funnel@xxh64",
+        lambda: full_funnel_report(
+            full_curation(
+                docs, jaccard_threshold=0.5, strip_n=8, contam_n=5,
+                select_top=50, seq_len=4096,
+            )
+        ),
+    )
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION
