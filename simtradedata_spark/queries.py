@@ -2842,6 +2842,69 @@ FROM tick_priced GROUP BY symbol, trade_date
 """
 
 
+def q_tick_directions(spark, sf_dir):
+    """Tick-rule trade classification over the L2 stream (the
+    ``business_direction`` field ``get_tick_direction`` /
+    ``get_individual_transaction`` surface, spec ``:2179-2319``): up=1 /
+    down=0 / flat-or-first=2 vs the previous tick, plus per-direction
+    turnover in EXACT integer cents (round(price·100)·qty — prices are
+    2dp-quantized so the product is integer-exact, immune to the .5-tie
+    double-rounding both engines would otherwise disagree on). One lag
+    window + one aggregation, both keyed (symbol, day)."""
+    m = _small_market(spark)
+    t = m.ticks(n_per_day=40)
+    bal = F.round(F.col("price") * 100).cast("long") * F.col("qty")
+    is_dir = lambda d: (F.col("direction") == d).cast("int")
+    return t.groupBy("symbol", "trade_date").agg(
+        F.sum(is_dir(1)).cast("long").alias("n_up"),
+        F.sum(is_dir(0)).cast("long").alias("n_down"),
+        F.sum(is_dir(2)).cast("long").alias("n_flat"),
+        F.sum(F.when(F.col("direction") == 1, bal).otherwise(0))
+        .cast("long").alias("up_balance_cents"),
+        F.sum(F.when(F.col("direction") == 0, bal).otherwise(0))
+        .cast("long").alias("down_balance_cents"),
+    )
+
+
+SQL_TICK_DIRECTIONS = _SQL_MARKET_CTES + f"""
+, t AS (
+  SELECT b.symbol, b.trade_date, b.open, b.high, b.low, b.close,
+         b.sym_idx, b.day_idx, s.seq
+  FROM bars_out b CROSS JOIN (SELECT unnest(range(1, 41)) AS seq) s
+  WHERE b.volume > 0
+), tick_priced AS (
+  SELECT symbol, trade_date, seq,
+         CASE WHEN seq = 40 THEN close
+              ELSE least(greatest(
+                round(open + (close - open) * (seq / 40.0)
+                      + ({_duck_u01('tickpx', 'sym_idx', 'day_idx', 'seq')} - 0.5)
+                        * (high - low) * 0.5, 2), low), high) END AS price,
+         CAST(100 * (1 + floor(50 * {_duck_u01('tickq', 'sym_idx', 'day_idx', 'seq')}))
+              AS BIGINT) AS qty
+  FROM t
+), lagged_t AS (
+  SELECT symbol, trade_date, price, qty,
+         lag(price) OVER (PARTITION BY symbol, trade_date ORDER BY seq) AS prev
+  FROM tick_priced
+), classed AS (
+  SELECT symbol, trade_date,
+         CASE WHEN prev IS NULL OR price = prev THEN 2
+              WHEN price > prev THEN 1 ELSE 0 END AS direction,
+         CAST(round(price * 100) AS BIGINT) * qty AS bal_cents
+  FROM lagged_t
+)
+SELECT symbol, trade_date,
+       CAST(sum(CASE WHEN direction = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+       CAST(sum(CASE WHEN direction = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+       CAST(sum(CASE WHEN direction = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+       CAST(sum(CASE WHEN direction = 1 THEN bal_cents ELSE 0 END) AS BIGINT)
+         AS up_balance_cents,
+       CAST(sum(CASE WHEN direction = 0 THEN bal_cents ELSE 0 END) AS BIGINT)
+         AS down_balance_cents
+FROM classed GROUP BY symbol, trade_date
+"""
+
+
 def q_minute_bars_vwap(spark, sf_dir):
     """Minute-frequency bars (spec :521-694 minute mode — declared by the
     reference, never implemented): tick stream → 30-minute session OHLCV +
@@ -8052,6 +8115,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
     "cb_info": (q_cb_info, SQL_CB_INFO),
     "gear_prices": (q_gear_prices, SQL_GEAR_PRICES),
     "sort_msg_industry": (q_sort_msg_industry, SQL_SORT_MSG_INDUSTRY),
+    "tick_directions": (q_tick_directions, SQL_TICK_DIRECTIONS),
     "profit_ability_asof": (q_profit_ability_asof, SQL_PROFIT_ABILITY_ASOF),
     "growth_ability_asof": (q_growth_ability_asof, SQL_GROWTH_ABILITY_ASOF),
     "operating_ability_asof": (
@@ -8244,8 +8308,7 @@ _FRONT_WINDOW = [
     "cb_info",
     "gear_prices",
     "sort_msg_industry",
-    # stalest r03-certified entry, freshness re-certification
-    "amihud_illiquidity",
+    "tick_directions",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

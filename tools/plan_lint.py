@@ -52,7 +52,7 @@ ALLOW_BNLJ = {
     "tick_vwap", "minute_bars_vwap", "minute_bars_fold",
     "rolling_beta", "factor_ic", "adjusted_bars_post",
     "stock_metadata", "gear_prices", "sort_msg_industry",
-    "etf_info", "cb_info",
+    "etf_info", "cb_info", "tick_directions",
     # calendar densification: dates × group dims, both bounded (J6)
     "region_daily_ffill",
     # documented quadratic BASELINE path; lsh_ann/ivf_ann are the scale path
