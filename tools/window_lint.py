@@ -173,11 +173,17 @@ class Module:
                 and not self.registry
                 and isinstance(node.value, ast.Dict)
             ):
+                def part(e: ast.AST) -> str | None:
+                    if isinstance(e, ast.Name):
+                        return e.id
+                    # `"x": (q_x, _sql_x())` — taint tracks the builder fn
+                    if isinstance(e, ast.Call) and isinstance(e.func, ast.Name):
+                        return e.func.id
+                    return None
+
                 for k, v in zip(node.value.keys, node.value.values):
                     if isinstance(k, ast.Constant) and isinstance(v, ast.Tuple):
-                        self.registry[k.value] = tuple(
-                            e.id if isinstance(e, ast.Name) else None for e in v.elts
-                        )
+                        self.registry[k.value] = tuple(part(e) for e in v.elts)
             if isinstance(node, ast.Assign) and tl.names == {"_FRONT_WINDOW"}:
                 self.window = [
                     e.value
