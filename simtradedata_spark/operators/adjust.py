@@ -104,9 +104,13 @@ def densify_adjust_factors(
     (``baostock_fetcher.py:96-104``).
 
     Plan: one union+window as-of pass (operators/asof.py) plus a per-symbol
-    broadcast-side max — no cross join, daily-spine-sized output."""
-    from pyspark.sql.window import Window
-
+    broadcast-joined max over the EVENTS frame — no cross join,
+    daily-spine-sized output. The fore normalizer deliberately comes from
+    the events, not from the spine-sampled rows: a provider's fore factors
+    are normalized against its LATEST event, which may fall outside the
+    sampled date range — deriving the max from the sampled rows would give
+    pre-first-event days a different normalization than the event rows
+    carry, a spurious jump in fore-adjusted prices."""
     from simtradedata_spark.operators.asof import asof_join
 
     ev = events.select("symbol", "trade_date", "fore_adj", "back_adj")
@@ -117,15 +121,19 @@ def densify_adjust_factors(
         by=["symbol"],
         right_cols=["fore_adj", "back_adj"],
     )
-    wall = Window.partitionBy("symbol").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    final_back = F.max(F.coalesce("back_adj", F.lit(1.0))).over(wall)
-    return joined.select(
-        "symbol",
-        "trade_date",
-        F.round(
-            F.coalesce(F.col("fore_adj"), F.lit(1.0) / final_back), 6
-        ).alias("fore_adj"),
-        F.round(F.coalesce(F.col("back_adj"), F.lit(1.0)), 6).alias("back_adj"),
+    norm = ev.groupBy("symbol").agg(F.max("back_adj").alias("__final_back"))
+    return (
+        joined.join(F.broadcast(norm), "symbol", "left")
+        .select(
+            "symbol",
+            "trade_date",
+            F.round(
+                F.coalesce(
+                    F.col("fore_adj"),
+                    F.lit(1.0) / F.coalesce("__final_back", F.lit(1.0)),
+                ),
+                6,
+            ).alias("fore_adj"),
+            F.round(F.coalesce(F.col("back_adj"), F.lit(1.0)), 6).alias("back_adj"),
+        )
     )

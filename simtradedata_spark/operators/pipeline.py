@@ -167,8 +167,10 @@ def full_curation(
                    bin_id on selected rows (sequence_packing)
 
     Returns the enriched corpus frame: the original columns plus the stage
-    flags, ``text_clean``/``kept_tokens`` (post-strip), ``log_ratio``, and
-    ``bin_id`` (null on non-selected rows). Each flag implies the previous,
+    flags, ``text_clean``/``kept_tokens`` (post-strip), ``bin_id`` (null on
+    non-selected rows), and — only when ``select_top`` is set, since the
+    DSIR scoring stage is skipped otherwise — ``log_ratio`` on the selected
+    rows. Each flag implies the previous,
     so ONE aggregation yields the whole funnel (see full_funnel_report) and
     the invariant test can compare every stage count against the standalone
     operators run independently.
@@ -257,16 +259,21 @@ def full_curation(
     # the count is one tiny distinct-aggregate job over the benchmark side.
     from simtradedata_spark.operators.sketches import bloom_sizing
 
+    # SCRATCH persists: both gram frames feed TWO consumers each
+    # (bench_grams: the sizing count + the bitset build; doc_grams: the
+    # probe set + the hits join) — unstaged, the tokenize+shingle
+    # construction runs twice per frame, the exact pattern the standalone
+    # bloom_decontam query stages for the same reason (queries.py).
     bench_grams = bench.select(
         F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
-    ).distinct()
+    ).distinct().persist()
     if bloom_bits is None:
         bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
     sketch = bloom_build(bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn)
     doc_grams = (
         flagged.filter(F.col("__nonempty"))
         .select(id_col, F.explode(shingles_of(tokens("text_clean"), contam_n)).alias("gram"))
-    )
+    ).persist()
     probed = bloom_might_contain(
         sketch, doc_grams.select("gram"), "gram",
         m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn,

@@ -8237,7 +8237,7 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-6 rotation. Membership is now MECHANICALLY checked by
+    # Round-6 rotation. Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
     # diff — r5 verdict item 5); run it after any code change. This window:
     #   1-17  every query the r6 diff taints (lint output): the ability-
@@ -8246,14 +8246,34 @@ _FRONT_WINDOW = [
     #         asofs + fundamentals_asof), macd_indicators (signed-zero fix;
     #         the only never-driver-certified query), cosine_near_dups +
     #         embedding_dup_clusters (exact-path default flip), the CMS/
-    #         Bloom NULL-handling + oracle LEFT JOIN fixes, the persist-
-    #         lifecycle docstrings (substrings/textstats), and the round's
-    #         later pipeline/provider work.
+    #         Bloom NULL-handling + oracle LEFT JOIN fixes, and the
+    #         persist-lifecycle docstrings (substrings/textstats).
     #   18-40 the 23 r02-certified entries deferred from the r5 window
     #         (stalest driver greens in the registry).
-    #   41-50 stalest r03-certified entries, freshness re-certification.
-    # Displaced (r05-certified, unchanged code, pytest-covered): the entire
-    # r5 window minus its carried-over tainted members.
+    #   41-43 r6-tainted pipeline/provider work (pipeline_funnel,
+    #         corpus_datacard, baostock_fixture_bars).
+    #   44-50 the seven queries NEW this round: full_curation_funnel,
+    #         stock_metadata, etf_info, cb_info, gear_prices,
+    #         sort_msg_industry, tick_directions.
+    # Displaced to the r7 window (r05-certified, unchanged code,
+    # pytest-covered — the r5 window minus its carried-over tainted
+    # members): synthetic_bars, adjusted_bars_post, kdj_orders,
+    # macd_orders, rsi_orders, hard_negatives, kmeans_clusters,
+    # semantic_dedup, boilerplate_lines, dsir_selection, bpe_merges,
+    # bpe_token_counts, cluster_balanced_sample, curriculum_buckets,
+    # logit_training, classifier_eval, pq_ann_top5, cosine_top5,
+    # customers_without_orders, dedup_clusters, dedup_lineitem_first,
+    # exrights_adjust, ivf_ann_top5, latest_event_per_user, lsh_ann_top5,
+    # minhash_near_dups, mixture_epochs, multimodal_features,
+    # order_priority_returns, pivot_user_event_counts, price_quantiles,
+    # pricing_summary, purchases_within_7d, region_daily_ffill,
+    # region_revenue, rollup_region_nation, shipping_priority,
+    # simhash_signatures, supplier_moving_avg, token_jaccard_pairs,
+    # top_customers, trailing_3_per_supplier; plus the r03 freshness
+    # candidates that lost their slots to the new queries
+    # (amihud_illiquidity, bollinger_bands, conversion_funnel,
+    # event_transitions, exrights_events, index_membership,
+    # ma_crossover_signals).
     "macd_indicators",
     "profit_ability_asof",
     "growth_ability_asof",

@@ -113,14 +113,21 @@ def paginated(
     fetch_page: Callable[[str, int, int], pd.DataFrame],
     page_size: int = 800,
     max_pages: int = 1000,
+    dedup_on: list[str] | None = None,
 ) -> Callable[[str, str, str], pd.DataFrame]:
     """S9 pagination adapter: newest-first pages until the oldest row crosses
     ``start`` (``mootdx_fetcher.py:137-154``); concat + keep-FIRST dedup on
-    ``trade_date`` + range filter. Real pagers overlap at chunk boundaries
+    ``dedup_on`` + range filter. Real pagers overlap at chunk boundaries
     when the provider's offset window slides during the walk — the reference
     drops duplicate index entries keeping the first occurrence
     (``mootdx_fetcher.py:163``), i.e. the NEWER page's row wins, which this
-    reproduces (pages are appended newest-first)."""
+    reproduces (pages are appended newest-first).
+
+    ``dedup_on`` defaults to ``["trade_date"]`` — the DAILY pager's index.
+    Pagers over finer grains (minute bars, ticks) MUST pass their own row
+    key (e.g. ``["trade_date", "bar_time"]``), or legitimate same-day rows
+    collapse to one."""
+    keys = dedup_on if dedup_on is not None else ["trade_date"]
 
     def fetch(symbol: str, start: str, end: str) -> pd.DataFrame:
         pages = []
@@ -134,7 +141,7 @@ def paginated(
         if not pages:
             return pd.DataFrame()
         out = pd.concat(pages, ignore_index=True)
-        out = out.drop_duplicates(subset=["trade_date"], keep="first")
+        out = out.drop_duplicates(subset=keys, keep="first")
         return out[(out["trade_date"].astype(str) >= start) & (out["trade_date"].astype(str) <= end)]
 
     return fetch

@@ -143,7 +143,11 @@ def test_packing_covers_selected_tokens(flagged):
     assert flagged.filter(~F.col("__selected") & F.col("bin_id").isNotNull()).count() == 0
     total = sel.agg(F.sum("kept_tokens")).first()[0]
     n_bins = sel.agg(F.countDistinct("bin_id")).first()[0]
-    assert n_bins == -(-total // 4096) or n_bins <= -(-total // 4096)
+    # every doc here is far shorter than seq_len, so no doc can span an
+    # entire bin and every bin 0..ceil-1 contains at least one doc START:
+    # the distinct-bin count must be EXACTLY ceil(total/seq_len)
+    assert sel.agg(F.max("kept_tokens")).first()[0] < 4096
+    assert n_bins == -(-total // 4096)
 
 
 def test_cli_full_curation_release(spark, tmp_path):

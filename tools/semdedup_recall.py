@@ -42,7 +42,10 @@ def main() -> None:
 
     exact = {
         frozenset((r["id_a"], r["id_b"]))
-        for r in cosine_near_dups(emb, threshold=thr).collect()
+        for r in cosine_near_dups(
+            # exact all-pairs baseline — see ann_recall.py
+            emb, threshold=thr, bits=0, exact=True,
+        ).collect()
     }
     exact_ids = set().union(*exact) if exact else set()
     print(f"corpus n={n} exact_pairs={len(exact)} exact_ids={len(exact_ids)}")
