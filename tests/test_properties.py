@@ -414,3 +414,78 @@ def test_kmeans_matches_reference_on_random_points(spark, pts):
         for r in kmeans(df, k=3, iters=2).collect()
     }
     assert got == _py_kmeans([(i, v) for i, v in rows], k=3, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# densify_adjust_factors (round-6 provider seam; the fore-normalizer bug the
+# r6 review caught motivates property coverage: random event sets, spines
+# that may or may not cover every event)
+# ---------------------------------------------------------------------------
+
+@st.composite
+def adjust_scenarios(draw):
+    """(events, spine_days): 1-4 events per symbol with increasing back
+    factors (cumprod >= 1), a 30-day spine that covers a random prefix of
+    them — events beyond the spine exercise the out-of-range normalizer."""
+    n_events = draw(st.integers(1, 4))
+    # event days inside a 60-day domain; spine samples days 0..29 only
+    days = sorted(draw(st.lists(
+        st.integers(0, 59), min_size=n_events, max_size=n_events, unique=True
+    )))
+    ratios = draw(st.lists(
+        st.floats(1.01, 1.5, allow_nan=False), min_size=n_events, max_size=n_events
+    ))
+    back = []
+    acc = 1.0
+    for r in ratios:
+        acc = round(acc * r, 6)
+        back.append(acc)
+    final = back[-1]
+    events = [
+        (d, round(b / final, 6), b) for d, b in zip(days, back)
+    ]
+    return events
+
+
+@given(st.lists(adjust_scenarios(), min_size=1, max_size=8))
+@RELAXED
+def test_densify_adjust_factors_properties(spark, scenarios):
+    from simtradedata_spark.operators.adjust import densify_adjust_factors
+
+    base = datetime.date(2023, 1, 1)
+    ev_rows, spine_rows = [], []
+    for i, events in enumerate(scenarios):
+        sym = f"S{i}"
+        for d, fore, back in events:
+            ev_rows.append((sym, base + datetime.timedelta(days=d), fore, back))
+        for d in range(30):
+            spine_rows.append((sym, base + datetime.timedelta(days=d)))
+    ev = spark.createDataFrame(
+        ev_rows, "symbol string, trade_date date, fore_adj double, back_adj double"
+    )
+    spine = spark.createDataFrame(spine_rows, "symbol string, trade_date date")
+    out = densify_adjust_factors(ev, spine).toPandas()
+
+    # 1. exactly one output row per spine day, never more or fewer
+    assert len(out) == len(spine_rows)
+    by = {(r.symbol, r.trade_date): r for r in out.itertuples()}
+    for i, events in enumerate(scenarios):
+        sym = f"S{i}"
+        final_back = events[-1][2]  # from ALL events, even out-of-spine
+        for d in range(30):
+            r = by[(sym, base + datetime.timedelta(days=d))]
+            covering = [e for e in events if e[0] <= d]
+            if not covering:
+                # 2. pre-first-event days: back 1, fore normalized against
+                # the TRUE final event (the r6 review bug: deriving the
+                # normalizer from the sampled rows breaks when the final
+                # event is past the spine)
+                assert r.back_adj == 1.0
+                assert abs(r.fore_adj - round(1.0 / final_back, 6)) <= 1e-6
+            else:
+                # 3. covered days carry the latest covering event's values
+                _, fore, back = covering[-1]
+                assert abs(r.back_adj - back) <= 1e-6
+                assert abs(r.fore_adj - fore) <= 1e-6
+            # 4. the cumprod identity holds everywhere within rounding
+            assert abs(r.fore_adj - r.back_adj / final_back) <= 2e-6
