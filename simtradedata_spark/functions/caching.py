@@ -53,7 +53,14 @@ def protect_current(spark: SparkSession) -> None:
 
 
 def release_scratch(spark: SparkSession) -> int:
-    """Unpersist all non-protected persistent RDDs; returns how many."""
+    """Unpersist all non-protected persistent RDDs; returns how many.
+
+    Session-wide: frees OTHER owners' scratch too, so only harness/bench
+    code that owns the whole session should call this. Library code must
+    use ``scratch_scope``/``release_new`` instead — they free only the
+    frames persisted inside the scope, leaving caller persists (and,
+    critically, caller ``localCheckpoint`` data, which CANNOT be
+    recomputed) untouched."""
     m = _jmap(spark)
     freed = 0
     for k in list(m.keySet().toArray()):
@@ -61,3 +68,43 @@ def release_scratch(spark: SparkSession) -> int:
             m.get(k).unpersist(False)
             freed += 1
     return freed
+
+
+def release_new(spark: SparkSession, before: set[int]) -> int:
+    """Unpersist only the non-protected RDDs persisted since ``before``
+    (a ``snapshot``). The scoped dual of ``protect_new`` — an operator
+    frees exactly its own scratch, never a caller's persists or
+    localCheckpoints. Returns how many were freed."""
+    m = _jmap(spark)
+    freed = 0
+    for k in list(m.keySet().toArray()):
+        kid = int(k)
+        if kid not in before and kid not in _PROTECTED:
+            m.get(k).unpersist(False)
+            freed += 1
+    return freed
+
+
+class scratch_scope:
+    """Context manager: everything persisted inside the ``with`` block that
+    is not ``protect_*``-ed is unpersisted on exit. Wrap a library call to
+    a persist-heavy operator (``full_curation``) PLUS the final action that
+    consumes its result::
+
+        with scratch_scope(spark):
+            flagged = full_curation(docs, ...)
+            flagged.write.parquet(out)   # action runs while barriers live
+
+    Single-threaded driver assumption: frames a concurrent thread persists
+    during the scope would be swept too."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.freed = 0
+
+    def __enter__(self) -> "scratch_scope":
+        self._before = snapshot(self.spark)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.freed = release_new(self.spark, self._before)

@@ -554,10 +554,25 @@ def cosine_near_dups(
         lsh_bucket_key,
     )
 
+    def _empty_pairs() -> DataFrame:
+        idt = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"id_a {idt}, id_b {idt}, cos_sim double"
+        )
+
     if bits == "auto":
         import math
 
-        n = df.count()
+        # one job for both probes (count sizes the buckets, first-size is
+        # the dim) — and an empty corpus yields an empty pairs frame
+        # instead of the dim probe's ValueError
+        n, probed_dim = df.agg(
+            F.count(F.lit(1)), F.first(F.size(vec_col))
+        ).first()
+        if n == 0:
+            return _empty_pairs()
+        if dim is None:
+            dim = probed_dim
         bits = max(4, min(20, math.ceil(math.log2(max(n, 2) / 64))))
 
     if bits == 0 and not exact:
@@ -574,7 +589,7 @@ def cosine_near_dups(
             # where the vector column has a uniform length.
             first = df.select(F.size(vec_col).alias("d")).first()
             if first is None:
-                raise ValueError("empty DataFrame: pass dim explicitly")
+                return _empty_pairs()
             dim = first["d"]
         planes = _hyperplanes(dim, bits, seed)
         bucketed = df.select(

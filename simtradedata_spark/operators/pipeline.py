@@ -181,9 +181,12 @@ def full_curation(
     the two-pass range-bucket scheme (no single-partition window).
     ``select_top=None`` keeps every clean doc (selection off).
 
-    Caching: stages persist scratch frames internally (minhash signatures,
-    the staged gram frames); callers in long-lived sessions should
-    ``functions.caching.release_scratch`` after the final action.
+    Caching: stages persist scratch frames internally (the stage barriers
+    plus the two gram frames). The returned frame depends on them lazily,
+    so they must stay alive until the caller's final action — wrap the
+    call AND that action in ``functions.caching.scratch_scope(spark)`` to
+    free exactly these frames afterwards without touching caches the
+    caller owns (``export_curated_release`` does this).
     """
     from simtradedata_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -292,7 +295,10 @@ def full_curation(
     # domain, the certified dsir_selection policy: round-6dp score desc, id)
     clean = flagged.filter(F.col("__clean"))
     if select_top is None:
-        flagged = flagged.withColumn("__selected", F.col("__clean"))
+        # barrier for symmetry with the select_top path: packing consumes
+        # this frame twice (filter + join-back), so an unpersisted
+        # withColumn layer would recompute off the decontam barrier
+        flagged = barrier(flagged.withColumn("__selected", F.col("__clean")))
     else:
         scores = dsir_importance(
             clean.select(id_col, F.col("text_clean").alias(text_col)),
@@ -333,7 +339,12 @@ def full_curation(
 
 def full_funnel_report(flagged: DataFrame, source_col: str = "source") -> DataFrame:
     """Per-source funnel over a ``full_curation`` frame — every stage's
-    survivor count in one aggregation."""
+    survivor count in one aggregation.
+
+    ``n_bins`` counts GLOBALLY-assigned packing bin ids per source: a bin
+    holding docs from two sources appears in both rows, so per-source
+    ``n_bins`` values are NOT additive — take ``countDistinct(bin_id)``
+    over the whole frame for a total (as ``export_curated_release`` does)."""
     n_if = lambda c: F.sum(F.col(c).cast("long"))
     return flagged.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -365,13 +376,16 @@ def export_curated_release(
     import json
     import os
 
-    from simtradedata_spark.functions.caching import release_scratch
+    from simtradedata_spark.functions.caching import scratch_scope
     from simtradedata_spark.sources.jsonl import write_jsonl
 
     id_col = curation_kw.get("id_col", "doc_id")
     source_col = curation_kw.get("source_col", "source")
-    flagged = full_curation(docs, **curation_kw).persist()
-    try:
+    # scratch_scope frees ONLY what this call persists (the curation
+    # barriers + the flagged frame below) — a caller's own persists and
+    # localCheckpoints survive the library call (r6 verdict, wrong #1)
+    with scratch_scope(docs.sparkSession):
+        flagged = full_curation(docs, **curation_kw).persist()
         selected = flagged.filter(F.col("__selected")).select(
             id_col, source_col,
             F.col("text_clean").alias("text"),
@@ -387,9 +401,6 @@ def export_curated_release(
             .agg(F.countDistinct("bin_id"))
             .first()[0]
         )
-    finally:
-        flagged.unpersist()
-        release_scratch(docs.sparkSession)
     keys = (
         "n_docs", "n_quality", "n_unique", "n_canonical", "n_nonempty",
         "n_clean", "n_selected", "selected_tokens", "n_bins",

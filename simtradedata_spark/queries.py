@@ -3820,6 +3820,122 @@ SQL_OPERATING_ABILITY_ASOF = _sql_statement_asof("operating_ability")
 SQL_DEBT_PAYING_ABILITY_ASOF = _sql_statement_asof("debt_paying_ability")
 
 
+def _q_statements_by_year(merge_type: str):
+    """Year-mode ``get_fundamentals`` (reference quarterly loop
+    ``interfaces/ptrade_data_api.py:493-580``; spec
+    ``docs/PTrade_API_mini_Reference.md:3334-3337`` — first-publication vs
+    restated): all income-statement reports whose end_date falls in
+    [start_year, end_year] (here 2022), restricted to half-year and annual
+    reports (report_types=[2, 4] — exercises the report_type filter), with
+    merge_type='first' keeping only original publications (merge_seq=0)
+    and merge_type='latest' keeping the max-merge_seq restatement per
+    (symbol, end_date). The 2022Q4 restatement row makes the two variants
+    genuinely differ. Same projection contract as
+    api/ptrade.py::get_fundamentals(table='income_statement')."""
+
+    def q(spark, sf_dir):
+        from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
+
+        fields = FUNDAMENTAL_TABLES["income_statement"]
+        m = _small_market(spark)
+        f = (
+            m.fundamentals()
+            .select(
+                "symbol", "end_date", "publ_date", "report_type",
+                "merge_seq", *fields,
+            )
+            .filter(F.col("report_type").isin([2, 4]))
+            .filter((F.year("end_date") >= 2022) & (F.year("end_date") <= 2022))
+        )
+        if merge_type == "first":
+            return f.filter(F.col("merge_seq") == 0)
+        w = Window.partitionBy("symbol", "end_date").orderBy(
+            F.col("merge_seq").desc()
+        )
+        return (
+            f.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    q.__name__ = f"q_statements_by_year_{merge_type}"
+    q.__doc__ = _q_statements_by_year.__doc__
+    return q
+
+
+q_statements_by_year = _q_statements_by_year("first")
+q_statements_by_year_latest = _q_statements_by_year("latest")
+
+
+def _sql_statements_by_year(merge_type: str) -> str:
+    """DuckDB replay of year-mode get_fundamentals: regenerate the quarterly
+    publish/restate rows exactly as _sql_statement_asof, add report_type
+    (= quarter of end_date), then apply the year / report_type / merge_type
+    filters instead of the as-of probe."""
+    from simtradedata_spark.api.ptrade import FUNDAMENTAL_TABLES
+    from simtradedata_spark.sources.synthetic import STATEMENT_FIELDS
+
+    u = _duck_u01
+    fields = FUNDAMENTAL_TABLES["income_statement"]
+
+    def base_expr(n: str) -> str:
+        lo, hi = STATEMENT_FIELDS[n]
+        return (
+            f"round({lo} + {hi - lo} * "
+            f"{u(n, 'sym_idx', 'end_date', 'merge_seq')}, 4) AS {n}"
+        )
+
+    exprs = ",\n         ".join(base_expr(n) for n in fields)
+    merge_filter = (
+        "WHERE merge_seq = 0"
+        if merge_type == "first"
+        else (
+            "QUALIFY row_number() OVER (PARTITION BY symbol, end_date"
+            " ORDER BY merge_seq DESC) = 1"
+        )
+    )
+    out_cols = ", ".join(fields)
+    return f"""
+WITH syms AS (
+  SELECT i AS sym_idx,
+         CASE WHEN i % 2 = 0
+              THEN lpad(CAST(600000 + i AS VARCHAR), 6, '0') || '.SS'
+              ELSE lpad(CAST(i AS VARCHAR), 6, '0') || '.SZ' END AS symbol
+  FROM range(10) t(i)
+), quarters AS (
+  SELECT unnest([DATE '2022-03-31', DATE '2022-06-30', DATE '2022-09-30',
+                 DATE '2022-12-31', DATE '2023-03-31', DATE '2023-06-30',
+                 DATE '2023-09-30', DATE '2023-12-31']) AS end_date
+), first_pub AS (
+  SELECT s.sym_idx, s.symbol, q.end_date,
+         q.end_date + CAST(floor(30 + 50 * {u('lag', 'sym_idx', 'end_date')}) AS INT)
+           AS publ_date,
+         CAST(quarter(q.end_date) AS TINYINT) AS report_type,
+         CAST(0 AS TINYINT) AS merge_seq
+  FROM syms s CROSS JOIN quarters q
+), allrows AS (
+  SELECT * FROM first_pub
+  UNION ALL
+  SELECT sym_idx, symbol, end_date, publ_date + 60 AS publ_date,
+         report_type, CAST(1 AS TINYINT) AS merge_seq
+  FROM first_pub
+  WHERE month(end_date) = 12 AND year(end_date) = 2022
+), fund AS (
+  SELECT symbol, end_date, publ_date, report_type, merge_seq,
+         {exprs}
+  FROM allrows
+  WHERE report_type IN (2, 4) AND year(end_date) = 2022
+)
+SELECT symbol, end_date, publ_date, report_type, merge_seq, {out_cols}
+FROM fund
+{merge_filter}
+"""
+
+
+SQL_STATEMENTS_BY_YEAR = _sql_statements_by_year("first")
+SQL_STATEMENTS_BY_YEAR_LATEST = _sql_statements_by_year("latest")
+
+
 def q_weekly_bars(spark, sf_dir):
     """W4 on its home ground: daily synthetic bars → weekly OHLCV via
     min_by/max_by keyed on the date (one shuffle on (symbol, week)).
@@ -8126,6 +8242,11 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
         q_debt_paying_ability_asof,
         SQL_DEBT_PAYING_ABILITY_ASOF,
     ),
+    "statements_by_year": (q_statements_by_year, SQL_STATEMENTS_BY_YEAR),
+    "statements_by_year_latest": (
+        q_statements_by_year_latest,
+        SQL_STATEMENTS_BY_YEAR_LATEST,
+    ),
     "index_membership": (q_index_membership, SQL_INDEX_MEMBERSHIP),
     "ma_crossover_signals": (q_ma_crossover_signals, SQL_MA_CROSSOVER_SIGNALS),
     "tick_vwap": (q_tick_vwap, SQL_TICK_VWAP),
@@ -8237,98 +8358,76 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-6 rotation. Membership is MECHANICALLY checked by
+    # Round-7 rotation. Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
-    # diff — r5 verdict item 5); run it after any code change. This window:
-    #   1-17  every query the r6 diff taints (lint output): the ability-
-    #         table family (NEW — the last uncertified §2.12 surface, its
-    #         factory/generator refactor also taints the four statement
-    #         asofs + fundamentals_asof), macd_indicators (signed-zero fix;
-    #         the only never-driver-certified query), cosine_near_dups +
-    #         embedding_dup_clusters (exact-path default flip), the CMS/
-    #         Bloom NULL-handling + oracle LEFT JOIN fixes, and the
-    #         persist-lifecycle docstrings (substrings/textstats).
-    #   18-40 the 23 r02-certified entries deferred from the r5 window
-    #         (stalest driver greens in the registry).
-    #   41-43 r6-tainted pipeline/provider work (pipeline_funnel,
-    #         corpus_datacard, baostock_fixture_bars).
-    #   44-50 the seven queries NEW this round: full_curation_funnel,
-    #         stock_metadata, etf_info, cb_info, gear_prices,
-    #         sort_msg_industry, tick_directions.
-    # Displaced to the r7 window (r05-certified, unchanged code,
-    # pytest-covered — the r5 window minus its carried-over tainted
-    # members): synthetic_bars, adjusted_bars_post, kdj_orders,
-    # macd_orders, rsi_orders, hard_negatives, kmeans_clusters,
-    # semantic_dedup, boilerplate_lines, dsir_selection, bpe_merges,
-    # bpe_token_counts, cluster_balanced_sample, curriculum_buckets,
-    # logit_training, classifier_eval, pq_ann_top5, cosine_top5,
-    # customers_without_orders, dedup_clusters, dedup_lineitem_first,
-    # exrights_adjust, ivf_ann_top5, latest_event_per_user, lsh_ann_top5,
-    # minhash_near_dups, mixture_epochs, multimodal_features,
-    # order_priority_returns, pivot_user_event_counts, price_quantiles,
-    # pricing_summary, purchases_within_7d, region_daily_ffill,
-    # region_revenue, rollup_region_nation, shipping_priority,
-    # simhash_signatures, supplier_moving_avg, token_jaccard_pairs,
-    # top_customers, trailing_3_per_supplier; plus the r03 freshness
-    # candidates that lost their slots to the new queries
-    # (amihud_illiquidity, bollinger_bands, conversion_funnel,
-    # event_transitions, exrights_events, index_membership,
-    # ma_crossover_signals).
-    "macd_indicators",
-    "profit_ability_asof",
-    "growth_ability_asof",
-    "operating_ability_asof",
-    "debt_paying_ability_asof",
-    "fundamentals_asof",
-    "income_statement_asof",
-    "balance_statement_asof",
-    "cashflow_statement_asof",
-    "eps_asof",
+    # diff); run it after any code change. This window:
+    #   1-5   every query the r7 diff taints (lint output): the two NEW
+    #         year-mode get_fundamentals queries (statements_by_year,
+    #         statements_by_year_latest — r6 verdict item 4, the last
+    #         §2.12 parameter path without a hash gate), cosine_near_dups
+    #         + embedding_dup_clusters (empty-input fix in the bits="auto"
+    #         probe), and full_curation_funnel (scratch_scope + the
+    #         select_top=None barrier).
+    #   6-12  the seven r03-stale refresh candidates the r6 window
+    #         couldn't fit (r6 verdict item 2 names them).
+    #   13-50 38 of the 42 r05-certified entries displaced from the r6
+    #         window (unchanged code, pytest-covered).
+    # Deferred to the r8 window (r05-certified, unchanged code,
+    # pytest-covered — the remainder of the displaced r05 list):
+    # supplier_moving_avg, token_jaccard_pairs, top_customers,
+    # trailing_3_per_supplier.
+    "statements_by_year",
+    "statements_by_year_latest",
     "cosine_near_dups",
     "embedding_dup_clusters",
-    "cms_token_frequency",
-    "bloom_decontam",
-    "cross_doc_dup_coverage",
-    "exact_substr_trim",
-    "dup_gram_coverage",
-    # the 23 deferred r02-certified entries (r5 window comment)
-    "doc_chunks",
-    "doc_stats",
-    "dup_chunks",
-    "quality_scores",
-    "token_budget",
-    "hash_sample_docs",
-    "domain_capped_sample",
-    "code_conversion",
-    "percent_roundtrip",
-    "json_props",
-    "language_votes",
-    "hourly_event_stats",
-    "monthly_growth",
-    "sessionize_users",
-    "unpivot_measures",
-    "user_value_cumlog",
-    "weekly_ohlc",
-    "active_nations",
-    "big_spender_segments",
-    "brand_type_revenue",
-    "asof_purchase_signup",
-    "benchmark_contamination",
-    "user_retention_cohorts",
-    # r6 work expected to taint these (curation-release composition,
-    # provider fixture edge cases) — reserved in-window up front
-    "pipeline_funnel",
-    "corpus_datacard",
-    "baostock_fixture_bars",
-    # NEW this round: the composed end-to-end curation certification +
-    # the formerly test-only metadata surfaces (stock-basic, ETF, CB)
     "full_curation_funnel",
-    "stock_metadata",
-    "etf_info",
-    "cb_info",
-    "gear_prices",
-    "sort_msg_industry",
-    "tick_directions",
+    # r03-stale refresh candidates
+    "amihud_illiquidity",
+    "bollinger_bands",
+    "conversion_funnel",
+    "event_transitions",
+    "exrights_events",
+    "index_membership",
+    "ma_crossover_signals",
+    # displaced r05-certified entries (r6 window comment)
+    "synthetic_bars",
+    "adjusted_bars_post",
+    "kdj_orders",
+    "macd_orders",
+    "rsi_orders",
+    "hard_negatives",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "boilerplate_lines",
+    "dsir_selection",
+    "bpe_merges",
+    "bpe_token_counts",
+    "cluster_balanced_sample",
+    "curriculum_buckets",
+    "logit_training",
+    "classifier_eval",
+    "pq_ann_top5",
+    "cosine_top5",
+    "customers_without_orders",
+    "dedup_clusters",
+    "dedup_lineitem_first",
+    "exrights_adjust",
+    "ivf_ann_top5",
+    "latest_event_per_user",
+    "lsh_ann_top5",
+    "minhash_near_dups",
+    "mixture_epochs",
+    "multimodal_features",
+    "order_priority_returns",
+    "pivot_user_event_counts",
+    "price_quantiles",
+    "pricing_summary",
+    "purchases_within_7d",
+    "region_daily_ffill",
+    "region_revenue",
+    "rollup_region_nation",
+    "shipping_priority",
+    "simhash_signatures",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

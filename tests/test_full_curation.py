@@ -188,3 +188,30 @@ def test_cli_full_curation_release(spark, tmp_path):
     # shipped text is the POST-STRIP text with its packed bin
     row = back.orderBy("doc_id").first()
     assert row["n_tokens"] > 0 and row["bin_id"] is not None
+
+
+def test_library_call_preserves_caller_caches(spark, tmp_path):
+    """r6 verdict wrong #1: export_curated_release must free ONLY its own
+    scratch. A frame the CALLER persisted — and, critically, a caller
+    localCheckpoint, whose truncated lineage cannot be recomputed — must
+    survive the library call; the call's own barriers must all be gone."""
+    from simtradedata_spark.functions.caching import snapshot
+    from simtradedata_spark.operators.pipeline import export_curated_release
+
+    docs = load_table(spark, SF_DIR, "documents")
+    caller_persist = docs.limit(5).persist()
+    assert caller_persist.count() == 5
+    caller_ckpt = docs.limit(3).localCheckpoint()
+    before = snapshot(spark)
+
+    export_curated_release(docs, str(tmp_path / "rel"), n_shards=1, **KW)
+
+    # the call's own scratch (stage barriers, gram frames, flagged) is gone
+    assert snapshot(spark) <= before
+    # caller's persist is still registered and usable
+    assert caller_persist.storageLevel.useMemory
+    assert caller_persist.count() == 5
+    # caller's localCheckpoint was NOT destroyed (would raise if its
+    # blocks had been unpersisted — there is no lineage to recompute)
+    assert caller_ckpt.count() == 3
+    caller_persist.unpersist()

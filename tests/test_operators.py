@@ -222,6 +222,19 @@ def test_cosine_near_dups_exact_is_opt_in(spark):
     cosine_near_dups(df, threshold=0.9, bits=0, exact=True, max_exact_rows=10).count()
 
 
+def test_cosine_near_dups_empty_input(spark):
+    """r6 advice: an empty corpus returns an empty (id_a, id_b, cos_sim)
+    frame on both the auto and explicit-bits LSH paths instead of raising
+    from the dim probe."""
+    from simtradedata_spark.operators.dedup import cosine_near_dups
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    for kw in ({"bits": "auto"}, {"bits": 6}):
+        out = cosine_near_dups(empty, threshold=0.9, **kw)
+        assert out.columns == ["id_a", "id_b", "cos_sim"]
+        assert out.count() == 0
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     from simtradedata_spark.operators.similarity import ivf_top_k
 

@@ -120,6 +120,40 @@ def test_fundamentals_merge_type(api):
     assert q4f.iloc[0].roe != q4l.iloc[0].roe
 
 
+def test_fundamentals_year_mode_selection(api, market):
+    """Year-mode get_fundamentals (r6 verdict item 4; the same selection
+    semantics the hash-certified statements_by_year/..._latest registry
+    queries pin against DuckDB): year × report_types filters, then
+    merge_type='first' keeps merge_seq=0 and 'latest' keeps the
+    max-merge_seq restatement per (symbol, end_date). Expectation is an
+    independent pandas recomputation from the generator frame."""
+    cols = ["symbol", "end_date", "publ_date", "report_type", "merge_seq",
+            "operating_revenue", "net_profit", "basic_eps"]
+    raw = market.fundamentals().select(*cols).toPandas()
+    syms = sorted(raw.symbol.unique())
+    raw = raw[
+        (pd.to_datetime(raw.end_date).dt.year == 2022)
+        & raw.report_type.isin([2, 4])
+    ]
+    for mt in ("first", "latest"):
+        if mt == "first":
+            want = raw[raw.merge_seq == 0]
+        else:
+            idx = raw.groupby(["symbol", "end_date"]).merge_seq.idxmax()
+            want = raw.loc[idx]
+        want = want.sort_values(["symbol", "end_date"]).reset_index(drop=True)
+        got = (
+            api.get_fundamentals(
+                syms, table="income_statement", start_year=2022,
+                end_year=2022, report_types=[2, 4], merge_type=mt,
+            )
+            .reset_index()
+            .sort_values(["symbol", "end_date"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
 def test_fundamentals_table_dispatch(api):
     """Each ability table projects its own indicator group
     (ptrade_data_api.py:484-590 dispatch; BaoStock per-domain query split)."""

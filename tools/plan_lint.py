@@ -48,6 +48,9 @@ ALLOW_BNLJ = {
     "cashflow_statement_asof", "eps_asof",
     "profit_ability_asof", "growth_ability_asof", "operating_ability_asof",
     "debt_paying_ability_asof",  # same probes×quarterly-dim shape as above
+    # year-mode get_fundamentals: same symbols × broadcast-quarters
+    # generator seed (10 × 8 rows), no probe join at all
+    "statements_by_year", "statements_by_year_latest",
     "index_membership", "index_churn",
     "tick_vwap", "minute_bars_vwap", "minute_bars_fold",
     "rolling_beta", "factor_ic", "adjusted_bars_post",
