@@ -120,6 +120,12 @@ def main() -> None:
             timings[name] = -1.0
             print(f"error in {name}: {e}", file=sys.stderr)
         release_scratch(spark)
+        # Nudge the ContextCleaner: at the 100x point each query leaves
+        # GBs of shuffle files + freed block references behind; without a
+        # GC the session's TAIL queries run up to 3x slower (measured:
+        # exact_substr_trim@xxh64 118 s at position 36 vs 33 s isolated),
+        # which is session-state bias, not the query's cost.
+        spark.sparkContext._jvm.System.gc()
     print(
         json.dumps(
             {

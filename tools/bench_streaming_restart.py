@@ -45,7 +45,10 @@ def _ticks(spark, rate: int, start_ms: int):
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rate)
         .option("startTimestamp", str(start_ms))
-        .option("advanceMillisPerBatch", "1000")
+        # event time advances 10 s per batch so the 2-minute watermark
+        # actually CLOSES windows inside a 30 s phase — otherwise the
+        # append sink stays empty and the duplicate check is vacuous
+        .option("advanceMillisPerBatch", "10000")
         .load()
         .select(
             F.concat(
