@@ -63,7 +63,11 @@ def prod_variants(
         )
 
     def _cms_prod() -> DataFrame:
-        toks = docs.select(F.explode(tokens("text")).alias("tok"))
+        # SCRATCH persist (released by the harness's release_scratch, same
+        # lifecycle as the certified query's staging): the token frame
+        # feeds the sketch build, the exact counts, the total, and the
+        # probe join — unstaged, tokenization runs 4x
+        toks = docs.select(F.explode(tokens("text")).alias("tok")).persist()
         sketch = count_min_sketch(toks, "tok", depth=3, width=512)
         counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
         total = toks.agg(F.count(F.lit(1)).alias("_total"))
@@ -78,10 +82,16 @@ def prod_variants(
 
     def _bloom_prod() -> DataFrame:
         # auto-sized bloom (bloom_sizing from the ACTUAL benchmark gram
-        # count) — the oracle's pinned 16384 bits saturate at 10x data
+        # count) — the oracle's pinned 16384 bits saturate at 10x data.
+        # SCRATCH persist, mirroring the certified query's staging: this
+        # frame feeds the sizing count, the bitset build, the probe set,
+        # AND the hits join — unstaged, the tokenize+shingle construction
+        # (the dominant CPU) ran ~4x and the twin measured SLOWER than its
+        # md5 sibling at 100x (79-119 s vs 46 s) for staging reasons, not
+        # hash-backend reasons
         g = docs.select(
             "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
-        )
+        ).persist()
         bench_g = (
             g.filter(F.col("source") == "src0")
             .select(F.explode("gs").alias("gram"))
