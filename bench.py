@@ -40,7 +40,10 @@ def run_query(fn, spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("bench")
+    # input-size-derived initial shuffle partitions: floors at cores for the
+    # driver scales (plans unchanged), rises toward 4x cores at 10-100x
+    # replicas where the pinned-cores ceiling measurably spills
+    spark = get_spark("bench", input_dir=sf_dir)
 
     # Warm up JVM/codegen/Arrow paths so the first timed queries don't eat
     # session start-up. Warming only the first entry proved insufficient in

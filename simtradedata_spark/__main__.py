@@ -310,7 +310,10 @@ def _cmd_export_corpus(args: argparse.Namespace) -> int:
     )
     from simtradedata_spark.session import get_spark
 
-    spark = get_spark("export_corpus")
+    # initial shuffle partitions derived from the corpus size (session.py):
+    # floors at cores for driver scales, rises toward 4x cores at the
+    # 100-1000x release points where pinned-cores measurably spills
+    spark = get_spark("export_corpus", input_dir=args.sf_dir)
     docs = load_table(spark, args.sf_dir, "documents")
     if args.full_curation:
         card = export_curated_release(
@@ -405,8 +408,10 @@ def main(argv: list[str] | None = None) -> int:
     iv.add_argument("--index", required=True, help="IVF index dir")
     iv.add_argument("--vectors", required=True,
                     help="parquet dir of (vec_id, embedding) batch files")
-    iv.add_argument("--n-lists", type=int, default=16,
-                    help="cells to train when bootstrapping a new index")
+    iv.add_argument("--n-lists", default="auto",
+                    type=lambda v: v if v == "auto" else int(v),
+                    help="cells to train when bootstrapping a new index "
+                         "(default auto = corpus_rows/256, clamped)")
     iv.add_argument("--batch-id", default=None,
                     help="explicit replay-guard id (default: dir fingerprint)")
     iv.set_defaults(fn=_cmd_ingest_vectors)

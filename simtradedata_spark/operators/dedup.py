@@ -603,6 +603,10 @@ def cosine_near_dups(
     import pandas as pd
 
     n_rows = df.count()
+    if n_rows == 0:
+        # same empty-input contract as both LSH paths: a typed empty pairs
+        # frame, not np.stack's "need at least one array" ValueError
+        return _empty_pairs()
     if n_rows > max_exact_rows:
         raise ValueError(
             f"cosine_near_dups(exact=True) refuses {n_rows} rows "

@@ -372,7 +372,14 @@ def export_curated_release(
     strip → bloom decontam → DSIR select → pack) and ship the surviving
     documents — post-strip text, packed ``bin_id`` — as compressed JSONL
     shards plus a ``_datacard.json`` with the per-source stage funnel.
-    Returns the datacard dict."""
+    Returns the datacard dict.
+
+    Concurrency caveat (inherited from ``scratch_scope``, see
+    functions/caching.py): the scope sweep assumes a single-threaded
+    driver — a frame persisted by a CONCURRENT driver thread during this
+    call is swept with the scratch, and if that frame is a
+    localCheckpoint its data is unrecoverable. Don't run this
+    concurrently with other persist-issuing work on the same session."""
     import json
     import os
 

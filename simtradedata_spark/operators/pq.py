@@ -253,7 +253,7 @@ def ivfpq_top_k(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_lists: int = 16,
+    n_lists: int | str = "auto",
     n_probe: int = 4,
     m: int = 8,
     codebook_k: int = 16,
@@ -279,13 +279,19 @@ def ivfpq_top_k(
 
     Output: (query_id, neighbor_id, rank) — the cosine_top_k shape."""
     from simtradedata_spark.operators.similarity import (
+        _auto_train_cap,
         _cell_udf,
         _probes_frame,
+        _resolve_n_lists,
         _train_centroids,
         cosine,
     )
 
-    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    n_lists = _resolve_n_lists(corpus, n_lists)
+    cent = _train_centroids(
+        corpus, vec_col, n_lists, seed, max_iter,
+        train_cap=_auto_train_cap(n_lists),
+    )
     _cell = _cell_udf(corpus, cent)
     books = pq_train(corpus, vec_col, m=m, k=codebook_k, seed=seed)
     c = pq_encode(

@@ -165,6 +165,39 @@ def lsh_bucket_top_k(
     )
 
 
+# Auto IVF sizing: hold the EXPECTED CELL SIZE constant as the corpus grows
+# (n_lists = ceil(N / target), FAISS's add-more-lists-as-N-grows rule) so a
+# probe's candidate volume stays n_probe x target per query instead of
+# n_probe x N/16 — the pinned-16 default was linear-in-N per query and
+# therefore quadratic once the query batch itself scales with the corpus
+# (hard-negative mining probes anchors ∝ corpus; reference analog: the
+# per-symbol batch loop unified_fetcher.py:152-189 scales by symbols, not a
+# fixed probe set). Same shape as semantic_dedup's n_cells="auto"
+# (clustering.py) and bloom_sizing's auto-m (sketches.py). The 4096 ceiling
+# matches the quantizer's training reservoir: beyond it, cells grow again
+# (N/4096 rows each), which is the right degradation — centroid ranking
+# per query stays a bounded GEMM and candidate volume stays N/4096 x
+# n_probe, still a 256x cut at any N.
+IVF_TARGET_CELL_ROWS = 256
+
+
+def _resolve_n_lists(corpus: DataFrame, n_lists: int | str) -> int:
+    """``"auto"`` → ceil(count/IVF_TARGET_CELL_ROWS) clamped to [4, 4096];
+    explicit ints pass through untouched (the pinned-centroid contracts —
+    ivf_index_append, rebuild-under-sidecar — depend on that)."""
+    if n_lists == "auto":
+        n = corpus.count()
+        return max(4, min(4096, -(-n // IVF_TARGET_CELL_ROWS)))
+    return int(n_lists)
+
+
+def _auto_train_cap(n_lists: int) -> int:
+    """Training reservoir sized to the list count: Lloyd's wants >=~16
+    samples per centroid or empty-cell respawns dominate; capped so the
+    driver-side GEMM stays seconds even at the 4096-list ceiling."""
+    return max(4096, min(16 * n_lists, 65536))
+
+
 def _train_centroids(corpus, vec_col, n_lists, seed, max_iter, train_cap=4096):
     """Driver-side Lloyd's on a bounded reservoir (IVF quantizers always
     train on a sample, not the corpus). Returns the (k_eff × dim) centroid
@@ -252,7 +285,7 @@ def ivf_top_k(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | str = "auto",
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -264,6 +297,9 @@ def ivf_top_k(
     centroids are nearest (``n_probe`` of them). Same output shape as
     cosine_top_k; with n_probe == n_lists the result is exactly brute force
     (tested), smaller n_probe trades recall for a ~n_lists/n_probe scan cut.
+    ``n_lists="auto"`` (default) holds the cell size at IVF_TARGET_CELL_ROWS
+    as the corpus grows (see ``_resolve_n_lists``); recall floors under auto
+    sizing are pinned at 1x and 10x in tests/test_ann_recall.py.
 
     Scale shape (FAISS-style): the quantizer trains DRIVER-SIDE on a bounded
     sample (no Spark-ML iteration jobs); assignment is a broadcast-centroid
@@ -273,6 +309,7 @@ def ivf_top_k(
     assignment once with ``build_ivf_index`` and probe the cell-partitioned
     table (``ivf_probe_persisted``) instead.
     """
+    n_lists = _resolve_n_lists(corpus, n_lists)
     scored = _ivf_scored(
         corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
     )
@@ -283,8 +320,13 @@ def _ivf_scored(
     corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
 ) -> DataFrame:
     """Shared IVF candidate-scoring plan: (query_id, neighbor_id, __sim)
-    for every corpus vector in the query's probed cells."""
-    cent = _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
+    for every corpus vector in the query's probed cells. Callers resolve
+    ``n_lists`` first (explicit int here); the training reservoir scales
+    with it so large auto-sized quantizers still see >=~16 rows/centroid."""
+    cent = _train_centroids(
+        corpus, vec_col, n_lists, seed, max_iter,
+        train_cap=_auto_train_cap(n_lists),
+    )
     _cell = _cell_udf(corpus, cent)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -325,7 +367,7 @@ def dequantize_int8(q: Column, scale: Column) -> Column:
 def build_ivf_index(
     corpus: DataFrame,
     out_path: str,
-    n_lists: int = 16,
+    n_lists: int | str = "auto",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
@@ -350,11 +392,17 @@ def build_ivf_index(
 
     import numpy as np
 
-    cent = (
-        np.asarray(centroids, dtype=np.float64)
-        if centroids is not None
-        else _train_centroids(corpus, vec_col, n_lists, seed, max_iter)
-    )
+    if centroids is not None:
+        # pinned quantizer (rebuild/compaction path): n_lists is ignored —
+        # the sidecar IS the cell structure, auto-built or explicit alike,
+        # so ivf_index_append keeps working against auto-sized indexes.
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        n_lists = _resolve_n_lists(corpus, n_lists)
+        cent = _train_centroids(
+            corpus, vec_col, n_lists, seed, max_iter,
+            train_cap=_auto_train_cap(n_lists),
+        )
     _cell = _cell_udf(corpus, cent)
     (
         corpus.select(
@@ -497,7 +545,7 @@ def hard_negative_top_k_ivf(
     queries: DataFrame,
     k: int = 5,
     max_sim: float = 0.45,
-    n_lists: int = 16,
+    n_lists: int | str = "auto",
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -512,7 +560,10 @@ def hard_negative_top_k_ivf(
     answer is pinned by tests/test_ann_recall.py, and ``n_probe == n_lists``
     reproduces brute force exactly (tested). Cost scales with corpus ×
     n_probe/n_lists rather than corpus × queries: the linear-at-10× variant
-    every other all-pairs family already ships."""
+    every other all-pairs family already ships. ``n_lists="auto"`` keeps
+    that cut proportional as the corpus grows — with anchors ∝ corpus and
+    lists pinned, candidate volume would be N²·n_probe/n_lists."""
+    n_lists = _resolve_n_lists(corpus, n_lists)
     scored = _ivf_scored(
         corpus, queries, n_lists, n_probe, id_col, vec_col, seed, max_iter
     )

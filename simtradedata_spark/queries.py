@@ -8103,7 +8103,109 @@ FROM j WHERE rk = 1
 """
 
 
+def q_quarterly_assembly(spark, sf_dir):
+    """J2 seam (reference data_converter.py:206-223): the 5-table quarterly
+    fundamentals assembly — index-aligned OUTER join of per-category
+    statement tables with duplicate non-key columns dropped keep-first —
+    exercised through sources/splitter.py::assemble_quarterly itself on
+    five synthetic statement tables derived from orders (each a different
+    status/priority slice, so key coverage is partially disjoint and every
+    outer-fill path fires; profit and operation SHARE ``n_reports`` so the
+    dup-drop keeps profit's value and rows present only in operation get
+    NULL — pandas axis-1 concat keep-first semantics). Aggregates are
+    exact integer cents carried as double, so the outer-join NULLs don't
+    flip pandas dtypes between the engines."""
+    from simtradedata_spark.sources.splitter import assemble_quarterly
+
+    orders = _t(spark, sf_dir, "orders")
+    key = [
+        F.col("o_custkey").alias("symbol"),
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias(
+            "end_date"
+        ),
+    ]
+    cents = lambda c: F.round(c * 100).cast("double")  # noqa: E731
+
+    profit = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(*key)
+        .agg(
+            cents(F.sum("o_totalprice")).alias("roe_cents"),
+            F.count(F.lit(1)).cast("double").alias("n_reports"),
+        )
+    )
+    operation = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(*key)
+        .agg(
+            cents(F.max("o_totalprice")).alias("turnover_cents"),
+            # the DUPLICATE column: assemble_quarterly must drop this one
+            F.count(F.lit(1)).cast("double").alias("n_reports"),
+        )
+    )
+    growth = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .groupBy(*key)
+        .agg(cents(F.max("o_totalprice")).alias("yoy_cents"))
+    )
+    balance = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(*key)
+        .agg(cents(F.min("o_totalprice")).alias("assets_cents"))
+    )
+    cashflow = (
+        orders.filter(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(*key)
+        .agg(cents(F.min("o_totalprice")).alias("ncf_cents"))
+    )
+    return assemble_quarterly(
+        [profit, operation, growth, balance, cashflow],
+        keys=("symbol", "end_date"),
+    ).select(
+        "symbol", "end_date", "roe_cents", "n_reports", "turnover_cents",
+        "yoy_cents", "assets_cents", "ncf_cents",
+    )
+
+
+SQL_QUARTERLY_ASSEMBLY = """
+WITH profit AS (
+  SELECT o_custkey AS symbol,
+         strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS end_date,
+         CAST(ROUND(SUM(o_totalprice) * 100) AS DOUBLE) AS roe_cents,
+         CAST(COUNT(*) AS DOUBLE) AS n_reports
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+operation AS (
+  SELECT o_custkey AS symbol,
+         strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS end_date,
+         CAST(ROUND(MAX(o_totalprice) * 100) AS DOUBLE) AS turnover_cents
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1, 2),
+growth AS (
+  SELECT o_custkey AS symbol,
+         strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS end_date,
+         CAST(ROUND(MAX(o_totalprice) * 100) AS DOUBLE) AS yoy_cents
+  FROM orders WHERE o_orderstatus = 'P' GROUP BY 1, 2),
+balance AS (
+  SELECT o_custkey AS symbol,
+         strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS end_date,
+         CAST(ROUND(MIN(o_totalprice) * 100) AS DOUBLE) AS assets_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2),
+cashflow AS (
+  SELECT o_custkey AS symbol,
+         strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS end_date,
+         CAST(ROUND(MIN(o_totalprice) * 100) AS DOUBLE) AS ncf_cents
+  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1, 2)
+SELECT symbol, end_date, roe_cents, n_reports, turnover_cents,
+       yoy_cents, assets_cents, ncf_cents
+FROM profit
+FULL JOIN operation USING (symbol, end_date)
+FULL JOIN growth USING (symbol, end_date)
+FULL JOIN balance USING (symbol, end_date)
+FULL JOIN cashflow USING (symbol, end_date)
+"""
+
+
 QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "quarterly_assembly": (q_quarterly_assembly, SQL_QUARTERLY_ASSEMBLY),
     "incremental_dedup": (q_incremental_dedup, SQL_INCREMENTAL_DEDUP),
     "index_churn": (q_index_churn, SQL_INDEX_CHURN),
     "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
@@ -8358,76 +8460,76 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-7 rotation. Membership is MECHANICALLY checked by
+    # Round-8 rotation: the driver-green staleness burn-down (r7 verdict,
+    # next-round item 2). Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
     # diff); run it after any code change. This window:
-    #   1-5   every query the r7 diff taints (lint output): the two NEW
-    #         year-mode get_fundamentals queries (statements_by_year,
-    #         statements_by_year_latest — r6 verdict item 4, the last
-    #         §2.12 parameter path without a hash gate), cosine_near_dups
-    #         + embedding_dup_clusters (empty-input fix in the bits="auto"
-    #         probe), and full_curation_funnel (scratch_scope + the
-    #         select_top=None barrier).
-    #   6-12  the seven r03-stale refresh candidates the r6 window
-    #         couldn't fit (r6 verdict item 2 names them).
-    #   13-50 38 of the 42 r05-certified entries displaced from the r6
-    #         window (unchanged code, pytest-covered).
-    # Deferred to the r8 window (r05-certified, unchanged code,
-    # pytest-covered — the remainder of the displaced r05 list):
-    # supplier_moving_avg, token_jaccard_pairs, top_customers,
-    # trailing_3_per_supplier.
-    "statements_by_year",
-    "statements_by_year_latest",
+    #   1-4   every registered query the r8 diff taints (lint output):
+    #         quarterly_assembly (NEW — the J2 5-table assembly seam,
+    #         r7 verdict item 7, sources/splitter.py::assemble_quarterly
+    #         hash-gated against a DuckDB FULL OUTER chain),
+    #         ivf_ann_top5 (n_lists="auto" signature on ivf_top_k),
+    #         cosine_near_dups + embedding_dup_clusters (empty-corpus
+    #         guard on the exact bits=0 path — ADVICE r7 item 1).
+    #   5-8   the four r05-certified entries the r7 window deferred.
+    #   9-32  the ENTIRE r03-certified cohort (24 entries — the stalest
+    #         queries in the registry, 5 rounds old).
+    #  33-50  the 18 alphabetically-first r04-certified entries; the
+    #         remaining 31 r04 entries rotate in at r9, after which the
+    #         staleness ceiling is ~3 rounds permanently.
+    "quarterly_assembly",
+    "ivf_ann_top5",
     "cosine_near_dups",
     "embedding_dup_clusters",
-    "full_curation_funnel",
-    # r03-stale refresh candidates
-    "amihud_illiquidity",
-    "bollinger_bands",
-    "conversion_funnel",
-    "event_transitions",
-    "exrights_events",
-    "index_membership",
-    "ma_crossover_signals",
-    # displaced r05-certified entries (r6 window comment)
-    "synthetic_bars",
-    "adjusted_bars_post",
-    "kdj_orders",
-    "macd_orders",
-    "rsi_orders",
-    "hard_negatives",
-    "kmeans_clusters",
-    "semantic_dedup",
-    "boilerplate_lines",
-    "dsir_selection",
-    "bpe_merges",
-    "bpe_token_counts",
-    "cluster_balanced_sample",
-    "curriculum_buckets",
-    "logit_training",
-    "classifier_eval",
-    "pq_ann_top5",
-    "cosine_top5",
-    "customers_without_orders",
-    "dedup_clusters",
-    "dedup_lineitem_first",
-    "exrights_adjust",
-    "ivf_ann_top5",
-    "latest_event_per_user",
-    "lsh_ann_top5",
-    "minhash_near_dups",
-    "mixture_epochs",
-    "multimodal_features",
-    "order_priority_returns",
-    "pivot_user_event_counts",
-    "price_quantiles",
-    "pricing_summary",
-    "purchases_within_7d",
-    "region_daily_ffill",
-    "region_revenue",
-    "rollup_region_nation",
-    "shipping_priority",
-    "simhash_signatures",
+    # deferred r05-certified entries (r7 window comment)
+    "supplier_moving_avg",
+    "token_jaccard_pairs",
+    "top_customers",
+    "trailing_3_per_supplier",
+    # the full r03-certified cohort
+    "char_contamination",
+    "cluster_representatives",
+    "max_drawdown",
+    "momentum_portfolio",
+    "overnight_gaps",
+    "perplexity_scores",
+    "pii_redaction",
+    "realized_vol",
+    "return_correlations",
+    "rfm_segments",
+    "rolling_beta",
+    "sequence_packing",
+    "session_windows",
+    "status_transitions",
+    "strategy_equity_curve",
+    "table_profile",
+    "text_ann_top3",
+    "tfidf_top_terms",
+    "tick_vwap",
+    "trade_calendar_idx",
+    "train_val_test_split",
+    "valuation_table",
+    "value_histogram",
+    "weekly_bars",
+    # oldest 18 of the r04-certified cohort (alphabetical)
+    "anomaly_days",
+    "asof_next_purchase",
+    "bigram_perplexity",
+    "cci_orders",
+    "customer_order_distribution",
+    "customer_spend_deciles",
+    "daily_factor_top3",
+    "dedup_docs_exact",
+    "disjunctive_revenue",
+    "doc_repetition",
+    "dormant_rich_customers",
+    "factor_ic",
+    "filtered_revenue",
+    "frame_sampling",
+    "frequent_tokens",
+    "fuzzy_doc_match",
+    "fuzzy_match_realistic",
+    "hashed_embeddings",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

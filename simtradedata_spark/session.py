@@ -15,11 +15,46 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# Initial-shuffle-partition sizing target, in bytes of COMPRESSED parquet
+# input per shuffle partition. 16 MB compressed ≈ 60-150 MB of shuffle
+# working set on this engine's heavy families (zstd parquet decompresses
+# ~4x and the gram/shingle shuffles amplify input a further ~2-4x), which
+# is what stops the sf10 (100x) spills: the r7 measurement — 128
+# partitions on 32 cores, −15% on the twin subset, −29% on dedup_clusters
+# — is what a ~1.75 GB compressed replica derives under this target.
+# Below ~cores partitions idle-core cost dominates; above ~4x cores the
+# per-task overhead does — the same clamp a cluster job applies as "2-3x
+# total cores".
+SHUFFLE_TARGET_PARTITION_BYTES = 16 * 1024 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def derive_shuffle_partitions(input_bytes: int, cores: int) -> int:
+    """clamp(ceil(input_bytes / 64 MB), cores, 4*cores) — the initial
+    (pre-AQE) shuffle-partition count an input of this size wants. AQE only
+    coalesces DOWNWARD, so the initial value is the parallelism ceiling;
+    deriving it from bytes makes the measured sf10 win the default instead
+    of an env opt-in, while small inputs stay at cores (AQE coalesces the
+    rest, so certification plans are unchanged)."""
+    want = -(-input_bytes // SHUFFLE_TARGET_PARTITION_BYTES)
+    return max(cores, min(4 * cores, want))
+
 
 def get_spark(
     app_name: str = "simtradedata_spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    input_dir: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
@@ -35,13 +70,31 @@ def get_spark(
     n = cpus or DEFAULT_CPUS
     # AQE COALESCES shuffle partitions downward from the initial value but
     # never splits above it (skew-join splitting aside) — so the initial
-    # count is the ceiling on shuffle parallelism/granularity. Locally =
-    # cores is right for the certification scale; at 10-100x data the
-    # per-partition working set grows past executor memory and spills
-    # (measured: the sf10 gram families). SPARK_GRAFT_SHUFFLE_PARTITIONS
-    # raises the ceiling for big-replica runs the way a cluster job sets
-    # 2-3x total cores; AQE still coalesces small stages back down.
-    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(n))
+    # count is the ceiling on shuffle parallelism/granularity. Priority:
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS (explicit override, validated here so
+    # a bad value fails fast instead of opaquely inside the JVM) >
+    # derive_shuffle_partitions(input_dir bytes) > cores. At the
+    # certification scales the derivation floors at cores, so plans and
+    # oracle hashes are untouched; at 10-100x replicas it raises the
+    # ceiling the way a cluster job sets 2-3x total cores, and AQE still
+    # coalesces small stages back down.
+    env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if env_parts is not None:
+        try:
+            parts = int(env_parts)
+        except ValueError:
+            raise ValueError(
+                f"SPARK_GRAFT_SHUFFLE_PARTITIONS={env_parts!r} is not an int"
+            ) from None
+        if parts <= 0:
+            raise ValueError(
+                f"SPARK_GRAFT_SHUFFLE_PARTITIONS={parts} must be > 0"
+            )
+        shuffle_parts = str(parts)
+    elif input_dir is not None and os.path.isdir(input_dir):
+        shuffle_parts = str(derive_shuffle_partitions(_dir_bytes(input_dir), n))
+    else:
+        shuffle_parts = str(n)
     b = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)

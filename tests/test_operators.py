@@ -229,7 +229,9 @@ def test_cosine_near_dups_empty_input(spark):
     from simtradedata_spark.operators.dedup import cosine_near_dups
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
-    for kw in ({"bits": "auto"}, {"bits": 6}):
+    # r7 advice closed the remaining gap: the exact bits=0 path now honors
+    # the same contract instead of np.stack's "need at least one array"
+    for kw in ({"bits": "auto"}, {"bits": 6}, {"bits": 0, "exact": True}):
         out = cosine_near_dups(empty, threshold=0.9, **kw)
         assert out.columns == ["id_a", "id_b", "cos_sim"]
         assert out.count() == 0

@@ -1,0 +1,65 @@
+"""Session bootstrap policy: the initial-shuffle-partition derivation
+(clamp(input_bytes/64MB, cores, 4x cores) — r7 verdict item 5: the
+measured sf10 win becomes the default, not an env opt-in) and fail-fast
+validation of the explicit override knob (ADVICE r7 item 3)."""
+
+from __future__ import annotations
+
+import pytest
+
+from simtradedata_spark.session import (
+    SHUFFLE_TARGET_PARTITION_BYTES,
+    _dir_bytes,
+    derive_shuffle_partitions,
+    get_spark,
+)
+
+MB = 1024 * 1024
+
+
+def test_derivation_floors_at_cores_for_small_inputs():
+    # certification scales: sf0.01 is ~2 MB, sf0.1 ~18 MB, the 10x replica
+    # ~175 MB — all floor at cores, so driver-gate plans, oracle hashes and
+    # the r7 sf1.0 recordings are untouched
+    assert derive_shuffle_partitions(2 * MB, 32) == 32
+    assert derive_shuffle_partitions(18 * MB, 32) == 32
+    assert derive_shuffle_partitions(175 * MB, 32) == 32
+    assert derive_shuffle_partitions(0, 32) == 32
+
+
+def test_derivation_scales_with_bytes_then_clamps():
+    # 100 partitions' worth of bytes → 100; past 4x cores → clamp at 128
+    assert (
+        derive_shuffle_partitions(100 * SHUFFLE_TARGET_PARTITION_BYTES, 32)
+        == 100
+    )
+    assert (
+        derive_shuffle_partitions(10_000 * SHUFFLE_TARGET_PARTITION_BYTES, 32)
+        == 4 * 32
+    )
+    # smaller harness: clamp band moves with the core count
+    assert derive_shuffle_partitions(10_000 * MB, 8) == 32
+
+
+def test_sf10_class_input_derives_the_measured_win():
+    # the r7-measured configuration class (~128 initial partitions on 32
+    # cores: −15% twin subset, −29% dedup_clusters) is what the ~1.75 GB
+    # compressed 100x replica derives on its own
+    assert derive_shuffle_partitions(1_750 * MB, 32) == 110  # ceil(1750/16)
+    assert derive_shuffle_partitions(2_100 * MB, 32) == 128
+
+
+def test_dir_bytes_walks_nested_layout(tmp_path):
+    (tmp_path / "t.parquet").mkdir()
+    (tmp_path / "t.parquet" / "part_0.parquet").write_bytes(b"x" * 1000)
+    (tmp_path / "flat.parquet").write_bytes(b"y" * 500)
+    assert _dir_bytes(str(tmp_path)) == 1500
+
+
+def test_bad_env_override_fails_fast(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "not_an_int")
+    with pytest.raises(ValueError, match="not an int"):
+        get_spark("session-test-bad-env")
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "0")
+    with pytest.raises(ValueError, match="must be > 0"):
+        get_spark("session-test-zero-env")

@@ -12,13 +12,21 @@ a new linear family lands. The ``@xxh64``/``@lsh``/``@ivf``/``@gemm``
 twins share their definitions with bench.py via tools/prod_variants.py
 (r6 verdict item 1: the twins were measured only to 10× before).
 
-Usage: python tools/bench_scale_point.py SF_DIR [query ...]
+Usage: python tools/bench_scale_point.py [--repeats N] SF_DIR [query ...]
+
+``--repeats N`` runs every entry N times back-to-back (scratch released +
+GC-nudged between runs) and records the MEDIAN, with min/max kept in the
+artifact — single recordings at the 100x point carry ±30% session noise
+(r7: the same twin subset measured 1.019x in the morning and ~1.21x on the
+same code that evening; SCALE.md documents the disambiguation).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -90,13 +98,29 @@ WARM_SET = ["active_nations", "quality_classifier"]
 
 
 def main() -> None:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:] or (LINEAR_SET + TWIN_SET)
-    variants = prod_variants(get_spark("bench_scale_point"), sf_dir)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("sf_dir")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    sf_dir, repeats = args.sf_dir, max(1, args.repeats)
+    names = args.names or (LINEAR_SET + TWIN_SET)
+    # Session first (ONE construction point — prod_variants used to build
+    # it as a side effect before name validation), initial shuffle
+    # partitions derived from the replica's on-disk bytes (session.py:
+    # clamp(bytes/64MB, cores, 4x cores) — the measured sf10 win as the
+    # default, not an env opt-in).
+    spark = get_spark("bench_scale_point", input_dir=sf_dir)
+    # variants built only when a twin name is requested — validation no
+    # longer eagerly loads tables for runs that would exit on a bad name
+    variants = (
+        prod_variants(spark, sf_dir)
+        if any(n not in QUERIES for n in names)
+        else {}
+    )
     unknown = [n for n in names if n not in QUERIES and n not in variants]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
-    spark = get_spark("bench_scale_point")
     for w in WARM_SET:
         try:
             QUERIES[w][0](spark, sf_dir).write.format("noop").mode(
@@ -105,19 +129,18 @@ def main() -> None:
         except Exception as e:  # warm-up must never kill the run
             print(f"warm-up error in {w}: {e}", file=sys.stderr)
         release_scratch(spark)
-    timings = {}
-    for name in names:
-        thunk = (
-            variants[name]
-            if name in variants
-            else (lambda n=name: QUERIES[n][0](spark, sf_dir))
-        )
+
+    def _run_once(name: str) -> float:
+        if name in QUERIES:
+            thunk = lambda: QUERIES[name][0](spark, sf_dir)  # noqa: E731
+        else:
+            thunk = variants[name]
         t0 = time.time()
         try:
             thunk().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            dt = round(time.time() - t0, 3)
         except Exception as e:
-            timings[name] = -1.0
+            dt = -1.0
             print(f"error in {name}: {e}", file=sys.stderr)
         release_scratch(spark)
         # Nudge the ContextCleaner: at the 100x point each query leaves
@@ -126,17 +149,28 @@ def main() -> None:
         # exact_substr_trim@xxh64 118 s at position 36 vs 33 s isolated),
         # which is session-state bias, not the query's cost.
         spark.sparkContext._jvm.System.gc()
-    print(
-        json.dumps(
-            {
-                "metric": "scale_point",
-                "sf_dir": sf_dir,
-                "value": round(sum(t for t in timings.values() if t >= 0), 3),
-                "unit": "sec",
-                "queries": timings,
+        return dt
+
+    timings, spread = {}, {}
+    for name in names:
+        runs = [_run_once(name) for _ in range(repeats)]
+        ok = [r for r in runs if r >= 0]
+        timings[name] = round(statistics.median(ok), 3) if ok else -1.0
+        if repeats > 1:
+            spread[name] = {
+                "min": min(runs), "max": max(runs), "runs": runs
             }
-        )
-    )
+    out = {
+        "metric": "scale_point",
+        "sf_dir": sf_dir,
+        "value": round(sum(t for t in timings.values() if t >= 0), 3),
+        "unit": "sec",
+        "repeats": repeats,
+        "queries": timings,
+    }
+    if spread:
+        out["spread"] = spread
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

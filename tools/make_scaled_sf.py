@@ -18,7 +18,15 @@ keep the WORKLOAD linear rather than quadratic:
     cross-replica cosines collapse to ~N(0, 1/sqrt(64)) — ANN/cosine answer
     sets scale exactly N×.
 
-Usage: python tools/make_scaled_sf.py SRC_DIR DEST_DIR N
+Usage: python tools/make_scaled_sf.py SRC_DIR DEST_DIR N [--tables a,b,...]
+
+``--tables`` restricts the replica to the named tables (plus the COPY
+dims) — the 1000x curation point needs documents/embeddings only, not a
+600M-row lineitem. For N > 50 each table is written CHUNKED: ``<dest>/
+<table>.parquet`` becomes a DIRECTORY of part files (<=50 replicas per
+part, bounding DuckDB's union memory). Spark reads that layout natively;
+DuckDB needs a ``/*.parquet`` glob — fine, because the big replicas are
+bench inputs, never oracle inputs.
 """
 
 from __future__ import annotations
@@ -54,7 +62,10 @@ DOMAIN_SOURCE = {
 }
 
 
-def main(src: str, dest: str, n: int) -> None:
+CHUNK_REPLICAS = 50  # max replicas per UNION ALL / output part file
+
+
+def main(src: str, dest: str, n: int, tables: list[str] | None = None) -> None:
     os.makedirs(dest, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads={os.cpu_count()}")
@@ -71,7 +82,10 @@ def main(src: str, dest: str, n: int) -> None:
     for t in COPY:
         con.execute(f"COPY {t} TO '{dest}/{t}.parquet' (FORMAT PARQUET)")
 
-    for t, keys in KEYED.items():
+    wanted = {
+        t: keys for t, keys in KEYED.items() if tables is None or t in tables
+    }
+    for t, keys in wanted.items():
         cols = [c[0] for c in con.execute(f"DESCRIBE {t}").fetchall()]
         selects = []
         for i in range(n):
@@ -98,12 +112,33 @@ def main(src: str, dest: str, n: int) -> None:
                 else:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM {t}")
-        union = " UNION ALL ".join(selects)
-        con.execute(
-            f"COPY ({union}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
-        )
-        print(f"{t}: {con.execute(f'SELECT count(*) FROM read_parquet(?)', [f'{dest}/{t}.parquet']).fetchone()[0]} rows")
+        if n <= CHUNK_REPLICAS:
+            union = " UNION ALL ".join(selects)
+            con.execute(
+                f"COPY ({union}) TO '{dest}/{t}.parquet' (FORMAT PARQUET)"
+            )
+            glob = f"{dest}/{t}.parquet"
+        else:
+            part_dir = f"{dest}/{t}.parquet"
+            os.makedirs(part_dir, exist_ok=True)
+            for c0 in range(0, n, CHUNK_REPLICAS):
+                union = " UNION ALL ".join(selects[c0 : c0 + CHUNK_REPLICAS])
+                con.execute(
+                    f"COPY ({union}) TO '{part_dir}/part_{c0:05d}.parquet' "
+                    "(FORMAT PARQUET)"
+                )
+            glob = f"{part_dir}/*.parquet"
+        n_rows = con.execute(
+            "SELECT count(*) FROM read_parquet(?)", [glob]
+        ).fetchone()[0]
+        print(f"{t}: {n_rows} rows")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    argv = sys.argv[1:]
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    main(argv[0], argv[1], int(argv[2]), tables)

@@ -142,10 +142,13 @@ def prod_variants(
             )
         ),
         # IVF-pruned hard negatives (registered query is brute-force exact;
-        # recall floor pinned in tests/test_ann_recall.py)
+        # recall floor pinned in tests/test_ann_recall.py). n_lists="auto"
+        # = ceil(N/256): cells ∝ corpus so candidate volume per anchor
+        # stays ~n_probe x 256 at any scale — pinned-16 was linear-in-N
+        # per anchor, quadratic once anchors scale with the corpus.
         "hard_negatives@ivf": lambda: hard_negative_top_k_ivf(
             emb, emb.filter("vec_id < 10"), k=3, max_sim=0.45,
-            n_lists=16, n_probe=4,
+            n_lists="auto", n_probe=4,
         ),
         # n_cells ∝ N SemDeDup (registered query pins k=8 for the oracle,
         # which makes within-cell pairs grow ~N^2/k)
@@ -158,9 +161,10 @@ def prod_variants(
         ),
         "cms_token_frequency@xxh64": _cms_prod,
         "bloom_decontam@xxh64": _bloom_prod,
-        # composed IVF-PQ (Lloyd-trained codebooks, cell pruning, re-rank)
+        # composed IVF-PQ (Lloyd-trained codebooks, cell pruning, re-rank;
+        # auto-sized coarse quantizer — same rationale as @ivf above)
         "pq_ann_top5@ivfpq": lambda: ivfpq_top_k(
-            emb, emb.filter("vec_id < 10"), k=5, n_lists=16, n_probe=4,
+            emb, emb.filter("vec_id < 10"), k=5, n_lists="auto", n_probe=4,
             shortlist=100,
         ),
         # the CLI's defaults: xxhash64 throughout + auto-sized bloom
