@@ -34,6 +34,15 @@ def run_query(fn, spark, sf_dir: str) -> float:
     # tables) are protected and survive; blanket clearCache() killed those
     # and cost the market-query family +3 s each.
     release_scratch(spark)
+    # Nudge the ContextCleaner (same fix bench_scale_point.py carries from
+    # r7): across a 189-query session the freed-block references and
+    # shuffle files of earlier queries pile up until the JVM GCs, and on a
+    # slow host the session TAIL measured up to 28x its r7 value
+    # (purchases_within_7d 18.2 s at position 99 vs 0.75 s with this nudge
+    # — position bias, not query cost; entries >5x clustered at positions
+    # 99-164 and vanished once the cleaner ran per-query: same-host
+    # back-to-back totals 502 s without vs 376 s with).
+    spark.sparkContext._jvm.System.gc()
     return dt
 
 

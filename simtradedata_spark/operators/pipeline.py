@@ -208,9 +208,25 @@ def full_curation(
     # branches of every stage, compounding to ~2^stages recomputes of the
     # quality/dedup base by the packing stage (measured: the sf0.01 funnel
     # did not finish in 10 min unpersisted, 1.5 min with barriers). SCRATCH
-    # persists — released by functions.caching.release_scratch.
+    # blocks — released by functions.caching.release_scratch / the
+    # scratch_scope in export_curated_release.
+    #
+    # The barrier TRUNCATES LINEAGE (localCheckpoint, not persist): a
+    # persist keeps every upstream ShuffleDependency referenced for
+    # recompute-on-eviction, so the chain holds EVERY stage's shuffle
+    # files on disk simultaneously — at the 1000x point (5M docs) four
+    # live ~13 GB gram shuffles plus the caches overflowed the disk twice.
+    # Checkpointing drops the upstream graph, and the GC nudge lets the
+    # ContextCleaner delete the finished stage's shuffle files NOW rather
+    # than at an eventual full GC, so peak disk is ~one stage's shuffle +
+    # the live barriers. Trade (same one graph.py's CC rounds make): a
+    # barrier partition lost on a cluster is not recomputable — the job
+    # restarts from source instead; for a batch release chain that is the
+    # right side of the trade.
     def barrier(df: DataFrame) -> DataFrame:
-        return df.persist()
+        out = df.localCheckpoint(eager=True)
+        df.sparkSession.sparkContext._jvm.System.gc()
+        return out
 
     # 1-2: quality flags + exact dedup (curate_flags' first two stages)
     feat = char_stats(corpus, text_col).withColumn("__fp", fingerprint(text_col))

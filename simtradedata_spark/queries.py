@@ -8464,20 +8464,24 @@ _FRONT_WINDOW = [
     # next-round item 2). Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
     # diff); run it after any code change. This window:
-    #   1-4   every registered query the r8 diff taints (lint output):
+    #   1-5   every registered query the r8 diff taints (lint output):
     #         quarterly_assembly (NEW — the J2 5-table assembly seam,
     #         r7 verdict item 7, sources/splitter.py::assemble_quarterly
     #         hash-gated against a DuckDB FULL OUTER chain),
     #         ivf_ann_top5 (n_lists="auto" signature on ivf_top_k),
     #         cosine_near_dups + embedding_dup_clusters (empty-corpus
-    #         guard on the exact bits=0 path — ADVICE r7 item 1).
-    #   5-8   the four r05-certified entries the r7 window deferred.
-    #   9-32  the ENTIRE r03-certified cohort (24 entries — the stalest
+    #         guard on the exact bits=0 path — ADVICE r7 item 1), and
+    #         full_curation_funnel (lineage-truncating stage barriers —
+    #         the 1000x disk-overflow fix).
+    #   6-9   the four r05-certified entries the r7 window deferred.
+    #  10-33  the ENTIRE r03-certified cohort (24 entries — the stalest
     #         queries in the registry, 5 rounds old).
-    #  33-50  the 18 alphabetically-first r04-certified entries; the
-    #         remaining 31 r04 entries rotate in at r9, after which the
-    #         staleness ceiling is ~3 rounds permanently.
+    #  34-50  the 17 alphabetically-first r04-certified entries; the
+    #         remaining 32 r04 entries (hashed_embeddings onward) rotate
+    #         in at r9, after which the staleness ceiling is ~3 rounds
+    #         permanently.
     "quarterly_assembly",
+    "full_curation_funnel",
     "ivf_ann_top5",
     "cosine_near_dups",
     "embedding_dup_clusters",
@@ -8529,7 +8533,6 @@ _FRONT_WINDOW = [
     "frequent_tokens",
     "fuzzy_doc_match",
     "fuzzy_match_realistic",
-    "hashed_embeddings",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

@@ -106,6 +106,22 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd shuffle/spill compression: on this engine's gram-heavy
+        # families the shuffle payload is text n-grams, where zstd is
+        # 2-3x smaller than the lz4 default for a few % CPU. Found at the
+        # 1000x curation point: the 8-stage chain's barriers keep every
+        # stage's shuffle files alive until the scratch release, and the
+        # lz4 total exceeded the disk (the same sum a cluster pays in
+        # aggregate spill bandwidth). Override via SPARK_GRAFT_IO_CODEC.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"),
+        )
+        # Serialized storage blocks (localCheckpoint barriers, DISK-spilled
+        # caches) are UNcompressed by default; the curation chain's
+        # checkpointed barriers carry full document text, which zstd cuts
+        # ~4x. Pure win for disk-bound stages, trivial CPU.
+        .config("spark.rdd.compress", "true")
         # Split small files across cores: the sf0.1 fact tables are ~10 MB,
         # so the default 128 MB split reads them in ONE task and the other 31
         # cores idle (measured 2-3x on the TPC-H-shape scans). On a real
