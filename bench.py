@@ -5,12 +5,26 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Queries are fully executed via the noop sink (whole plan runs, nothing is
 collected to the driver — measures engine time, not toPandas serialization).
+
+``--repeats N`` runs every query N times back-to-back and records the
+per-query MEDIAN (plus a compact min/max spread) — use ≥3 when recording
+the repo-root ``benchmarks_*.json`` artifacts so a single unlucky draw
+(r8's full_curation_funnel@xxh64 at 2x its median) can't become the
+authoritative number. Default 1, so the driver's per-round run stays one
+pass.
+
+Every artifact also carries a ``calibration`` block: a fixed-work
+pure-Python loop and a fixed tiny Spark job, timed on THIS host in THIS
+session. Round-over-round comparisons divide by the calibration ratio
+(tools/scale_report.py --normalize) so a 1.4x-slower host (r7+r8 both
+recorded on degraded hosts) no longer masquerades as a code regression.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +33,36 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from simtradedata_spark.functions.caching import release_scratch
 from simtradedata_spark.queries import QUERIES
 from simtradedata_spark.session import get_spark
+
+
+def calibration_probe(spark) -> dict[str, float]:
+    """Fixed-work host-speed probe recorded into every bench artifact.
+
+    python_sec: a pure-Python arithmetic/hash loop — pins the interpreter
+    + core speed the per-query driver overhead rides on. spark_sec: one
+    tiny deterministic Spark job (sum over range) — pins JVM/codegen/
+    scheduler throughput. Both are median-of-3 so the probe itself isn't a
+    noise source. Comparing two rounds' artifacts: divide the per-query
+    ratio by (cal_b/cal_a) before calling anything a regression.
+    """
+    py_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i * i % 7
+        py_runs.append(time.perf_counter() - t0)
+    spark_runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * id % 7) AS s"
+        ).collect()
+        spark_runs.append(time.perf_counter() - t0)
+    return {
+        "python_sec": round(statistics.median(py_runs), 4),
+        "spark_sec": round(statistics.median(spark_runs), 4),
+    }
 
 
 def run_query(fn, spark, sf_dir: str) -> float:
@@ -47,6 +91,16 @@ def run_query(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    repeats = 1
+    argv = sys.argv[1:]
+    if "--repeats" in argv:
+        i = argv.index("--repeats")
+        try:
+            repeats = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: bench.py [--repeats N]  (N >= 1)")
+        if repeats < 1:
+            sys.exit("--repeats must be >= 1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # input-size-derived initial shuffle partitions: floors at cores for the
@@ -75,13 +129,28 @@ def main() -> None:
         ).save()
         release_scratch(spark)
 
+    calibration = calibration_probe(spark)
+
     timings: dict[str, float] = {}
+    spread: dict[str, dict] = {}
+
+    def _record(name: str, thunk) -> None:
+        runs = []
+        for _ in range(repeats):
+            try:
+                runs.append(round(thunk(), 3))
+            except Exception as e:  # a failed query must not hide the others
+                print(f"bench error in {name}: {e}", file=sys.stderr)
+        timings[name] = round(statistics.median(runs), 3) if runs else -1.0
+        if repeats > 1:
+            spread[name] = {
+                "min": min(runs) if runs else -1.0,
+                "max": max(runs) if runs else -1.0,
+                "errors": repeats - len(runs),
+            }
+
     for name, (fn, _sql) in QUERIES.items():
-        try:
-            timings[name] = round(run_query(fn, spark, sf_dir), 3)
-        except Exception as e:  # a failed query must not hide the others
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
+        _record(name, lambda: run_query(fn, spark, sf_dir))
 
     # Production-backend variants (shared definitions in
     # tools/prod_variants.py so bench_scale_point.py measures the SAME
@@ -92,15 +161,17 @@ def main() -> None:
     # numbers state production cost, not verification cost.
     from tools.prod_variants import prod_variants
 
-    for name, thunk in prod_variants(spark, sf_dir).items():
+    def _run_variant(thunk) -> float:
+        t0 = time.time()
         try:
-            t0 = time.time()
             thunk().write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:
-            timings[name] = -1.0
-            print(f"bench error in {name}: {e}", file=sys.stderr)
-        release_scratch(spark)
+            return time.time() - t0
+        finally:
+            release_scratch(spark)
+            spark.sparkContext._jvm.System.gc()
+
+    for name, thunk in prod_variants(spark, sf_dir).items():
+        _record(name, lambda: _run_variant(thunk))
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     # Sub-totals (round-3 verdict): the @xxh64/@lsh entries are PRODUCTION
@@ -110,19 +181,20 @@ def main() -> None:
     oracle_total = round(
         sum(t for n, t in timings.items() if t >= 0 and "@" not in n), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_runtime_all_queries",
-                "value": total,
-                "unit": "sec",
-                "oracle_suite_sec": oracle_total,
-                "production_variants_sec": round(total - oracle_total, 3),
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_runtime_all_queries",
+        "value": total,
+        "unit": "sec",
+        "oracle_suite_sec": oracle_total,
+        "production_variants_sec": round(total - oracle_total, 3),
+        "queries": timings,
+        "sf": sf,
+        "repeats": repeats,
+        "calibration": calibration,
+    }
+    if spread:
+        out["spread"] = spread
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -8460,79 +8460,70 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-8 rotation: the driver-green staleness burn-down (r7 verdict,
+    # Round-9 rotation: finishes the staleness burn-down (r8 verdict,
     # next-round item 2). Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
     # diff); run it after any code change. This window:
-    #   1-5   every registered query the r8 diff taints (lint output):
-    #         quarterly_assembly (NEW — the J2 5-table assembly seam,
-    #         r7 verdict item 7, sources/splitter.py::assemble_quarterly
-    #         hash-gated against a DuckDB FULL OUTER chain),
-    #         ivf_ann_top5 (n_lists="auto" signature on ivf_top_k),
-    #         cosine_near_dups + embedding_dup_clusters (empty-corpus
-    #         guard on the exact bits=0 path — ADVICE r7 item 1), and
-    #         full_curation_funnel (lineage-truncating stage barriers —
-    #         the 1000x disk-overflow fix).
-    #   6-9   the four r05-certified entries the r7 window deferred.
-    #  10-33  the ENTIRE r03-certified cohort (24 entries — the stalest
-    #         queries in the registry, 5 rounds old).
-    #  34-50  the 17 alphabetically-first r04-certified entries; the
-    #         remaining 32 r04 entries (hashed_embeddings onward) rotate
-    #         in at r9, after which the staleness ceiling is ~3 rounds
-    #         permanently.
-    "quarterly_assembly",
-    "full_curation_funnel",
-    "ivf_ann_top5",
-    "cosine_near_dups",
-    "embedding_dup_clusters",
-    # deferred r05-certified entries (r7 window comment)
-    "supplier_moving_avg",
-    "token_jaccard_pairs",
-    "top_customers",
-    "trailing_3_per_supplier",
-    # the full r03-certified cohort
-    "char_contamination",
-    "cluster_representatives",
-    "max_drawdown",
-    "momentum_portfolio",
-    "overnight_gaps",
-    "perplexity_scores",
-    "pii_redaction",
-    "realized_vol",
-    "return_correlations",
-    "rfm_segments",
-    "rolling_beta",
-    "sequence_packing",
-    "session_windows",
-    "status_transitions",
-    "strategy_equity_curve",
-    "table_profile",
-    "text_ann_top3",
-    "tfidf_top_terms",
-    "tick_vwap",
-    "trade_calendar_idx",
-    "train_val_test_split",
-    "valuation_table",
-    "value_histogram",
-    "weekly_bars",
-    # oldest 18 of the r04-certified cohort (alphabetical)
-    "anomaly_days",
-    "asof_next_purchase",
-    "bigram_perplexity",
-    "cci_orders",
-    "customer_order_distribution",
-    "customer_spend_deciles",
-    "daily_factor_top3",
-    "dedup_docs_exact",
-    "disjunctive_revenue",
-    "doc_repetition",
-    "dormant_rich_customers",
-    "factor_ic",
-    "filtered_revenue",
-    "frame_sampling",
-    "frequent_tokens",
-    "fuzzy_doc_match",
-    "fuzzy_match_realistic",
+    #   1-32  the ENTIRE remaining r04-certified cohort (the 32 entries
+    #         the r8 window couldn't fit, hashed_embeddings …
+    #         window_functions — after this round every registry entry is
+    #         driver-certified at r06 or later, making the staleness
+    #         ceiling ~3 rounds permanently).
+    #  33-50  the 18 alphabetically-first r06-certified entries (the next-
+    #         stalest cohort; the remaining 29 r06 entries rotate at r10).
+    # The r9 diff taints no queries (window_lint: session/tools-only
+    # changes) — re-run the lint after any queries/operators edit.
+    "hashed_embeddings",
+    "important_parts",
+    "incremental_dedup",
+    "index_churn",
+    "ivm_join_view",
+    "label_centroids",
+    "large_orders",
+    "market_share",
+    "media_resize",
+    "min_cost_supplier",
+    "minute_bars_fold",
+    "minute_bars_vwap",
+    "monthly_winsorized",
+    "nation_pair_volume",
+    "nation_profit",
+    "nearest_centroid",
+    "negative_pairs",
+    "orders_recon",
+    "part_supplier_diversity",
+    "priority_lateness",
+    "quality_classifier",
+    "quantized_embeddings",
+    "risk_metrics",
+    "rollup_refresh",
+    "salted_priority_revenue",
+    "small_quantity_revenue",
+    "stratified_docs_sample",
+    "top_supplier_revenue",
+    "user_type_intervals",
+    "waiting_suppliers",
+    "weighted_sample_docs",
+    "window_functions",
+    # oldest 18 of the r06-certified cohort (alphabetical)
+    "active_nations",
+    "asof_purchase_signup",
+    "balance_statement_asof",
+    "baostock_fixture_bars",
+    "benchmark_contamination",
+    "big_spender_segments",
+    "bloom_decontam",
+    "brand_type_revenue",
+    "cashflow_statement_asof",
+    "cb_info",
+    "cms_token_frequency",
+    "code_conversion",
+    "corpus_datacard",
+    "cross_doc_dup_coverage",
+    "debt_paying_ability_asof",
+    "doc_chunks",
+    "doc_stats",
+    "domain_capped_sample",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},

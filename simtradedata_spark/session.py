@@ -40,7 +40,8 @@ def _dir_bytes(path: str) -> int:
 
 
 def derive_shuffle_partitions(input_bytes: int, cores: int) -> int:
-    """clamp(ceil(input_bytes / 64 MB), cores, 4*cores) — the initial
+    """clamp(ceil(input_bytes / SHUFFLE_TARGET_PARTITION_BYTES = 16 MB),
+    cores, 4*cores) — the initial
     (pre-AQE) shuffle-partition count an input of this size wants. AQE only
     coalesces DOWNWARD, so the initial value is the parallelism ceiling;
     deriving it from bytes makes the measured sf10 win the default instead
@@ -94,6 +95,15 @@ def get_spark(
     elif input_dir is not None and os.path.isdir(input_dir):
         shuffle_parts = str(derive_shuffle_partitions(_dir_bytes(input_dir), n))
     else:
+        if input_dir is not None:
+            import warnings
+
+            warnings.warn(
+                f"get_spark(input_dir={input_dir!r}): not a directory — "
+                "shuffle-partition derivation skipped, falling back to "
+                f"cores ({n}). Check the path.",
+                stacklevel=2,
+            )
         shuffle_parts = str(n)
     b = (
         SparkSession.builder.master(f"local[{n}]")
@@ -149,6 +159,23 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
+    existing = SparkSession.getActiveSession()
     spark = b.getOrCreate()
+    if existing is not None and spark is existing:
+        # getOrCreate() silently ignores builder confs when a session already
+        # exists in the process — the derived shuffle-partition count and the
+        # zstd io-codec / rdd.compress settings above are no-ops here. Callers
+        # that need them (the scale-point benches) must stop() first.
+        got = spark.conf.get("spark.sql.shuffle.partitions", None)
+        if got != shuffle_parts:
+            import warnings
+
+            warnings.warn(
+                "get_spark(): reusing an existing SparkSession — requested "
+                f"spark.sql.shuffle.partitions={shuffle_parts} ignored "
+                f"(session has {got}). stop() the old session first if the "
+                "derived confs matter.",
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -1,5 +1,6 @@
 """Session bootstrap policy: the initial-shuffle-partition derivation
-(clamp(input_bytes/64MB, cores, 4x cores) — r7 verdict item 5: the
+(clamp(input_bytes/SHUFFLE_TARGET_PARTITION_BYTES=16MB, cores, 4x cores)
+— r7 verdict item 5: the
 measured sf10 win becomes the default, not an env opt-in) and fail-fast
 validation of the explicit override knob (ADVICE r7 item 3)."""
 

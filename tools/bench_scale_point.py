@@ -157,8 +157,13 @@ def main() -> None:
         ok = [r for r in runs if r >= 0]
         timings[name] = round(statistics.median(ok), 3) if ok else -1.0
         if repeats > 1:
+            # min/max over SUCCESSFUL runs only — a -1.0 failure marker in
+            # min would silently corrupt spread-based reads (ADVICE r8).
             spread[name] = {
-                "min": min(runs), "max": max(runs), "runs": runs
+                "min": min(ok) if ok else -1.0,
+                "max": max(ok) if ok else -1.0,
+                "runs": runs,
+                "errors": len(runs) - len(ok),
             }
     out = {
         "metric": "scale_point",

@@ -117,15 +117,37 @@ def main_procs(n_procs: int, per_proc: int) -> None:
     )
 
 
+USAGE = (
+    "usage: bench_serving.py [n_threads] [queries_per_thread]\n"
+    "       bench_serving.py --procs N [queries_per_proc]"
+)
+
+
+def _pos_int(s: str, what: str) -> int:
+    try:
+        v = int(s)
+    except ValueError:
+        sys.exit(f"{what} must be an integer, got {s!r}\n{USAGE}")
+    if v < 1:
+        sys.exit(f"{what} must be >= 1, got {v}\n{USAGE}")
+    return v
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--procs":
+        if len(sys.argv) < 3:
+            sys.exit(f"--procs requires a process count\n{USAGE}")
         main_procs(
-            int(sys.argv[2]),
-            int(sys.argv[3]) if len(sys.argv) > 3 else 2000,
+            _pos_int(sys.argv[2], "n_procs"),
+            _pos_int(sys.argv[3], "queries_per_proc")
+            if len(sys.argv) > 3
+            else 2000,
         )
         return
-    n_threads = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    per_thread = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    n_threads = _pos_int(sys.argv[1], "n_threads") if len(sys.argv) > 1 else 8
+    per_thread = (
+        _pos_int(sys.argv[2], "queries_per_thread") if len(sys.argv) > 2 else 200
+    )
     spark = get_spark("bench-serving")
     root = tempfile.mkdtemp(prefix="serving_wh_")
     wh = build_warehouse(spark, root, SyntheticMarket(spark))

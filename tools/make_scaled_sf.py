@@ -32,6 +32,7 @@ bench inputs, never oracle inputs.
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -112,6 +113,15 @@ def main(src: str, dest: str, n: int, tables: list[str] | None = None) -> None:
                 else:
                     exprs.append(c)
             selects.append(f"SELECT {', '.join(exprs)} FROM {t}")
+        # A previous run may have left a file OR a part-directory at the
+        # target (chunked vs single-file mode, or a larger n leaving stale
+        # part_<offset> files that would silently inflate every downstream
+        # read) — clear it before writing.
+        target = f"{dest}/{t}.parquet"
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        elif os.path.exists(target):
+            os.remove(target)
         if n <= CHUNK_REPLICAS:
             union = " UNION ALL ".join(selects)
             con.execute(
@@ -119,8 +129,8 @@ def main(src: str, dest: str, n: int, tables: list[str] | None = None) -> None:
             )
             glob = f"{dest}/{t}.parquet"
         else:
-            part_dir = f"{dest}/{t}.parquet"
-            os.makedirs(part_dir, exist_ok=True)
+            part_dir = target
+            os.makedirs(part_dir)
             for c0 in range(0, n, CHUNK_REPLICAS):
                 union = " UNION ALL ".join(selects[c0 : c0 + CHUNK_REPLICAS])
                 con.execute(

@@ -8,6 +8,14 @@ the small sf (fixed Spark scheduling floor); a ratio well above it means
 superlinear work — the thing to investigate. Queries on the generated
 market (synthetic_* / indicator / PTrade families) don't read the sf dir at
 all and should sit near ratio 1.0.
+
+When BOTH artifacts carry a ``calibration`` block (bench.py records one
+per run: fixed-work python + Spark probes), the summary additionally
+reports the host-speed ratio and the calibration-NORMALIZED median — use
+the normalized number for round-over-round comparisons (pass the older
+round's artifact as SMALL, factor 1): r7/r8 were both recorded on
+1.4-2x-degraded hosts, and raw ratios cannot distinguish that from a code
+regression.
 """
 
 from __future__ import annotations
@@ -17,8 +25,10 @@ import sys
 
 
 def main(small_path: str, big_path: str, factor: float) -> None:
-    small = json.load(open(small_path))["queries"]
-    big = json.load(open(big_path))["queries"]
+    small_doc = json.load(open(small_path))
+    big_doc = json.load(open(big_path))
+    small = small_doc["queries"]
+    big = big_doc["queries"]
     rows = []
     for name, t_small in small.items():
         t_big = big.get(name)
@@ -38,6 +48,20 @@ def main(small_path: str, big_path: str, factor: float) -> None:
         f"over_linear={sum(1 for r in ratios if r > factor * 1.2)} "
         f"(scale factor {factor}×)"
     )
+    cal_s, cal_b = small_doc.get("calibration"), big_doc.get("calibration")
+    if cal_s and cal_b:
+        # Geometric mean of the python + spark probe ratios: one number for
+        # "how much slower was the BIG artifact's host per unit of work".
+        host = (
+            (cal_b["python_sec"] / cal_s["python_sec"])
+            * (cal_b["spark_sec"] / cal_s["spark_sec"])
+        ) ** 0.5
+        print(
+            f"calibration: host_ratio={host:.3f} "
+            f"(python {cal_b['python_sec']:.3f}/{cal_s['python_sec']:.3f}, "
+            f"spark {cal_b['spark_sec']:.3f}/{cal_s['spark_sec']:.3f}) "
+            f"normalized_median_ratio={mid / host:.2f}"
+        )
 
 
 if __name__ == "__main__":
