@@ -70,16 +70,23 @@ def release_scratch(spark: SparkSession) -> int:
     return freed
 
 
-def release_new(spark: SparkSession, before: set[int]) -> int:
+def release_new(
+    spark: SparkSession, before: set[int], keep: set[int] | None = None
+) -> int:
     """Unpersist only the non-protected RDDs persisted since ``before``
     (a ``snapshot``). The scoped dual of ``protect_new`` — an operator
     frees exactly its own scratch, never a caller's persists or
-    localCheckpoints. Returns how many were freed."""
+    localCheckpoints. ``keep`` exempts specific RDD ids (a stage barrier
+    that later stages still read — the curation chain frees each finished
+    stage's scratch while its newest barrier stays live). Returns how many
+    were freed."""
     m = _jmap(spark)
     freed = 0
     for k in list(m.keySet().toArray()):
         kid = int(k)
-        if kid not in before and kid not in _PROTECTED:
+        if kid not in before and kid not in _PROTECTED and not (
+            keep and kid in keep
+        ):
             m.get(k).unpersist(False)
             freed += 1
     return freed

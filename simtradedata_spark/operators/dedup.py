@@ -260,12 +260,25 @@ def minhash_probe_index(
     the BATCH, not the corpus — the property that makes daily ingest dedup
     feasible at 100 TB.
     """
-    probe = minhash_index(
-        new_docs, id_col, text_col, num_hashes, bands, shingle_n, seed, hash_fn
+    # Sign the batch ONCE (persisted: the slim postings and the sig_a
+    # re-attach below both read it; a batch is tiny next to the corpus).
+    probe_sigs = (
+        minhash_signatures(
+            new_docs, id_col, text_col, num_hashes, shingle_n, seed,
+            hash_fn=hash_fn,
+        )
+        .filter(F.col("minhash").isNotNull())
+        .persist()
     )
-    a = probe.alias("a")
-    b = index.alias("b")
-    pairs = (
+    probe = minhash_band_postings(probe_sigs, id_col, num_hashes, bands, hash_fn)
+    # Same slim-join shape as minhash_lsh_candidates: the INDEX side is
+    # corpus-sized, and shuffling its 8·num_hashes-byte signature once per
+    # posting row (bands per doc) through the equi-join costs ~16x the
+    # bytes of the 24-byte posting key. Join slim, dedup pairs, re-attach
+    # one signature per surviving id from each side.
+    a = probe.select(id_col, "band_id", "band_hash").alias("a")
+    b = index.select(id_col, "band_id", "band_hash").alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -275,10 +288,19 @@ def minhash_probe_index(
         .select(
             F.col(f"a.{id_col}").alias("new_id"),
             F.col(f"b.{id_col}").alias("indexed_id"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
         )
         .dropDuplicates(["new_id", "indexed_id"])
+    )
+    pairs = cand.join(
+        probe_sigs.select(
+            F.col(id_col).alias("new_id"), F.col("minhash").alias("sig_a")
+        ),
+        "new_id",
+    ).join(
+        index.select(
+            F.col(id_col).alias("indexed_id"), F.col("minhash").alias("sig_b")
+        ).dropDuplicates(["indexed_id"]),
+        "indexed_id",
     )
     agree = F.size(
         F.filter(
@@ -310,19 +332,35 @@ def minhash_lsh_candidates(
     verify estimated Jaccard (signature agreement) ≥ threshold.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b, deduplicated.
     """
-    # Persist the signatures: the band bucket join is a SELF-join, and without
-    # materialization Spark recomputes the whole shingle→hash→agg pipeline for
-    # both sides. Signature storage is 8·num_hashes bytes/doc — always cheap.
+    # Materialize the signatures as a LINEAGE-TRUNCATING checkpoint, not a
+    # persist: the band bucket join is a SELF-join (both sides would
+    # recompute the shingle→hash→agg pipeline unmaterialized), and a
+    # persist additionally keeps the ~n_tokens-per-doc shingle-explode
+    # SHUFFLE referenced for recompute-on-eviction — at the 5M-doc (1000x)
+    # point that single shuffle is ~10 GB of disk held across the whole
+    # downstream join. Checkpointing drops it before the self-join runs
+    # (the GC nudge lets the ContextCleaner delete it NOW); signature
+    # storage itself is 8·num_hashes bytes/doc — always cheap. Same
+    # recompute-on-executor-loss trade every stage barrier in
+    # operators/pipeline.py makes, documented there.
     sigd = (
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
         .filter(F.col("minhash").isNotNull())
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    banded = minhash_band_postings(sigd, id_col, num_hashes, bands, hash_fn)
+    df.sparkSession.sparkContext._jvm.System.gc()
+    # The self-join shuffles SLIM postings (id, band_id, band_hash — 24
+    # bytes/row) and re-attaches the 8·num_hashes-byte signatures per
+    # SURVIVING pair afterwards. Joining the full postings (the old shape)
+    # moves the 512-byte signature ``bands`` times per doc through BOTH
+    # shuffle sides — ~16x the bytes, the disk wall the 1000x run hit.
+    banded = minhash_band_postings(sigd, id_col, num_hashes, bands, hash_fn).select(
+        id_col, "band_id", "band_hash"
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -332,10 +370,15 @@ def minhash_lsh_candidates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.minhash").alias("sig_a"),
-            F.col("b.minhash").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigd.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigd.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")),
+        "id_b",
     )
     agree = F.size(
         F.filter(

@@ -195,7 +195,7 @@ def full_curation(
     )
     from simtradedata_spark.operators.graph import dedup_clusters
     from simtradedata_spark.operators.packing import pack_sequences
-    from simtradedata_spark.operators.sketches import bloom_build, bloom_might_contain
+    from simtradedata_spark.operators.sketches import bloom_build
     from simtradedata_spark.operators.substrings import strip_cross_doc_spans
     from simtradedata_spark.operators.textstats import dsir_importance
 
@@ -218,14 +218,33 @@ def full_curation(
     # live ~13 GB gram shuffles plus the caches overflowed the disk twice.
     # Checkpointing drops the upstream graph, and the GC nudge lets the
     # ContextCleaner delete the finished stage's shuffle files NOW rather
-    # than at an eventual full GC, so peak disk is ~one stage's shuffle +
-    # the live barriers. Trade (same one graph.py's CC rounds make): a
-    # barrier partition lost on a cluster is not recomputable — the job
-    # restarts from source instead; for a batch release chain that is the
-    # right side of the trade.
+    # than at an eventual full GC. The barrier ALSO releases every frame
+    # persisted inside this call since the previous barrier (the finished
+    # stage's scratch: the prior barrier's blocks, minhash signatures, CC
+    # round checkpoints, gram frames) — each stage re-reads only the
+    # NEWEST barrier, so once stage N+1 is materialized stage N's blocks
+    # are garbage; without the sweep the live barrier copies alone are
+    # ~6x one corpus at the 1000x point (the second disk wall the r9 run
+    # hit). Scoped via snapshot ids — a CALLER's persists/localCheckpoints
+    # predate `start` and are never touched (the r6 wrong-#1 contract).
+    # Trade (same one graph.py's CC rounds make): a barrier partition
+    # lost on a cluster is not recomputable — the job restarts from
+    # source instead; for a batch release chain that is the right side of
+    # the trade.
+    from simtradedata_spark.functions.caching import (
+        release_new,
+        snapshot,
+    )
+
+    spark = docs.sparkSession
+    start = snapshot(spark)
+
     def barrier(df: DataFrame) -> DataFrame:
+        pre = snapshot(spark)
         out = df.localCheckpoint(eager=True)
-        df.sparkSession.sparkContext._jvm.System.gc()
+        keep = snapshot(spark) - pre  # the new barrier's own blocks
+        release_new(spark, start, keep=keep)
+        spark.sparkContext._jvm.System.gc()
         return out
 
     # 1-2: quality flags + exact dedup (curate_flags' first two stages)
@@ -276,29 +295,42 @@ def full_curation(
     # (bloom_sizing) — a pinned m saturates when the benchmark grows (at 10×
     # data a 16-Kbit filter flagged 100% of the corpus, r6 measurement);
     # the count is one tiny distinct-aggregate job over the benchmark side.
-    from simtradedata_spark.operators.sketches import bloom_sizing
+    from simtradedata_spark.operators.sketches import bloom_flag_col, bloom_sizing
 
-    # SCRATCH persists: both gram frames feed TWO consumers each
-    # (bench_grams: the sizing count + the bitset build; doc_grams: the
-    # probe set + the hits join) — unstaged, the tokenize+shingle
-    # construction runs twice per frame, the exact pattern the standalone
-    # bloom_decontam query stages for the same reason (queries.py).
+    # SCRATCH persist: bench_grams feeds the sizing count + the bitset
+    # build — unstaged, the benchmark tokenize+shingle construction runs
+    # twice (the exact pattern the standalone bloom_decontam query stages
+    # for the same reason, queries.py).
     bench_grams = bench.select(
         F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
     ).distinct().persist()
     if bloom_bits is None:
         bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
-    sketch = bloom_build(bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn)
-    doc_grams = (
-        flagged.filter(F.col("__nonempty"))
-        .select(id_col, F.explode(shingles_of(tokens("text_clean"), contam_n)).alias("gram"))
-    ).persist()
-    probed = bloom_might_contain(
-        sketch, doc_grams.select("gram"), "gram",
-        m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn,
+    # Checkpointed: bloom_flag_col broadcasts the sketch k times (Spark
+    # does not reuse the exchange across the k probe joins — measured),
+    # and each broadcast would otherwise re-run the bitset aggregation.
+    sketch = bloom_build(
+        bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn
+    ).localCheckpoint(eager=True)
+    # The DOC side probes IN PLACE (bloom_flag_col: k broadcast lookups,
+    # one reused physical broadcast, zero shuffle) instead of the
+    # distinct → bloom_might_contain → join-back shape the standalone
+    # query uses: per-occurrence grams are near-unique here, so the
+    # distinct and the join-back were two corpus-sized gram-string
+    # shuffles (plus a persisted occurrence frame) buying nothing — at
+    # 5M docs (1000x) that stage alone overflowed the scratch disk. The
+    # verdict per gram is bit-identical (same seed strings, same bit
+    # layout), so the funnel's __clean flags are unchanged.
+    doc_grams = flagged.filter(F.col("__nonempty")).select(
+        id_col,
+        F.explode(shingles_of(tokens("text_clean"), contam_n)).alias("gram"),
     )
     hit_docs = (
-        doc_grams.join(probed.filter(F.col("might_contain")), "gram")
+        bloom_flag_col(
+            sketch, doc_grams, "gram",
+            m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn,
+        )
+        .filter(F.col("might_contain"))
         .select(id_col).distinct().withColumn("__hit", F.lit(True))
     )
     flagged = barrier(

@@ -262,6 +262,77 @@ def bloom_might_contain(
     )
 
 
+def bloom_flag_col(
+    sketch: DataFrame,
+    df: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+    hash_fn: str = "xxhash64",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Append ``out_col`` (the Bloom membership verdict for ``col``) to
+    EVERY row of ``df`` — the zero-shuffle probe shape.
+
+    ``bloom_might_contain`` probes a DISTINCT item set and callers join the
+    verdict back; when the probe side is a per-occurrence fact (the
+    curation chain's exploded (doc, gram) frame — hundreds of millions of
+    rows at the 1000x point), that distinct + join-back is two
+    corpus-sized string shuffles for near-zero dedup benefit. This probes
+    IN PLACE instead: the ``k`` bit lookups are ``k`` broadcast-hash joins
+    against the same sketch (identical subtrees — Spark's exchange reuse
+    ships ONE physical broadcast), all inside a single map stage; rows
+    flow through with no shuffle, no distinct, no join-back. Bit layout,
+    seed strings, and NULL handling are exactly ``bloom_might_contain``'s
+    (NULL items probe false).
+
+    Cluster shape: the sketch broadcast is ≤ ⌈m_bits/63⌉ rows — at the
+    auto-sized 1000x point (~2^31 bits) that is a few hundred MB per
+    executor, the documented cost of making an arbitrarily wide probe
+    side shuffle-free."""
+    out = df
+    verdicts = []
+    for i in range(k):
+        pos = F.pmod(
+            _hash64(
+                F.concat_ws("|", F.lit(str(i)), F.col(col).cast("string")),
+                hash_fn,
+            ),
+            F.lit(m_bits),
+        )
+        widx, bit = f"__bf_w{i}", f"__bf_b{i}"
+        out = out.withColumn(
+            widx, F.floor(pos / 63).cast("long")
+        ).withColumn(bit, F.pmod(pos, F.lit(63)).cast("int"))
+        out = out.join(
+            F.broadcast(
+                sketch.select(
+                    F.col("word_idx").alias(widx),
+                    F.col("word").alias(f"__bf_word{i}"),
+                )
+            ),
+            widx,
+            "left",
+        )
+        # F.shiftright only takes an int literal shift — the per-row bit
+        # offset needs the SQL form (same expression bloom_might_contain
+        # runs through selectExpr).
+        verdicts.append(
+            F.expr(
+                f"(shiftright(coalesce(__bf_word{i}, CAST(0 AS BIGINT)),"
+                f" __bf_b{i}) & 1) = 1"
+            )
+        )
+    verdict = verdicts[0]
+    for v in verdicts[1:]:
+        verdict = verdict & v
+    verdict = F.when(F.col(col).isNull(), F.lit(False)).otherwise(verdict)
+    drop = [f"__bf_w{i}" for i in range(k)] + [
+        f"__bf_b{i}" for i in range(k)
+    ] + [f"__bf_word{i}" for i in range(k)]
+    return out.withColumn(out_col, verdict).drop(*drop)
+
+
 def exact_quantiles_sorted(
     df: DataFrame,
     keys: list[str],

@@ -48,25 +48,36 @@ def _occurrences(
     n: int,
     lowercase: bool,
     with_tokens: bool,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """(key, __s struct) where __s carries n_tokens, the (s, gram)
     occurrence list (1-based starts), and optionally the token array for
     text reconstruction. Tokenization happens ONCE per row: the token
     array is let-bound so the per-start slice lambdas reference a bound
-    variable Catalyst cannot inline back into a per-element regex split."""
+    variable Catalyst cannot inline back into a per-element regex split.
+
+    ``hash_grams`` hashes each gram to 64 bits INSIDE the struct (the
+    same xxhash64 value formerly applied post-explode — hashing
+    commutes with the explode): an n=8 word gram is ~50 bytes of string,
+    so the persisted frame and every gram-keyed shuffle downstream shrink
+    ~4-6x — at the 5M-doc (1000x) point that is the difference between
+    the strip stage fitting its scratch disk or not. The md5/oracle path
+    (hash_grams=False) keeps gram strings, bit-identical to before."""
 
     def occ_struct(t: Column) -> Column:
         idx = F.when(
             F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
         ).otherwise(F.array().cast("array<int>"))
+
+        def gram_of(i: Column) -> Column:
+            g = F.concat_ws(" ", F.slice(t, i, n))
+            return _hash64(g) if hash_grams else g
+
         fields = [
             F.size(t).alias("n_tokens"),
             F.transform(
                 idx,
-                lambda i: F.struct(
-                    i.alias("s"),
-                    F.concat_ws(" ", F.slice(t, i, n)).alias("gram"),
-                ),
+                lambda i: F.struct(i.alias("s"), gram_of(i).alias("gram")),
             ).alias("occ"),
         ]
         if with_tokens:
@@ -82,12 +93,6 @@ def _occurrences(
     return df.select(
         key_col, let(tokens(text_col, lowercase=lowercase), occ_struct).alias("__s")
     ).persist()
-
-
-def _gram_key(occ: DataFrame, hash_grams: bool) -> DataFrame:
-    if hash_grams:
-        return occ.withColumn("gram", _hash64("gram"))
-    return occ
 
 
 def cross_doc_dup_coverage(
@@ -114,13 +119,13 @@ def cross_doc_dup_coverage(
     the query (it feeds multiple downstream branches). Library callers in
     a long-lived session should call ``functions.caching.release_scratch``
     after consuming the result, or the cached partitions accumulate."""
-    toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=False)
+    toked = _occurrences(
+        df, key_col, text_col, n, lowercase, with_tokens=False,
+        hash_grams=hash_grams,
+    )
     per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
-    occ = _gram_key(
-        toked.select(key_col, F.explode("__s.occ").alias("o")).select(
-            key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
-        ),
-        hash_grams,
+    occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
+        key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
     )
     dup = (
         occ.select(key_col, "gram")
@@ -181,13 +186,13 @@ def strip_cross_doc_spans(
     ``functions.caching.release_scratch`` after consuming the result. Reconstruction is one doc-keyed aggregation: positions are
     collected as (pos, token) structs and ``array_sort`` orders them —
     no window, no assumption about ``collect_list`` ordering."""
-    toked = _occurrences(df, key_col, text_col, n, lowercase, with_tokens=True)
+    toked = _occurrences(
+        df, key_col, text_col, n, lowercase, with_tokens=True,
+        hash_grams=hash_grams,
+    )
     per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
-    occ = _gram_key(
-        toked.select(key_col, F.explode("__s.occ").alias("o")).select(
-            key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
-        ),
-        hash_grams,
+    occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
+        key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
     )
     dup = (
         occ.select(key_col, "gram")

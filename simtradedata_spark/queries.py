@@ -8469,10 +8469,17 @@ _FRONT_WINDOW = [
     #         window_functions — after this round every registry entry is
     #         driver-certified at r06 or later, making the staleness
     #         ceiling ~3 rounds permanently).
-    #  33-50  the 18 alphabetically-first r06-certified entries (the next-
-    #         stalest cohort; the remaining 29 r06 entries rotate at r10).
-    # The r9 diff taints no queries (window_lint: session/tools-only
-    # changes) — re-run the lint after any queries/operators edit.
+    #  33-37  every query the r9 diff taints (lint output): the 1000x
+    #         disk-wall fixes — slim LSH band join + signature lineage
+    #         truncation (minhash_near_dups, dedup_clusters,
+    #         cluster_representatives, and with the in-struct gram
+    #         hashing: exact_substr_trim), finished-stage sweep + map-side
+    #         bloom probe in the curation chain (full_curation_funnel).
+    #         cross_doc_dup_coverage and incremental_dedup are also
+    #         tainted and already sit in slots above/below.
+    #  38-50  the 12 alphabetically-first r06-certified entries plus
+    #         cross_doc_dup_coverage (r9-tainted; the remaining 34 r06
+    #         entries rotate at r10).
     "hashed_embeddings",
     "important_parts",
     "incremental_dedup",
@@ -8505,7 +8512,13 @@ _FRONT_WINDOW = [
     "waiting_suppliers",
     "weighted_sample_docs",
     "window_functions",
-    # oldest 18 of the r06-certified cohort (alphabetical)
+    # r9-tainted (window_lint)
+    "minhash_near_dups",
+    "dedup_clusters",
+    "cluster_representatives",
+    "exact_substr_trim",
+    "full_curation_funnel",
+    # oldest 13 of the r06-certified cohort (alphabetical)
     "active_nations",
     "asof_purchase_signup",
     "balance_statement_asof",
@@ -8518,12 +8531,7 @@ _FRONT_WINDOW = [
     "cb_info",
     "cms_token_frequency",
     "code_conversion",
-    "corpus_datacard",
     "cross_doc_dup_coverage",
-    "debt_paying_ability_asof",
-    "doc_chunks",
-    "doc_stats",
-    "domain_capped_sample",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
