@@ -343,10 +343,12 @@ def minhash_lsh_candidates(
     # storage itself is 8·num_hashes bytes/doc — always cheap. Same
     # recompute-on-executor-loss trade every stage barrier in
     # operators/pipeline.py makes, documented there.
+    from pyspark import StorageLevel
+
     sigd = (
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
         .filter(F.col("minhash").isNotNull())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     df.sparkSession.sparkContext._jvm.System.gc()
     # The self-join shuffles SLIM postings (id, band_id, band_hash — 24

@@ -239,9 +239,20 @@ def full_curation(
     spark = docs.sparkSession
     start = snapshot(spark)
 
+    # SERIALIZED barrier storage (MEMORY_AND_DISK, not the _DESER default):
+    # a barrier carries the full corpus text — deserialized row objects are
+    # ~4-6x the serialized+zstd bytes (spark.rdd.compress), and at the
+    # 1000x point caching 260 MB deserialized partitions concurrently with
+    # the stage's own execution memory OOM'd a 16 GiB heap (measured).
+    # Reading a barrier back pays one deserialization pass — each barrier
+    # is read ~2x, noise next to the stages themselves.
+    from pyspark import StorageLevel
+
     def barrier(df: DataFrame) -> DataFrame:
         pre = snapshot(spark)
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         keep = snapshot(spark) - pre  # the new barrier's own blocks
         release_new(spark, start, keep=keep)
         spark.sparkContext._jvm.System.gc()
@@ -303,7 +314,7 @@ def full_curation(
     # for the same reason, queries.py).
     bench_grams = bench.select(
         F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
-    ).distinct().persist()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     if bloom_bits is None:
         bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
     # Checkpointed: bloom_flag_col broadcasts the sketch k times (Spark

@@ -89,10 +89,16 @@ def _occurrences(
     # BOTH sides of the dup-gram self-aggregation, and (for strip) the
     # posexplode rebuild — without it the tokenize+slice+concat gram
     # construction, the dominant CPU cost, runs 3-4x per query (measured
-    # 38 s for exact_substr_trim at sf1.0 pre-persist).
+    # 38 s for exact_substr_trim at sf1.0 pre-persist). SERIALIZED level
+    # (MEMORY_AND_DISK, not _DESER): the struct carries every gram (or
+    # gram hash) plus the token array per doc — deserialized it is ~4-6x
+    # the zstd-serialized bytes, enough to OOM a 16 GiB heap at the
+    # 5M-doc point while the consuming stages execute.
+    from pyspark import StorageLevel
+
     return df.select(
         key_col, let(tokens(text_col, lowercase=lowercase), occ_struct).alias("__s")
-    ).persist()
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def cross_doc_dup_coverage(

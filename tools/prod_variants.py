@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -43,7 +44,7 @@ def prod_variants(
     from simtradedata_spark.operators.similarity import hard_negative_top_k_ivf
     from simtradedata_spark.operators.sketches import (
         bloom_build,
-        bloom_might_contain,
+        bloom_flag_col,
         bloom_sizing,
         cms_estimate,
         count_min_sketch,
@@ -67,7 +68,9 @@ def prod_variants(
         # lifecycle as the certified query's staging): the token frame
         # feeds the sketch build, the exact counts, the total, and the
         # probe join — unstaged, tokenization runs 4x
-        toks = docs.select(F.explode(tokens("text")).alias("tok")).persist()
+        toks = docs.select(F.explode(tokens("text")).alias("tok")).persist(
+            StorageLevel.MEMORY_AND_DISK  # serialized: deser token rows OOM at 1000x
+        )
         sketch = count_min_sketch(toks, "tok", depth=3, width=512)
         counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
         total = toks.agg(F.count(F.lit(1)).alias("_total"))
@@ -91,7 +94,7 @@ def prod_variants(
         # hash-backend reasons
         g = docs.select(
             "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         bench_g = (
             g.filter(F.col("source") == "src0")
             .select(F.explode("gs").alias("gram"))
@@ -101,12 +104,17 @@ def prod_variants(
         corpus = g.filter(F.col("source") != "src0").select(
             "doc_id", F.explode("gs").alias("gram")
         )
-        sketch = bloom_build(bench_g, "gram", m_bits=m, k=4)
-        probed = bloom_might_contain(
-            sketch, corpus.select("gram"), "gram", m_bits=m, k=4
+        sketch = bloom_build(bench_g, "gram", m_bits=m, k=4).localCheckpoint(
+            eager=True
         )
+        # Map-side probe (bloom_flag_col): the distinct → probe →
+        # join-back shape shuffles the corpus gram strings twice for
+        # near-zero dedup benefit — at the 5M-doc point that stage
+        # overflowed the scratch disk. Per-occurrence verdicts are
+        # bit-identical, so the hit counts are unchanged.
         return (
-            corpus.join(probed.filter("might_contain"), "gram")
+            bloom_flag_col(sketch, corpus, "gram", m_bits=m, k=4)
+            .filter("might_contain")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("bloom_hits"))
         )
