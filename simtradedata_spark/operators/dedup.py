@@ -345,12 +345,26 @@ def minhash_lsh_candidates(
     # operators/pipeline.py makes, documented there.
     from pyspark import StorageLevel
 
-    sigd = (
-        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn)
-        .filter(F.col("minhash").isNotNull())
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
-    )
-    df.sparkSession.sparkContext._jvm.System.gc()
+    spark = df.sparkSession
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
+    ).filter(F.col("minhash").isNotNull())
+    # Big-input sessions (derived shuffle partitions above core count —
+    # the session.py signal that the input outgrew the certification
+    # scale) get the checkpoint + GC nudge, so the ContextCleaner deletes
+    # the ~10 GB shingle-explode shuffle BEFORE the band self-join runs.
+    # Small sessions keep the lazy persist: the eager checkpoint job plus
+    # a System.gc() on a warm heap cost ~2 s, doubling this query's sf0.1
+    # bench entry for a shuffle that is only ~100 MB there.
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > (
+        spark.sparkContext.defaultParallelism
+    ):
+        sigd = sigs.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        spark.sparkContext._jvm.System.gc()
+    else:
+        sigd = sigs.persist()
     # The self-join shuffles SLIM postings (id, band_id, band_hash — 24
     # bytes/row) and re-attaches the 8·num_hashes-byte signatures per
     # SURVIVING pair afterwards. Joining the full postings (the old shape)

@@ -7416,9 +7416,13 @@ def q_incremental_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # Persisted: the probe reads the index twice (slim postings for the
+    # band join, (id, minhash) for the verify) — a STORED index pays two
+    # column-pruned scans; an in-memory one must be materialized or the
+    # corpus signature pipeline recomputes per consumer.
     idx = minhash_index(
         corpus, "doc_id", "text", num_hashes=64, bands=16, hash_fn="md5"
-    )
+    ).persist()
     return minhash_probe_index(
         batch, idx, "doc_id", "text", num_hashes=64, bands=16,
         jaccard_threshold=0.5, hash_fn="md5",

@@ -287,3 +287,42 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sk.collect())
     )
+
+
+def test_bloom_flag_col_matches_distinct_probe(spark):
+    """bloom_flag_col (the zero-shuffle per-row probe the curation chain
+    and the decontam twin use) returns bit-identical verdicts to
+    bloom_might_contain's distinct-probe shape, preserves every input row
+    and column, and probes NULL items false."""
+    from simtradedata_spark.operators.sketches import (
+        bloom_build,
+        bloom_flag_col,
+        bloom_might_contain,
+    )
+
+    vals = [("v%d" % i,) for i in range(64)]
+    df = spark.createDataFrame(vals, ["v"])
+    m, k = 1 << 12, 4
+    sk = bloom_build(df, "v", m_bits=m, k=k)
+
+    rows = [
+        (i, "v%d" % (i % 80))  # mixes present (64) and absent values
+        for i in range(300)
+    ] + [(999, None)]
+    items = spark.createDataFrame(rows, ["rid", "v"])
+
+    flagged = bloom_flag_col(sk, items, "v", m_bits=m, k=k)
+    assert flagged.columns == ["rid", "v", "might_contain"]
+    assert flagged.count() == 301  # every row preserved, no dedup
+
+    ref = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(
+            sk, items, "v", m_bits=m, k=k
+        ).collect()
+    }
+    for r in flagged.collect():
+        if r["v"] is None:
+            assert r["might_contain"] is False
+        else:
+            assert r["might_contain"] == ref[r["v"]], r["v"]

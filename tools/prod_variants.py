@@ -57,7 +57,14 @@ def prod_variants(
     def _incr_prod() -> DataFrame:
         corpus = docs.filter("doc_id % 10 != 0")
         batch = docs.filter("doc_id % 10 = 0")
-        idx = minhash_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+        # Persisted: minhash_probe_index reads the index TWICE (slim
+        # postings for the band join, (id, minhash) for the verify) — in
+        # production the index is a STORED table and the two reads are two
+        # column-pruned scans; an in-memory index must be materialized or
+        # the whole corpus signature pipeline recomputes per consumer.
+        idx = minhash_index(
+            corpus, "doc_id", "text", num_hashes=64, bands=16
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         return minhash_probe_index(
             batch, idx, "doc_id", "text", num_hashes=64, bands=16,
             jaccard_threshold=0.5,
