@@ -698,7 +698,14 @@ def cosine_near_dups(
                 {"id_a": a_ids[ii], "id_b": b_ids[jj], "cos_sim": sims[ii, jj]}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # Spread the scoring side across cores: the quadratic GEMM's
+    # parallelism must come from the cluster, not from the input FILE
+    # layout — a 10x replica still fits one ~5 MB parquet split, and the
+    # whole N^2 matmul then lands on 1-2 tasks (measured 15x slower at
+    # sf1.0 than the same work on 32 tasks).
+    from simtradedata_spark.functions.partitioning import spread
+
+    return spread(df.select(id_col, vec_col)).mapInPandas(score, out_schema)
 
 
 def jaccard_pairs_prefix(

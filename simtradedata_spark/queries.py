@@ -8481,8 +8481,8 @@ _FRONT_WINDOW = [
     #         bloom probe in the curation chain (full_curation_funnel).
     #         cross_doc_dup_coverage and incremental_dedup are also
     #         tainted and already sit in slots above/below.
-    #  38-50  the 12 alphabetically-first r06-certified entries plus
-    #         cross_doc_dup_coverage (r9-tainted; the remaining 34 r06
+    #  38-50  the 10 alphabetically-first r06-certified entries plus
+    #         cross_doc_dup_coverage (r9-tainted; the remaining 36 r06
     #         entries rotate at r10).
     "hashed_embeddings",
     "important_parts",
@@ -8522,7 +8522,9 @@ _FRONT_WINDOW = [
     "cluster_representatives",
     "exact_substr_trim",
     "full_curation_funnel",
-    # oldest 13 of the r06-certified cohort (alphabetical)
+    "cosine_near_dups",
+    "embedding_dup_clusters",
+    # oldest 11 of the r06-certified cohort (alphabetical)
     "active_nations",
     "asof_purchase_signup",
     "balance_statement_asof",
@@ -8533,8 +8535,6 @@ _FRONT_WINDOW = [
     "brand_type_revenue",
     "cashflow_statement_asof",
     "cb_info",
-    "cms_token_frequency",
-    "code_conversion",
     "cross_doc_dup_coverage",
 ]
 QUERIES = {
