@@ -133,6 +133,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spread: dict[str, dict] = {}
+    errors: dict[str, int] = {}
 
     def _record(name: str, thunk) -> None:
         runs = []
@@ -141,12 +142,22 @@ def main() -> None:
                 runs.append(round(thunk(), 3))
             except Exception as e:  # a failed query must not hide the others
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-        timings[name] = round(statistics.median(runs), 3) if runs else -1.0
+        # A query that failed on ANY run gets a NEGATIVE headline entry
+        # (-median, or -1.0 when every run failed) so intermittent
+        # failures surface in `timings` itself — the pre-repeats -1.0
+        # convention, and what keeps it out of the >=0-filtered totals —
+        # plus an `errors` count (r9 advisory: the count living only in
+        # `spread` let a flaky query report a clean median).
+        med = round(statistics.median(runs), 3) if runs else 1.0
+        n_err = repeats - len(runs)
+        timings[name] = -med if n_err else med
+        if n_err:
+            errors[name] = n_err
         if repeats > 1:
             spread[name] = {
                 "min": min(runs) if runs else -1.0,
                 "max": max(runs) if runs else -1.0,
-                "errors": repeats - len(runs),
+                "errors": n_err,
             }
 
     for name, (fn, _sql) in QUERIES.items():
@@ -192,6 +203,8 @@ def main() -> None:
         "repeats": repeats,
         "calibration": calibration,
     }
+    if errors:
+        out["errors"] = errors
     if spread:
         out["spread"] = spread
     print(json.dumps(out))

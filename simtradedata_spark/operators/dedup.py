@@ -356,9 +356,16 @@ def minhash_lsh_candidates(
     # Small sessions keep the lazy persist: the eager checkpoint job plus
     # a System.gc() on a warm heap cost ~2 s, doubling this query's sf0.1
     # bench entry for a shuffle that is only ~100 MB there.
-    if int(spark.conf.get("spark.sql.shuffle.partitions")) > (
-        spark.sparkContext.defaultParallelism
-    ):
+    # The signal counts only when the conf was EXPLICITLY set (builder
+    # conf, visible in the SparkConf): on a third-party session Spark's
+    # untouched default ('200' > local cores) would otherwise route every
+    # tiny input through the eager path — an unset conf means nobody
+    # derived it from input size, so treat the session as small and keep
+    # the lazy persist (merely the small-input default, never wrong).
+    _sc = spark.sparkContext
+    if _sc.getConf().contains("spark.sql.shuffle.partitions") and int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    ) > (_sc.defaultParallelism):
         sigd = sigs.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )

@@ -187,6 +187,14 @@ def full_curation(
     call AND that action in ``functions.caching.scratch_scope(spark)`` to
     free exactly these frames afterwards without touching caches the
     caller owns (``export_curated_release`` does this).
+
+    Concurrency: SINGLE-OWNER-THREAD assumption. The stage barriers sweep
+    finished-stage scratch by RDD-id diff against a snapshot taken at call
+    entry — that diff is session-global, so a CONCURRENT query on the same
+    SparkSession that persists (recomputable — merely re-cached) or
+    localCheckpoints (NOT recomputable — that query fails) a frame while
+    this chain runs would be swept mid-flight. Run one curation chain per
+    session at a time, or give concurrent work its own SparkSession.
     """
     from simtradedata_spark.operators.dedup import (
         minhash_lsh_candidates,
@@ -317,14 +325,18 @@ def full_curation(
     ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
     if bloom_bits is None:
         bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
-    # Checkpointed: bloom_flag_col broadcasts the sketch k times (Spark
-    # does not reuse the exchange across the k probe joins — measured),
-    # and each broadcast would otherwise re-run the bitset aggregation.
+    # bloom_flag_col packs the bitset driver-side (one collect of the
+    # sparse word table) and ships it exactly once — sc.broadcast bytes
+    # when small, SparkFiles+memmap (one page-cache copy per NODE, zero
+    # JVM heap) at the 1000x auto-sized point. The r9 shape (k
+    # broadcast-hash joins; Spark does not reuse the exchange across
+    # them — measured) held k ~0.7 GB HashedRelations per executor and
+    # was the chain's 16 GiB OOM cause.
     sketch = bloom_build(
         bench_grams, "gram", m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn
-    ).localCheckpoint(eager=True)
-    # The DOC side probes IN PLACE (bloom_flag_col: k broadcast lookups,
-    # one reused physical broadcast, zero shuffle) instead of the
+    )
+    # The DOC side probes IN PLACE (bloom_flag_col: JVM-side hashing, one
+    # Arrow-batched bitset probe, zero shuffle) instead of the
     # distinct → bloom_might_contain → join-back shape the standalone
     # query uses: per-occurrence grams are near-unique here, so the
     # distinct and the join-back were two corpus-sized gram-string
@@ -336,10 +348,12 @@ def full_curation(
         id_col,
         F.explode(shingles_of(tokens("text_clean"), contam_n)).alias("gram"),
     )
+    bloom_res: list = []
     hit_docs = (
         bloom_flag_col(
             sketch, doc_grams, "gram",
             m_bits=bloom_bits, k=bloom_k, hash_fn=hash_fn,
+            resources=bloom_res,
         )
         .filter(F.col("might_contain"))
         .select(id_col).distinct().withColumn("__hit", F.lit(True))
@@ -349,6 +363,13 @@ def full_curation(
             "__clean", F.col("__nonempty") & F.col("__hit").isNull()
         ).drop("__hit")
     )
+    # The decontam barrier above is eager — the bitset was consumed; free
+    # the broadcast blocks NOW instead of letting them accumulate across
+    # stages/runs (the r9 intra-session drift suspect). File-shipped
+    # bitsets are cleaned at sc.stop.
+    for h in bloom_res:
+        if hasattr(h, "destroy"):
+            h.destroy()
 
     # 6: DSIR importance selection over the clean pool (target = benchmark
     # domain, the certified dsir_selection policy: round-6dp score desc, id)

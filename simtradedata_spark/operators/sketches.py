@@ -30,6 +30,7 @@ bloom_decontam).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -262,6 +263,30 @@ def bloom_might_contain(
     )
 
 
+def bloom_pack(sketch: DataFrame, m_bits: int) -> bytes:
+    """Collect the sparse (word_idx, word) Bloom table into the DENSE packed
+    bitset: ⌈m_bits/63⌉ little-endian int64 words (absent words 0) as one
+    ``bytes`` blob. Bounded by m_bits, not by corpus size — the driver-side
+    materialization step for shipping a filter to every executor exactly
+    once. At the auto-sized 1000x point (~2^31 bits) this is ~272 MB."""
+    import numpy as np
+
+    n_words = (m_bits + 62) // 63
+    arr = np.zeros(n_words, dtype=np.int64)
+    pdf = sketch.select("word_idx", "word").toPandas()
+    if len(pdf):
+        arr[pdf["word_idx"].to_numpy(dtype=np.int64)] = pdf[
+            "word"
+        ].to_numpy(dtype=np.int64)
+    return arr.tobytes()
+
+
+# Above this packed size the bitset ships via SparkFiles + read-only memmap
+# (ONE page-cache copy per node, zero heap) instead of sc.broadcast (one
+# deserialized copy per Python worker process).
+BLOOM_FILES_THRESHOLD = 32 << 20
+
+
 def bloom_flag_col(
     sketch: DataFrame,
     df: DataFrame,
@@ -270,6 +295,7 @@ def bloom_flag_col(
     k: int,
     hash_fn: str = "xxhash64",
     out_col: str = "might_contain",
+    resources: list | None = None,
 ) -> DataFrame:
     """Append ``out_col`` (the Bloom membership verdict for ``col``) to
     EVERY row of ``df`` — the zero-shuffle probe shape.
@@ -279,58 +305,94 @@ def bloom_flag_col(
     curation chain's exploded (doc, gram) frame — hundreds of millions of
     rows at the 1000x point), that distinct + join-back is two
     corpus-sized string shuffles for near-zero dedup benefit. This probes
-    IN PLACE instead: the ``k`` bit lookups are ``k`` broadcast-hash joins
-    against the same sketch (identical subtrees — Spark's exchange reuse
-    ships ONE physical broadcast), all inside a single map stage; rows
-    flow through with no shuffle, no distinct, no join-back. Bit layout,
-    seed strings, and NULL handling are exactly ``bloom_might_contain``'s
-    (NULL items probe false).
+    IN PLACE: the ``k`` positions are hashed JVM-side (same seed strings /
+    bit layout / NULL handling as ``bloom_might_contain`` — NULL items
+    probe false, bit-identical verdicts), then ONE Arrow-batched pandas
+    UDF tests all k bits against the packed bitset. Rows flow through with
+    no shuffle, no distinct, no join-back, and the sketch ships exactly
+    ONCE (the r9 shape built it as k broadcast-hash joins; Spark does NOT
+    reuse the exchange across them — measured at 1000x as k separate
+    ~0.7 GB HashedRelations per executor, the chain's 16 GiB OOM cause).
 
-    Cluster shape: the sketch broadcast is ≤ ⌈m_bits/63⌉ rows — at the
-    auto-sized 1000x point (~2^31 bits) that is a few hundred MB per
-    executor, the documented cost of making an arbitrarily wide probe
-    side shuffle-free."""
-    out = df
-    verdicts = []
-    for i in range(k):
-        pos = F.pmod(
-            _hash64(
-                F.concat_ws("|", F.lit(str(i)), F.col(col).cast("string")),
-                hash_fn,
-            ),
-            F.lit(m_bits),
-        )
-        widx, bit = f"__bf_w{i}", f"__bf_b{i}"
-        out = out.withColumn(
-            widx, F.floor(pos / 63).cast("long")
-        ).withColumn(bit, F.pmod(pos, F.lit(63)).cast("int"))
-        out = out.join(
-            F.broadcast(
-                sketch.select(
-                    F.col("word_idx").alias(widx),
-                    F.col("word").alias(f"__bf_word{i}"),
-                )
-            ),
-            widx,
-            "left",
-        )
-        # F.shiftright only takes an int literal shift — the per-row bit
-        # offset needs the SQL form (same expression bloom_might_contain
-        # runs through selectExpr).
-        verdicts.append(
-            F.expr(
-                f"(shiftright(coalesce(__bf_word{i}, CAST(0 AS BIGINT)),"
-                f" __bf_b{i}) & 1) = 1"
+    Shipping: the dense bitset (``bloom_pack``, ⌈m_bits/63⌉ int64 words)
+    goes out as ``sc.broadcast`` bytes when small, or via ``sc.addFile`` +
+    read-only ``np.memmap`` above ``BLOOM_FILES_THRESHOLD`` — the memmap
+    is served from the OS page cache, so every worker process on a node
+    shares ONE resident copy and the JVM heap holds none of it. Arrow
+    transfer is ~8·k bytes/row in, 1 bool/row back.
+
+    ``resources``: optional list the shipped handle is appended to —
+    ``Broadcast`` (call ``.destroy()`` when the result is materialized) or
+    the bitset file path (cleaned up at ``sc.stop``)."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.functions import pandas_udf
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    packed = bloom_pack(sketch, m_bits)
+
+    if len(packed) >= BLOOM_FILES_THRESHOLD:
+        name = f"bloom_bits_{uuid.uuid4().hex}.bin"
+        src = os.path.join(tempfile.gettempdir(), name)
+        with open(src, "wb") as fh:
+            fh.write(packed)
+        sc.addFile(src)
+        os.remove(src)  # addFile copied it into the Spark files dir
+
+        @pandas_udf("boolean")
+        def _probe(positions: pd.Series) -> pd.Series:
+            import numpy as np
+            from pyspark import SparkFiles
+
+            if not len(positions):
+                return pd.Series([], dtype=bool)
+            words = np.memmap(
+                SparkFiles.get(name), dtype=np.int64, mode="r"
             )
-        )
-    verdict = verdicts[0]
-    for v in verdicts[1:]:
-        verdict = verdict & v
-    verdict = F.when(F.col(col).isNull(), F.lit(False)).otherwise(verdict)
-    drop = [f"__bf_w{i}" for i in range(k)] + [
-        f"__bf_b{i}" for i in range(k)
-    ] + [f"__bf_word{i}" for i in range(k)]
-    return out.withColumn(out_col, verdict).drop(*drop)
+            mat = np.vstack(positions.to_numpy())
+            hit = ((words[mat // 63] >> (mat % 63)) & 1).all(axis=1)
+            return pd.Series(hit)
+
+        if resources is not None:
+            resources.append(name)
+    else:
+        bc = sc.broadcast(packed)
+
+        @pandas_udf("boolean")
+        def _probe(positions: pd.Series) -> pd.Series:
+            import numpy as np
+
+            if not len(positions):
+                return pd.Series([], dtype=bool)
+            words = np.frombuffer(bc.value, dtype=np.int64)
+            mat = np.vstack(positions.to_numpy())
+            hit = ((words[mat // 63] >> (mat % 63)) & 1).all(axis=1)
+            return pd.Series(hit)
+
+        if resources is not None:
+            resources.append(bc)
+
+    pos = F.array(
+        *[
+            F.pmod(
+                _hash64(
+                    F.concat_ws(
+                        "|", F.lit(str(i)), F.col(col).cast("string")
+                    ),
+                    hash_fn,
+                ),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
+    )
+    verdict = F.when(F.col(col).isNull(), F.lit(False)).otherwise(
+        _probe(pos)
+    )
+    return df.withColumn(out_col, verdict)
 
 
 def exact_quantiles_sorted(

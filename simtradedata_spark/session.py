@@ -159,23 +159,25 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    existing = SparkSession.getActiveSession()
     spark = b.getOrCreate()
-    if existing is not None and spark is existing:
-        # getOrCreate() silently ignores builder confs when a session already
-        # exists in the process — the derived shuffle-partition count and the
-        # zstd io-codec / rdd.compress settings above are no-ops here. Callers
-        # that need them (the scale-point benches) must stop() first.
-        got = spark.conf.get("spark.sql.shuffle.partitions", None)
-        if got != shuffle_parts:
-            import warnings
+    # getOrCreate() silently ignores builder confs when a session already
+    # exists in the process — the derived shuffle-partition count and the
+    # zstd io-codec / rdd.compress settings above are no-ops here. Compare
+    # the RESULTING conf unconditionally (getActiveSession() is
+    # thread-local — getOrCreate can reuse a DEFAULT session created on
+    # another thread that an is-check would miss); a fresh session always
+    # matches, so the warning fires exactly on silent reuse. Callers that
+    # need the derived confs (the scale-point benches) must stop() first.
+    got = spark.conf.get("spark.sql.shuffle.partitions", None)
+    if got != shuffle_parts:
+        import warnings
 
-            warnings.warn(
-                "get_spark(): reusing an existing SparkSession — requested "
-                f"spark.sql.shuffle.partitions={shuffle_parts} ignored "
-                f"(session has {got}). stop() the old session first if the "
-                "derived confs matter.",
-                stacklevel=2,
-            )
+        warnings.warn(
+            "get_spark(): reusing an existing SparkSession — requested "
+            f"spark.sql.shuffle.partitions={shuffle_parts} ignored "
+            f"(session has {got}). stop() the old session first if the "
+            "derived confs matter.",
+            stacklevel=2,
+        )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -608,6 +608,32 @@ def test_classifier_eval_auc_matches_python_with_ties(spark):
     assert r["accuracy"] == round(5 / 7, 6)
 
 
+def test_classifier_eval_window_input_is_distinct_margins(spark):
+    """The unpartitioned AUC rank window (the suite's only
+    'No Partition Defined' WindowExec) runs over the groupBy(__z)
+    DISTINCT-MARGIN frame, never the corpus: its input cardinality is
+    bounded by feature cardinality (5 here for a 10k-row corpus), which
+    is why the single-partition window is safe at 100 TB. Asserts the
+    structure — the Window sits directly above the margin aggregate —
+    so no future reader has to re-derive the bound from the plan."""
+    from simtradedata_spark.operators.mlr import classifier_eval
+
+    rows = [(float(i % 5), i % 2) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "f1 double, y int")
+    out = classifier_eval(df, [0.0, 1.0], ["f1"], "y")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    widx = plan.index("Window")
+    below = plan[widx:]
+    # the window's child subtree is the margin aggregate — grouped on __z,
+    # i.e. one input row per DISTINCT margin
+    aidx = below.index("HashAggregate")
+    assert "__z" in below[aidx : aidx + 200], plan
+    # and the values still come out right on the tied-margin corpus
+    r = out.collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (5_000, 5_000)
+
+
 def test_logistic_regression_empty_raises_and_nulls_dropped(spark):
     """Empty input raises a clear error (not a None-arithmetic TypeError);
     rows with a null feature or label are excluded from BOTH the gradient
