@@ -286,6 +286,12 @@ def bloom_pack(sketch: DataFrame, m_bits: int) -> bytes:
 # deserialized copy per Python worker process).
 BLOOM_FILES_THRESHOLD = 32 << 20
 
+# (appId, sha256) -> shipped SparkFiles name. addFile'd bitsets live until
+# sc.stop, so repeated calls with the SAME filter (bench repeats, chain
+# re-runs in one session) must reuse one file instead of accumulating a
+# corpus-bitset per call.
+_SHIPPED_BITSETS: dict[tuple[str, str], str] = {}
+
 
 def bloom_flag_col(
     sketch: DataFrame,
@@ -335,12 +341,26 @@ def bloom_flag_col(
     packed = bloom_pack(sketch, m_bits)
 
     if len(packed) >= BLOOM_FILES_THRESHOLD:
-        name = f"bloom_bits_{uuid.uuid4().hex}.bin"
-        src = os.path.join(tempfile.gettempdir(), name)
-        with open(src, "wb") as fh:
-            fh.write(packed)
-        sc.addFile(src)
-        os.remove(src)  # addFile copied it into the Spark files dir
+        import hashlib
+
+        key = (sc.applicationId, hashlib.sha256(packed).hexdigest())
+        if key in _SHIPPED_BITSETS:
+            name = _SHIPPED_BITSETS[key]
+        else:
+            name = f"bloom_bits_{uuid.uuid4().hex}.bin"
+            src = os.path.join(tempfile.gettempdir(), name)
+            with open(src, "wb") as fh:
+                fh.write(packed)
+            sc.addFile(src)
+            # The SOURCE must outlive the app: executors fetch lazily and
+            # validate their copy against it (deleting it here broke the
+            # first task fetch in local mode). Remove at interpreter exit.
+            import atexit
+
+            atexit.register(
+                lambda p=src: os.path.exists(p) and os.remove(p)
+            )
+            _SHIPPED_BITSETS[key] = name
 
         @pandas_udf("boolean")
         def _probe(positions: pd.Series) -> pd.Series:

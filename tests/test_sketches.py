@@ -326,3 +326,44 @@ def test_bloom_flag_col_matches_distinct_probe(spark):
             assert r["might_contain"] is False
         else:
             assert r["might_contain"] == ref[r["v"]], r["v"]
+
+
+def test_bloom_flag_col_files_path_and_bitset_dedupe(spark, monkeypatch):
+    """Above BLOOM_FILES_THRESHOLD the bitset ships via SparkFiles +
+    read-only memmap (one page-cache copy per node) instead of
+    sc.broadcast. Forcing the threshold to 0 must (a) keep verdicts
+    bit-identical to the distinct-probe shape, and (b) ship the SAME
+    filter once per session — a second call reuses the content-hashed
+    file instead of accumulating another corpus-sized addFile."""
+    from simtradedata_spark.operators import sketches as sk_mod
+    from simtradedata_spark.operators.sketches import (
+        bloom_build,
+        bloom_flag_col,
+        bloom_might_contain,
+    )
+
+    monkeypatch.setattr(sk_mod, "BLOOM_FILES_THRESHOLD", 0)
+
+    vals = [("v%d" % i,) for i in range(64)]
+    m, k = 1 << 12, 4
+    sk = bloom_build(spark.createDataFrame(vals, ["v"]), "v", m_bits=m, k=k)
+    items = spark.createDataFrame(
+        [(i, "v%d" % (i % 80)) for i in range(300)] + [(999, None)],
+        ["rid", "v"],
+    )
+
+    res: list = []
+    flagged = bloom_flag_col(sk, items, "v", m_bits=m, k=k, resources=res)
+    assert len(res) == 1 and isinstance(res[0], str)  # files mode: a name
+    ref = {
+        r["v"]: r["might_contain"]
+        for r in bloom_might_contain(sk, items, "v", m_bits=m, k=k).collect()
+    }
+    for r in flagged.collect():
+        want = False if r["v"] is None else ref[r["v"]]
+        assert r["might_contain"] == want, r["v"]
+
+    # same sketch again -> same shipped file, no second addFile
+    res2: list = []
+    bloom_flag_col(sk, items, "v", m_bits=m, k=k, resources=res2).collect()
+    assert res2 == res

@@ -111,9 +111,9 @@ def prod_variants(
         corpus = g.filter(F.col("source") != "src0").select(
             "doc_id", F.explode("gs").alias("gram")
         )
-        sketch = bloom_build(bench_g, "gram", m_bits=m, k=4).localCheckpoint(
-            eager=True
-        )
+        # No checkpoint: bloom_flag_col packs the bitset driver-side in ONE
+        # collect of the sparse word table, so the build agg runs once.
+        sketch = bloom_build(bench_g, "gram", m_bits=m, k=4)
         # Map-side probe (bloom_flag_col): the distinct → probe →
         # join-back shape shuffles the corpus gram strings twice for
         # near-zero dedup benefit — at the 5M-doc point that stage
