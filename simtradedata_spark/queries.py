@@ -8464,78 +8464,71 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-9 rotation: finishes the staleness burn-down (r8 verdict,
-    # next-round item 2). Membership is MECHANICALLY checked by
-    # tools/window_lint.py (definition-granular taint from the round's git
-    # diff); run it after any code change. This window:
-    #   1-32  the ENTIRE remaining r04-certified cohort (the 32 entries
-    #         the r8 window couldn't fit, hashed_embeddings …
-    #         window_functions — after this round every registry entry is
-    #         driver-certified at r06 or later, making the staleness
-    #         ceiling ~3 rounds permanently).
-    #  33-37  every query the r9 diff taints (lint output): the 1000x
-    #         disk-wall fixes — slim LSH band join + signature lineage
-    #         truncation (minhash_near_dups, dedup_clusters,
-    #         cluster_representatives, and with the in-struct gram
-    #         hashing: exact_substr_trim), finished-stage sweep + map-side
-    #         bloom probe in the curation chain (full_curation_funnel).
-    #         cross_doc_dup_coverage and incremental_dedup are also
-    #         tainted and already sit in slots above/below.
-    #  38-50  the 10 alphabetically-first r06-certified entries plus
-    #         cross_doc_dup_coverage (r9-tainted; the remaining 36 r06
-    #         entries rotate at r10).
-    "hashed_embeddings",
-    "important_parts",
-    "incremental_dedup",
-    "index_churn",
-    "ivm_join_view",
-    "label_centroids",
-    "large_orders",
-    "market_share",
-    "media_resize",
-    "min_cost_supplier",
-    "minute_bars_fold",
-    "minute_bars_vwap",
-    "monthly_winsorized",
-    "nation_pair_volume",
-    "nation_profit",
-    "nearest_centroid",
-    "negative_pairs",
-    "orders_recon",
-    "part_supplier_diversity",
-    "priority_lateness",
-    "quality_classifier",
-    "quantized_embeddings",
-    "risk_metrics",
-    "rollup_refresh",
-    "salted_priority_revenue",
-    "small_quantity_revenue",
-    "stratified_docs_sample",
-    "top_supplier_revenue",
-    "user_type_intervals",
-    "waiting_suppliers",
-    "weighted_sample_docs",
-    "window_functions",
-    # r9-tainted (window_lint)
+    # Round-10 rotation: holds the ~3-round staleness ceiling the r9
+    # burn-down established (post-r9 histogram: r06:35, r07:44, r08:46,
+    # r09:50 — minimum r06). Membership is MECHANICALLY checked by
+    # tools/window_lint.py (definition-granular taint from the round's
+    # git diff); run it after any code change. This window:
+    #   1-35  the ENTIRE remaining r06-certified cohort (after this round
+    #         the minimum certification round is r07).
+    #  36-39  every query the r10 diff taints (lint output): the Bloom
+    #         bitset single-ship rewrite reaches full_curation_funnel via
+    #         the chain; the dedup big-session gate edit reaches
+    #         minhash_near_dups, dedup_clusters, cluster_representatives.
+    #  40-50  the 11 alphabetically-first r07-certified entries (the
+    #         remaining 33 r07 entries rotate at r11).
+    "cms_token_frequency",
+    "code_conversion",
+    "corpus_datacard",
+    "debt_paying_ability_asof",
+    "doc_chunks",
+    "doc_stats",
+    "domain_capped_sample",
+    "dup_chunks",
+    "dup_gram_coverage",
+    "eps_asof",
+    "etf_info",
+    "fundamentals_asof",
+    "gear_prices",
+    "growth_ability_asof",
+    "hash_sample_docs",
+    "hourly_event_stats",
+    "income_statement_asof",
+    "json_props",
+    "language_votes",
+    "macd_indicators",
+    "monthly_growth",
+    "operating_ability_asof",
+    "percent_roundtrip",
+    "pipeline_funnel",
+    "profit_ability_asof",
+    "quality_scores",
+    "sessionize_users",
+    "sort_msg_industry",
+    "stock_metadata",
+    "tick_directions",
+    "token_budget",
+    "unpivot_measures",
+    "user_retention_cohorts",
+    "user_value_cumlog",
+    "weekly_ohlc",
+    # r10-tainted (window_lint --base 06692d9)
+    "full_curation_funnel",
     "minhash_near_dups",
     "dedup_clusters",
     "cluster_representatives",
-    "exact_substr_trim",
-    "full_curation_funnel",
-    "cosine_near_dups",
-    "embedding_dup_clusters",
-    # oldest 11 of the r06-certified cohort (alphabetical)
-    "active_nations",
-    "asof_purchase_signup",
-    "balance_statement_asof",
-    "baostock_fixture_bars",
-    "benchmark_contamination",
-    "big_spender_segments",
-    "bloom_decontam",
-    "brand_type_revenue",
-    "cashflow_statement_asof",
-    "cb_info",
-    "cross_doc_dup_coverage",
+    # oldest 11 of the r07-certified cohort (alphabetical)
+    "adjusted_bars_post",
+    "amihud_illiquidity",
+    "boilerplate_lines",
+    "bollinger_bands",
+    "bpe_merges",
+    "bpe_token_counts",
+    "classifier_eval",
+    "cluster_balanced_sample",
+    "conversion_funnel",
+    "cosine_top5",
+    "curriculum_buckets",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
