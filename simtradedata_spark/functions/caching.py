@@ -23,9 +23,63 @@ queries.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 _PROTECTED: set[int] = set()
+
+# Scratch DataFrames registered by ``scratch_persist``, as (seq, frame).
+# WHY frames and not just RDD ids: unpersisting a SQL-cached frame through
+# its underlying RDD leaves the CacheManager ENTRY alive — a later,
+# logically-identical ``persist()`` looks the plan up, finds the dead
+# entry ("already cached"), becomes a silent NO-OP, and every consumer
+# recomputes the frame from source. That was the r9 1000x intra-session
+# drift: run-2 of a bench twin re-persisted the same staging plan after
+# release_scratch, cached nothing, and re-tokenized the corpus once per
+# consumer (measured 125 s -> 252 s; heap/broadcast telemetry was clean).
+# ``DataFrame.unpersist()`` removes the CacheManager entry AND the blocks,
+# so release helpers drain this registry FIRST, then sweep raw RDD ids
+# for whatever remains (localCheckpoints, third-party persists).
+_SCRATCH_FRAMES: list[tuple[int, DataFrame]] = []
+_SEQ = [0]
+
+
+def scratch_persist(df: DataFrame, level=None) -> DataFrame:
+    """``persist()`` for operator-internal SCRATCH frames. Registers the
+    frame so ``release_scratch``/``release_new`` unpersist it through the
+    Dataset API (clearing Spark's CacheManager entry) instead of the raw
+    RDD handle — see ``_SCRATCH_FRAMES``. Session-lifetime memos must NOT
+    use this; they keep ``persist()`` + ``protect_new``."""
+    out = df.persist(level) if level is not None else df.persist()
+    _SEQ[0] += 1
+    _SCRATCH_FRAMES.append((_SEQ[0], out))
+    return out
+
+
+def _drain_scratch_frames(min_seq: int = 0) -> int:
+    """Dataset-API-unpersist every registered scratch frame with
+    seq > ``min_seq``; returns how many. Dead-session frames are dropped
+    silently (their blocks died with the context)."""
+    global _SCRATCH_FRAMES
+    freed = 0
+    keep = []
+    for seq, df in _SCRATCH_FRAMES:
+        if seq <= min_seq:
+            keep.append((seq, df))
+            continue
+        try:
+            df.unpersist(False)
+            freed += 1
+        except Exception:
+            pass  # stopped session / dead JVM handle — nothing to free
+    _SCRATCH_FRAMES = keep
+    return freed
+
+
+class _Snapshot(set):
+    """Set of persistent RDD ids + the scratch-registry sequence at
+    snapshot time (``seq``), so release_new can scope BOTH sweeps."""
+
+    seq: int = 0
 
 
 def _jmap(spark: SparkSession):
@@ -35,7 +89,9 @@ def _jmap(spark: SparkSession):
 def snapshot(spark: SparkSession) -> set[int]:
     """Current persistent RDD ids — take one BEFORE materializing a
     session-lifetime cache, pass it to ``protect_new`` after."""
-    return {int(k) for k in _jmap(spark).keySet().toArray()}
+    s = _Snapshot(int(k) for k in _jmap(spark).keySet().toArray())
+    s.seq = _SEQ[0]
+    return s
 
 
 def protect_new(spark: SparkSession, before: set[int]) -> None:
@@ -61,8 +117,8 @@ def release_scratch(spark: SparkSession) -> int:
     frames persisted inside the scope, leaving caller persists (and,
     critically, caller ``localCheckpoint`` data, which CANNOT be
     recomputed) untouched."""
+    freed = _drain_scratch_frames()
     m = _jmap(spark)
-    freed = 0
     for k in list(m.keySet().toArray()):
         if int(k) not in _PROTECTED:
             m.get(k).unpersist(False)
@@ -80,8 +136,8 @@ def release_new(
     that later stages still read — the curation chain frees each finished
     stage's scratch while its newest barrier stays live). Returns how many
     were freed."""
+    freed = _drain_scratch_frames(getattr(before, "seq", 0))
     m = _jmap(spark)
-    freed = 0
     for k in list(m.keySet().toArray()):
         kid = int(k)
         if kid not in before and kid not in _PROTECTED and not (

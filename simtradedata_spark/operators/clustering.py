@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from simtradedata_spark.functions.caching import scratch_persist
+
 
 def _sq_dist(a, b):
     return F.aggregate(
@@ -181,12 +183,12 @@ def semantic_dedup(
             F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
         )
         .join(assign.select(id_col, "cluster"), id_col)
-        # SCRATCH persist (released between queries by release_scratch,
-        # the minhash-signature lifecycle): both sides of the within-cell
-        # self-join consume this frame — without it the whole Lloyd
-        # iteration runs twice inside the pairs job.
-        .persist()
     )
+    # SCRATCH persist (released between queries by release_scratch,
+    # the minhash-signature lifecycle): both sides of the within-cell
+    # self-join consume this frame — without it the whole Lloyd
+    # iteration runs twice inside the pairs job.
+    vecs = scratch_persist(vecs)
     a = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from simtradedata_spark.functions.caching import scratch_persist
 from pyspark.sql.window import Window
 
 # Mersenne prime 2^31-1: modulus for the affine minhash permutations.
@@ -262,13 +264,12 @@ def minhash_probe_index(
     """
     # Sign the batch ONCE (persisted: the slim postings and the sig_a
     # re-attach below both read it; a batch is tiny next to the corpus).
-    probe_sigs = (
+    probe_sigs = scratch_persist(
         minhash_signatures(
             new_docs, id_col, text_col, num_hashes, shingle_n, seed,
             hash_fn=hash_fn,
         )
         .filter(F.col("minhash").isNotNull())
-        .persist()
     )
     probe = minhash_band_postings(probe_sigs, id_col, num_hashes, bands, hash_fn)
     # Same slim-join shape as minhash_lsh_candidates: the INDEX side is
@@ -371,7 +372,7 @@ def minhash_lsh_candidates(
         )
         spark.sparkContext._jvm.System.gc()
     else:
-        sigd = sigs.persist()
+        sigd = scratch_persist(sigs)
     # The self-join shuffles SLIM postings (id, band_id, band_hash — 24
     # bytes/row) and re-attaches the 8·num_hashes-byte signatures per
     # SURVIVING pair afterwards. Joining the full postings (the old shape)

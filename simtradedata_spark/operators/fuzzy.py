@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simtradedata_spark.functions.caching import scratch_persist
+
 
 def qgrams(col: Column | str, q: int = 3) -> Column:
     """Distinct character q-grams of a string as array<string> (empty for
@@ -112,12 +114,11 @@ def fuzzy_candidates(
     # dictionary is vocabulary-sized — broadcast back)
     # persisted: consumed by BOTH prefix joins — without it the full
     # explode+union+groupBy lineage runs twice (vocabulary-sized to hold)
-    freq = (
+    freq = scratch_persist(
         lg.select("__g")
         .unionByName(rg.select("__g"))
         .groupBy("__g")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .persist()
     )
     from pyspark.sql.window import Window as _W
 

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simtradedata_spark.functions.caching import scratch_persist
 from simtradedata_spark.operators.decontam import ngram_overlap
 from simtradedata_spark.operators.sampling import hash_bucket
 from simtradedata_spark.operators.textstats import char_stats, fingerprint
@@ -320,9 +321,12 @@ def full_curation(
     # build — unstaged, the benchmark tokenize+shingle construction runs
     # twice (the exact pattern the standalone bloom_decontam query stages
     # for the same reason, queries.py).
-    bench_grams = bench.select(
-        F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
-    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    bench_grams = scratch_persist(
+        bench.select(
+            F.explode(shingles_of(tokens(text_col), contam_n)).alias("gram")
+        ).distinct(),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     if bloom_bits is None:
         bloom_bits = bloom_sizing(max(bench_grams.count(), 1))
     # bloom_flag_col packs the bitset driver-side (one collect of the
@@ -472,7 +476,7 @@ def export_curated_release(
     # barriers + the flagged frame below) — a caller's own persists and
     # localCheckpoints survive the library call (r6 verdict, wrong #1)
     with scratch_scope(docs.sparkSession):
-        flagged = full_curation(docs, **curation_kw).persist()
+        flagged = scratch_persist(full_curation(docs, **curation_kw))
         selected = flagged.filter(F.col("__selected")).select(
             id_col, source_col,
             F.col("text_clean").alias("text"),
@@ -529,7 +533,7 @@ def export_training_corpus(
 
     # One pass over the expensive stages: persist the flagged frame, derive
     # BOTH the shards and the datacard from it, then release.
-    flagged = curate_flags(docs, **curate_kw).persist()
+    flagged = scratch_persist(curate_flags(docs, **curate_kw))
     try:
         keep_cols = [c for c in docs.columns]
         selected = flagged.filter(F.col("__sampled")).select(*keep_cols)

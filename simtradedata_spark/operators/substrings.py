@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simtradedata_spark.functions.caching import scratch_persist
+
 from simtradedata_spark.operators.dedup import _hash64, let, tokens
 
 
@@ -96,9 +98,9 @@ def _occurrences(
     # 5M-doc point while the consuming stages execute.
     from pyspark import StorageLevel
 
-    return df.select(
+    return scratch_persist(df.select(
         key_col, let(tokens(text_col, lowercase=lowercase), occ_struct).alias("__s")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
 
 
 def cross_doc_dup_coverage(

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from simtradedata_spark.functions.caching import scratch_persist
+
 from simtradedata_spark.operators.dedup import let, tokens
 
 # A small multilingual stopword table for the language-ID heuristic.
@@ -322,9 +324,9 @@ def dup_gram_coverage(
     # SCRATCH persist (released between queries by release_scratch): the
     # frame feeds both the per-doc lengths and the occurrence explosion —
     # without it the tokenize+slice+concat gram construction runs twice
-    toked = df.select(
+    toked = scratch_persist(df.select(
         key_col, let(tokens(text_col), occ_struct).alias("__s")
-    ).persist()
+    ))
     per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
     occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
         key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from simtradedata_spark.functions.caching import scratch_persist
 from pyspark.sql.window import Window
 
 
@@ -131,7 +133,7 @@ def multi_ntile(
     work = df
     for c, (proxy, _) in specs.items():
         work = work.withColumn(proxy_cols[c], proxy.cast("double"))
-    work = work.persist()
+    work = scratch_persist(work)
     qs = work.approxQuantile(
         list(proxy_cols.values()),
         [i / num_buckets for i in range(1, num_buckets)],

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from simtradedata_spark.catalog import load_table
+from simtradedata_spark.functions.caching import scratch_persist
 from simtradedata_spark.functions.codes import to_ptrade_code, from_ptrade_code
 from simtradedata_spark.operators.asof import asof_join
 from simtradedata_spark.operators.align import forward_fill
@@ -5421,9 +5422,9 @@ def q_bloom_decontam(spark, sf_dir):
     # SCRATCH persist (released between queries by release_scratch): this
     # frame feeds the bench-gram build, the corpus probe set, AND the hits
     # join — without it the shingle construction runs ~4x per query
-    g = docs.select(
+    g = scratch_persist(docs.select(
         "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
-    ).persist()
+    ))
     bench_g = (
         g.filter(F.col("source") == "src0")
         .select(F.explode("gs").alias("gram"))
@@ -6002,9 +6003,9 @@ def q_sequence_packing(spark, sf_dir):
     # final window) and re-tokenizing the corpus per pass would triple the
     # scan cost. Persisting 16 B/doc is the design at any scale; the text
     # column itself is never cached.
-    toks = docs.select(
+    toks = scratch_persist(docs.select(
         "doc_id", F.size(tokens("text")).alias("n_tokens")
-    ).persist()
+    ))
     packed = pack_sequences(toks, ["doc_id"], "n_tokens", seq_len=4096)
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -7420,9 +7421,9 @@ def q_incremental_dedup(spark, sf_dir):
     # band join, (id, minhash) for the verify) — a STORED index pays two
     # column-pruned scans; an in-memory one must be materialized or the
     # corpus signature pipeline recomputes per consumer.
-    idx = minhash_index(
+    idx = scratch_persist(minhash_index(
         corpus, "doc_id", "text", num_hashes=64, bands=16, hash_fn="md5"
-    ).persist()
+    ))
     return minhash_probe_index(
         batch, idx, "doc_id", "text", num_hashes=64, bands=16,
         jaccard_threshold=0.5, hash_fn="md5",

@@ -19,6 +19,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from simtradedata_spark.functions.caching import scratch_persist
+
 
 def prod_variants(
     spark: SparkSession, sf_dir: str
@@ -62,9 +64,9 @@ def prod_variants(
         # production the index is a STORED table and the two reads are two
         # column-pruned scans; an in-memory index must be materialized or
         # the whole corpus signature pipeline recomputes per consumer.
-        idx = minhash_index(
+        idx = scratch_persist(minhash_index(
             corpus, "doc_id", "text", num_hashes=64, bands=16
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ), StorageLevel.MEMORY_AND_DISK)
         return minhash_probe_index(
             batch, idx, "doc_id", "text", num_hashes=64, bands=16,
             jaccard_threshold=0.5,
@@ -75,8 +77,9 @@ def prod_variants(
         # lifecycle as the certified query's staging): the token frame
         # feeds the sketch build, the exact counts, the total, and the
         # probe join — unstaged, tokenization runs 4x
-        toks = docs.select(F.explode(tokens("text")).alias("tok")).persist(
-            StorageLevel.MEMORY_AND_DISK  # serialized: deser token rows OOM at 1000x
+        toks = scratch_persist(
+            docs.select(F.explode(tokens("text")).alias("tok")),
+            StorageLevel.MEMORY_AND_DISK,  # serialized: deser token rows OOM at 1000x
         )
         sketch = count_min_sketch(toks, "tok", depth=3, width=512)
         counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
@@ -99,9 +102,12 @@ def prod_variants(
         # (the dominant CPU) ran ~4x and the twin measured SLOWER than its
         # md5 sibling at 100x (79-119 s vs 46 s) for staging reasons, not
         # hash-backend reasons
-        g = docs.select(
-            "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        g = scratch_persist(
+            docs.select(
+                "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
+            ),
+            StorageLevel.MEMORY_AND_DISK,
+        )
         bench_g = (
             g.filter(F.col("source") == "src0")
             .select(F.explode("gs").alias("gram"))
