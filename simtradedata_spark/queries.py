@@ -8465,19 +8465,50 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-10 rotation: holds the ~3-round staleness ceiling the r9
-    # burn-down established (post-r9 histogram: r06:35, r07:44, r08:46,
-    # r09:50 — minimum r06). Membership is MECHANICALLY checked by
-    # tools/window_lint.py (definition-granular taint from the round's
-    # git diff); run it after any code change. This window:
-    #   1-35  the ENTIRE remaining r06-certified cohort (after this round
-    #         the minimum certification round is r07).
-    #  36-39  every query the r10 diff taints (lint output): the Bloom
-    #         bitset single-ship rewrite reaches full_curation_funnel via
-    #         the chain; the dedup big-session gate edit reaches
-    #         minhash_near_dups, dedup_clusters, cluster_representatives.
-    #  40-50  the 11 alphabetically-first r07-certified entries (the
-    #         remaining 33 r07 entries rotate at r11).
+    # Round-10 rotation. Membership is MECHANICALLY checked by
+    # tools/window_lint.py (definition-granular taint from the round's git
+    # diff, TRANSITIVE through callees); run it after any code change.
+    #   1-27  every query the r10 diff taints: the Bloom bitset
+    #         single-ship rewrite (full_curation_funnel, bloom_decontam),
+    #         the dedup big-session gate edit (minhash family), and —
+    #         the bulk — the scratch-release CacheManager fix in
+    #         functions/caching.py, whose release/protect helpers are in
+    #         the call graph of every market-memo and staged-scratch
+    #         query (the r9 1000x intra-session drift root cause; the
+    #         gate re-certifies that freeing scratch through the Dataset
+    #         API changes no values).
+    #  28-50  the 23 alphabetically-first untainted r06-certified
+    #         entries. The 27-strong taint set squeezes the burn-down
+    #         this round: 10 r06 entries (quality_scores …
+    #         weekly_ohlc) carry to r11, so the staleness minimum stays
+    #         r06 for one more round — taint coverage outranks rotation.
+    "amihud_illiquidity",
+    "bloom_decontam",
+    "bollinger_bands",
+    "cluster_representatives",
+    "cross_doc_dup_coverage",
+    "dedup_clusters",
+    "dup_gram_coverage",
+    "exact_substr_trim",
+    "full_curation_funnel",
+    "fuzzy_doc_match",
+    "fuzzy_match_realistic",
+    "incremental_dedup",
+    "ma_crossover_signals",
+    "macd_indicators",
+    "max_drawdown",
+    "minhash_near_dups",
+    "momentum_portfolio",
+    "overnight_gaps",
+    "realized_vol",
+    "return_correlations",
+    "rfm_segments",
+    "risk_metrics",
+    "semantic_dedup",
+    "sequence_packing",
+    "status_transitions",
+    "strategy_equity_curve",
+    "weekly_bars",
     "cms_token_frequency",
     "code_conversion",
     "corpus_datacard",
@@ -8486,7 +8517,6 @@ _FRONT_WINDOW = [
     "doc_stats",
     "domain_capped_sample",
     "dup_chunks",
-    "dup_gram_coverage",
     "eps_asof",
     "etf_info",
     "fundamentals_asof",
@@ -8497,39 +8527,11 @@ _FRONT_WINDOW = [
     "income_statement_asof",
     "json_props",
     "language_votes",
-    "macd_indicators",
     "monthly_growth",
     "operating_ability_asof",
     "percent_roundtrip",
     "pipeline_funnel",
     "profit_ability_asof",
-    "quality_scores",
-    "sessionize_users",
-    "sort_msg_industry",
-    "stock_metadata",
-    "tick_directions",
-    "token_budget",
-    "unpivot_measures",
-    "user_retention_cohorts",
-    "user_value_cumlog",
-    "weekly_ohlc",
-    # r10-tainted (window_lint --base 06692d9)
-    "full_curation_funnel",
-    "minhash_near_dups",
-    "dedup_clusters",
-    "cluster_representatives",
-    # oldest 11 of the r07-certified cohort (alphabetical)
-    "adjusted_bars_post",
-    "amihud_illiquidity",
-    "boilerplate_lines",
-    "bollinger_bands",
-    "bpe_merges",
-    "bpe_token_counts",
-    "classifier_eval",
-    "cluster_balanced_sample",
-    "conversion_funnel",
-    "cosine_top5",
-    "curriculum_buckets",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
