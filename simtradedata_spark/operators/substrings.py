@@ -21,8 +21,19 @@ Relationship to the neighbouring families in this package:
 
 Plan shape (both operators): tokenize once per row (let-bound), emit
 (start, gram) occurrences, then two gram-keyed shuffles — the
-distinct-doc count and the occurrence join — followed by doc-keyed
-aggregation. Gram keys are near-unique (no skew); at 100 TB the gram
+distinct-doc count and the occurrence join — followed by ONE doc-keyed
+aggregation that collects each document's duplicated-gram START
+positions into a sorted array. Everything positional after that is
+closed-form array math on that per-doc array (interval-union length,
+gap slicing — see ``_union_len``): n-gram intervals all have width
+``n``, so the union of [s, s+n-1] over sorted starts needs no
+position-level explode, no position distinct, and no token-level
+re-join. (The pre-r10 shape exploded every covered POSITION — an
+``n``-fold row amplification — distinct-ed it corpus-wide, and for
+strip posexploded every token back against an anti-join; at the
+5M-doc/1000x point those position-grain shuffles were the chain's
+peak-memory stage. The array form moves one row per doc.)
+Gram keys are near-unique (no skew); at 100 TB the gram
 string is hashed to 64 bits before the exchange (``hash_grams=True``,
 the ``@xxh64`` production variant) so the shuffle carries 8-byte keys
 instead of full n-gram text; the oracled form keeps the raw string so
@@ -103,6 +114,41 @@ def _occurrences(
     ), StorageLevel.MEMORY_AND_DISK)
 
 
+def _union_len(ss: Column, n: int) -> Column:
+    """Total length of ⋃ᵢ [sᵢ, sᵢ+n-1] for a SORTED array of starts ``ss``
+    — every interval has the same width ``n``, so the union length is
+    closed-form over consecutive gaps: n (the last interval) plus
+    Σ min(sᵢ₊₁ − sᵢ, n) over adjacent pairs (a pair overlapping or
+    touching contributes only its fresh prefix). 0 for empty/null."""
+    pair_sum = F.aggregate(
+        F.zip_with(
+            F.slice(ss, 2, F.greatest(F.size(ss) - 1, F.lit(0))),
+            F.slice(ss, 1, F.greatest(F.size(ss) - 1, F.lit(0))),
+            lambda nxt, prv: F.least(nxt - prv, F.lit(n)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(F.size(ss) > 0, pair_sum + n).otherwise(F.lit(0))
+
+
+def _dup_starts(
+    occ: DataFrame, dup: DataFrame, key_col: str, exclude_owner: bool = False
+) -> DataFrame:
+    """(key, ss) — each document's duplicated-gram start positions as a
+    SORTED array: the single doc-keyed aggregation the positional math
+    runs on. (key, s) is unique in ``occ`` (the start determines the
+    gram), so collect_list would suffice; collect_set also absorbs any
+    hash_grams collision duplicates. Cardinality is one row per doc with
+    ≥ 1 duplicated gram, array length ≤ n_tokens − n + 1.
+    ``exclude_owner`` drops occurrences in the gram's owner document
+    (strip semantics: the owner keeps its copy)."""
+    j = occ.join(dup, "gram")
+    if exclude_owner:
+        j = j.filter(F.col(key_col) != F.col("owner"))
+    return j.groupBy(key_col).agg(F.array_sort(F.collect_set("s")).alias("ss"))
+
+
 def cross_doc_dup_coverage(
     df: DataFrame,
     key_col: str = "doc_id",
@@ -143,15 +189,8 @@ def cross_doc_dup_coverage(
         .filter(F.col("n_docs") >= 2)
         .select("gram")
     )
-    covered = (
-        occ.join(dup, "gram")
-        .select(
-            key_col,
-            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
-        )
-        .distinct()
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("cross_dup_tokens"))
+    covered = _dup_starts(occ, dup, key_col).select(
+        key_col, _union_len(F.col("ss"), n).alias("cross_dup_tokens")
     )
     return per_doc.join(covered, key_col, "left").select(
         key_col,
@@ -191,14 +230,14 @@ def strip_cross_doc_spans(
     contract as the reference tool, which re-emits the byte ranges it
     keeps. Caching: the staged gram frame is ``persist()``-ed for the
     query's duration; long-lived sessions should
-    ``functions.caching.release_scratch`` after consuming the result. Reconstruction is one doc-keyed aggregation: positions are
-    collected as (pos, token) structs and ``array_sort`` orders them —
-    no window, no assumption about ``collect_list`` ordering."""
+    ``functions.caching.release_scratch`` after consuming the result.
+    Reconstruction is gap slicing over each doc's sorted removed-start
+    array (see the plan-shape note in the module docstring) — token
+    order is the array order, no window, no collect_list rebuild."""
     toked = _occurrences(
         df, key_col, text_col, n, lowercase, with_tokens=True,
         hash_grams=hash_grams,
     )
-    per_doc = toked.select(key_col, F.col("__s.n_tokens").alias("n_tokens"))
     occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
         key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
     )
@@ -210,38 +249,47 @@ def strip_cross_doc_spans(
         .filter(F.col("n_docs") >= 2)
         .select("gram", "owner")
     )
-    removed = (
-        occ.join(dup, "gram")
-        .filter(F.col(key_col) != F.col("owner"))
+    removed = _dup_starts(occ, dup, key_col, exclude_owner=True)
+
+    # Rebuild by GAP SLICING, one row per doc: the removed region is the
+    # union of fixed-width intervals [sᵢ, sᵢ+n-1] over the sorted starts
+    # ``ss``, so the kept tokens are exactly the head before s₁, the
+    # between-interval gaps where sᵢ₊₁ − sᵢ > n, and the tail after
+    # s_last+n-1 — each a single ``slice`` of the let-bound token array.
+    # No token explode, no position anti-join, no collect_list rebuild:
+    # the corpus moves through the join as one array row per doc.
+    toks = F.col("__s.toks")
+    nt = F.col("__s.n_tokens")
+    ss = F.col("ss")
+    k1 = F.greatest(F.size(ss) - 1, F.lit(0))  # adjacent-pair count
+    gaps = F.filter(
+        F.zip_with(
+            F.slice(ss, 2, k1),
+            F.slice(ss, 1, k1),
+            lambda nxt, prv: F.struct(
+                (prv + n).alias("a"), (nxt - prv - n).alias("l")
+            ),
+        ),
+        lambda g: g["l"] > 0,
+    )
+    last = F.element_at(ss, -1)
+    kept_arr = F.when(ss.isNull(), toks).otherwise(
+        F.concat(
+            F.slice(toks, 1, F.element_at(ss, 1) - 1),
+            F.flatten(F.transform(gaps, lambda g: F.slice(toks, g["a"], g["l"]))),
+            F.slice(toks, last + n, F.greatest(nt - (last + n) + 1, F.lit(0))),
+        )
+    )
+    return (
+        toked.join(removed, key_col, "left")
+        .select(key_col, nt.alias("n_tokens"), kept_arr.alias("__kept"))
         .select(
             key_col,
-            F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("pos"),
+            "n_tokens",
+            F.size("__kept").cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.size("__kept")).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.concat_ws(" ", "__kept").alias("text_clean"),
         )
-        .distinct()
-    )
-    toks_pos = toked.select(
-        key_col, F.posexplode("__s.toks").alias("pos0", "tok")
-    ).select(key_col, (F.col("pos0") + 1).alias("pos"), "tok")
-    rebuilt = (
-        toks_pos.join(removed, [key_col, "pos"], "left_anti")
-        .groupBy(key_col)
-        .agg(
-            F.count(F.lit(1)).alias("kept_tokens"),
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-            ).alias("text_clean"),
-        )
-    )
-    return per_doc.join(rebuilt, key_col, "left").select(
-        key_col,
-        "n_tokens",
-        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
-        (F.col("n_tokens") - F.coalesce("kept_tokens", F.lit(0)))
-        .cast("long")
-        .alias("removed_tokens"),
-        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
     )
