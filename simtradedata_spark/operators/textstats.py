@@ -297,9 +297,11 @@ def dup_gram_coverage(
     Returns (key, n_tokens, covered_tokens, dup_gram_frac). Scale: the
     text is tokenized once (let-bound), occurrences carry their start
     index, and both aggregations — (key, gram) start-collection and the
-    per-key distinct-position count — shuffle ONLY on document keys;
-    nothing is bounded by corpus size per task. The per-gram start list is
-    bounded by one document's occurrences of one gram.
+    per-key interval-union length (closed-form array math over the sorted
+    starts, substrings._union_len — no position explode, no distinct) —
+    shuffle ONLY on document keys; nothing is bounded by corpus size per
+    task. The per-gram start list is bounded by one document's
+    occurrences of one gram.
 
     Caching: the staged gram frame is ``persist()``-ed for the duration of
     the query (it feeds both output branches). Library callers in a
@@ -334,20 +336,19 @@ def dup_gram_coverage(
     dup = occ.groupBy(key_col, "gram").agg(
         F.collect_list("s").alias("starts")
     ).filter(F.size("starts") >= 2)
+    # Union length of the fixed-width intervals [s, s+n-1] over every
+    # repeated gram's starts, closed-form per doc (substrings._union_len):
+    # one doc-keyed aggregation of the start lists, no position explode,
+    # no corpus-wide distinct. Starts are unique within a doc (a start
+    # determines its gram), so the flatten needs no dedup.
+    from simtradedata_spark.operators.substrings import _union_len
+
     covered = (
-        dup.select(
-            key_col,
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "starts", lambda s: F.sequence(s, s + (n - 1))
-                    )
-                )
-            ).alias("pos"),
+        dup.groupBy(key_col)
+        .agg(
+            F.array_sort(F.flatten(F.collect_list("starts"))).alias("ss")
         )
-        .distinct()
-        .groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+        .select(key_col, _union_len(F.col("ss"), n).alias("covered_tokens"))
     )
     return per_doc.join(covered, key_col, "left").select(
         key_col,
