@@ -6,13 +6,13 @@ featurization and dedup/selection:
   - ``kmeans``: full Lloyd iteration as DataFrame ops. Unlike the bounded
     driver-side k-means that trains the IVF coarse quantizer on a SAMPLE
     (operators/similarity.py::_train_centroids), this one assigns and
-    re-estimates over the ENTIRE corpus, distributed: per round, one
-    broadcast of the k×d centroid table (tiny by construction) against the
-    never-shuffled corpus for assignment, then one (cluster, dim) shuffle
-    with map-side partial sums for the mean update. Lineage is truncated
-    with an eager localCheckpoint on the k-row centroid frame each round,
-    so the plan stays O(1) across iterations — the same discipline as
-    operators/graph.py::connected_components.
+    re-estimates over the ENTIRE corpus, distributed: the k×d centroid
+    table is bounded driver state, so per round the assignment is a
+    scan-local argmin EXPRESSION over centroid literals (no join, no
+    corpus shuffle, nothing to checkpoint) and the only exchange is the
+    (cluster, dim) mean update with map-side partial sums. The plan stays
+    O(k·d) across iterations because each round's centroids are collected
+    (k rows) rather than chained.
 
   - ``semantic_dedup``: SemDeDup (Abbas et al., 2023, arXiv:2303.09540) —
     k-means cells as the blocking structure for embedding-cosine near-dup
@@ -76,9 +76,20 @@ def kmeans(
 
     Returns the LAST round's assignment: (id_col, cluster, dist) where
     ``dist`` is the rounded Euclidean distance to the assigned centroid.
-    The corpus is scanned once per round and never shuffled for
-    assignment; only the (cluster, dim) mean update exchanges, with
-    map-side combine — the 100 TB-safe Lloyd shape.
+    The corpus is scanned once per round and NEVER shuffled or joined for
+    assignment: the k×d centroid table is bounded driver state (the same
+    class as similarity._train_centroids' sample-trained quantizer), so
+    each round's argmin is a scan-local literal expression — k distance
+    structs, ``array_min`` picks (dist, cluster) — and the ONLY exchange
+    per round is the map-side-combined (cluster, dim) mean update. The
+    r9 shape (broadcast centroid join + corpus-wide groupBy(id) argmin,
+    eagerly checkpointed per round) paid one full corpus shuffle per
+    iteration plus a recompute in every downstream consumer; the literal
+    form's FP arithmetic and (dist, cluster) struct-min tie-break are
+    identical, so assignments are unchanged. The O(k·d) expression tree
+    is the small-k regime this operator serves (blocking cells, label
+    spines); corpus-scale cell counts train driver-side on a sample
+    (similarity._train_centroids) instead.
     """
     auto = iters == "auto"
     if not auto and (not isinstance(iters, int) or iters < 1):
@@ -89,67 +100,85 @@ def kmeans(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
     )
-    cent = (
-        corpus.orderBy(id_col)
+    id_type = df.schema[id_col].dataType
+    # seeds: the k smallest-id vectors, labels = seed id (bounded collect,
+    # k rows — the _train_centroids discipline)
+    cent: list[tuple] = [
+        (r["cluster"], list(r["__c"]))
+        for r in corpus.orderBy(id_col)
         .limit(k)
         .select(F.col(id_col).alias("cluster"), F.col("__v").alias("__c"))
-        .localCheckpoint(eager=True)
-    )
+        .collect()
+    ]
+
+    def assigned_under(cents: list[tuple]) -> DataFrame:
+        if not cents:
+            return corpus.select(
+                F.col(id_col),
+                F.lit(None).cast(id_type).alias("cluster"),
+                F.lit(None).cast("double").alias("dist"),
+                "__v",
+            ).where(F.lit(False))
+        # ONE nested-array literal for the centroid table (not k unrolled
+        # array constructors: those made an O(k·d)-node expression tree
+        # whose codegen compile time dwarfed the tiny scan it replaced);
+        # the argmin lambda is written once and indexes into it.
+        cvecs = F.lit([[float(x) for x in cvec] for _, cvec in cents])
+        labels = F.lit([cl for cl, _ in cents])
+        pick = F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+                lambda i: F.struct(
+                    F.round(
+                        F.sqrt(
+                            _sq_dist(F.col("__v"), F.element_at(cvecs, i + 1))
+                        ),
+                        dp,
+                    ).alias("__d"),
+                    F.element_at(labels, i + 1).cast(id_type).alias("cluster"),
+                ),
+            )
+        )
+        return corpus.select(
+            F.col(id_col),
+            pick["cluster"].alias("cluster"),
+            pick["__d"].alias("dist"),
+            "__v",
+        )
+
     it = 0
     while True:
         it += 1
-        d = F.round(F.sqrt(_sq_dist(F.col("__v"), F.col("__c"))), dp)
-        assigned = (
-            corpus.join(F.broadcast(cent))
-            .select(id_col, "__v", "cluster", d.alias("__d"))
-            .groupBy(id_col)
-            .agg(
-                F.min(F.struct("__d", "cluster")).alias("__m"),
-                F.first("__v").alias("__v"),
-            )
-            .select(
-                id_col,
-                F.col("__m.cluster").alias("cluster"),
-                F.col("__m.__d").alias("dist"),
-                "__v",
-            )
-        )
+        assigned = assigned_under(cent)
         if (not auto and it == iters) or (auto and it >= max_iters):
             break
-        means = (
-            assigned.select("cluster", F.posexplode("__v").alias("__dim", "__x"))
-            .groupBy("cluster", "__dim")
-            .agg(F.round(F.avg("__x"), dp).alias("__mu"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__dim", "__mu"))
-                    ),
-                    lambda s: s["__mu"],
-                ).alias("__new")
-            )
-        )
-        cent_next = (
-            cent.join(means, "cluster", "left")
-            .select(
-                "cluster", F.coalesce("__new", "__c").alias("__c")
-            )
-            .localCheckpoint(eager=True)
-        )
-        if auto:
-            changed = (
-                cent.join(
-                    cent_next.withColumnRenamed("__c", "__c2"), "cluster"
+        means = {
+            r["cluster"]: list(r["__new"])
+            for r in (
+                assigned.select(
+                    "cluster", F.posexplode("__v").alias("__dim", "__x")
                 )
-                .filter(F.col("__c") != F.col("__c2"))
-                .count()
+                .groupBy("cluster", "__dim")
+                .agg(F.round(F.avg("__x"), dp).alias("__mu"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("__dim", "__mu"))
+                        ),
+                        lambda s: s["__mu"],
+                    ).alias("__new")
+                )
+                .collect()
             )
-            if changed == 0:
-                # centroids are a fixed point: `assigned` (computed under
-                # them) is the stable assignment — one more round would
-                # reproduce it exactly
-                break
+        }
+        # a cell that loses all members keeps its previous centroid
+        cent_next = [(cl, means.get(cl, cvec)) for cl, cvec in cent]
+        if auto and cent_next == cent:
+            # centroids are a fixed point: `assigned` (computed under
+            # them) is the stable assignment — one more round would
+            # reproduce it exactly
+            break
         cent = cent_next
     return assigned.select(id_col, "cluster", "dist")
 
@@ -177,41 +206,61 @@ def semantic_dedup(
     from simtradedata_spark.operators.graph import dedup_clusters
 
     assign = kmeans(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dp=dp)
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    # Per-vector L2 norm computed ONCE here (and persisted with the frame):
+    # the within-cell pair filter needs ||a||·||b|| for every candidate
+    # pair, and an inline nrm() in the pair expression re-folds the d-term
+    # sum per PAIR per side — O(sum n_c²·d) redundant arithmetic that this
+    # column makes O(N·d). Same expression on the same doubles, so the
+    # rounded cosine is bit-identical.
     vecs = (
         df.select(
             F.col(id_col),
             F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),
         )
         .join(assign.select(id_col, "cluster"), id_col)
+        .withColumn("__n", nrm(F.col("__v")))
     )
     # SCRATCH persist (released between queries by release_scratch,
     # the minhash-signature lifecycle): both sides of the within-cell
     # self-join consume this frame — without it the whole Lloyd
     # iteration runs twice inside the pairs job.
     vecs = scratch_persist(vecs)
+    # The self-join key has only k distinct values, so unsalted it caps the
+    # quadratic pair stage at k tasks no matter the cluster size (guide
+    # §2.5: synthetic keys need many more distinct values than partitions).
+    # Salt the probe side by a deterministic hash of its id and explode the
+    # build side across the salt domain: every (a, b) same-cell pair still
+    # meets exactly once — at b's salt — while the pair work spreads over
+    # k·n_salt tasks. n_salt derives from the session's parallelism (pure
+    # distribution knob: the pair SET is salt-invariant).
+    n_salt = max(1, df.sparkSession.sparkContext.defaultParallelism // k)
     a = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
         F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt"),
     )
     b = vecs.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("__salt"),
     )
     dot = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    nrm = lambda c: F.sqrt(
-        F.aggregate(
-            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
-    cos = F.round(dot / (nrm(F.col("__va")) * nrm(F.col("__vb"))), dp)
+    cos = F.round(dot / (F.col("__na") * F.col("__nb")), dp)
     pairs = (
-        a.join(b, "cluster")
+        a.join(b, ["cluster", "__salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -47,18 +47,32 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # Round 1 fused into label init: after one propagation round every
+    # node's label is min(own id, min neighbor id), which the symmetric
+    # edge list yields with ONE groupBy — no join, no separate identity
+    # label table, and (since sym is symmetric) the same node set the old
+    # distinct-u init produced. Saves a full join+checkpoint+changed-count
+    # round; the propagated trajectory from here is identical.
     labels = (
-        sym.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("comp", F.col("id"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__nmin"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("__nmin")).alias("comp"),
+        )
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         neigh_min = (
             sym.join(labels, sym.v == labels.id)
             .groupBy("u")
             .agg(F.min("comp").alias("ncomp"))
         )
+        # The changed flag rides INSIDE the checkpointed frame (new label
+        # differs iff a neighbor's label beats the own one), so detecting
+        # convergence is a scan-and-count of the blocks this round just
+        # materialized — the old shape re-joined new labels against old
+        # (an extra shuffle join per round, ~2x the round's job count).
         new_labels = (
             labels.join(neigh_min, labels.id == neigh_min.u, "left")
             .select(
@@ -66,16 +80,14 @@ def connected_components(
                 F.least(
                     F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
                 ).alias("comp"),
+                F.coalesce(
+                    F.col("ncomp") < F.col("comp"), F.lit(False)
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__chg").count()
+        labels = new_labels.drop("__chg")
         if changed == 0:
             break
     return labels

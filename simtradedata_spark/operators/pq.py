@@ -101,32 +101,43 @@ def pq_encode(
     bit-exact x for the non-negative squared terms, so the DuckDB
     oracle's seedless left fold matches exactly."""
     m = len(codebooks)
+    k = len(codebooks[0])
     sub = len(codebooks[0][0])
     v = F.col(vec_col)
+    # ONE nested-array literal for all m codebooks: the per-centroid
+    # F.array(F.lit(x), ...) construction issued m·k·(d/m) py4j calls and
+    # handed Catalyst a ~1000-node tree — at 64-dim/m=8/k=16 the DRIVER
+    # side (expression build + analysis) cost more than running the plan.
+    # A single F.lit of the nested Python list is one literal node.
+    cb_lit = F.lit(
+        [[[float(x) for x in row] for row in cbj] for cbj in codebooks]
+    )
     codes = []
     for j in range(m):
-        cb_j = F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("c"),
-                    F.array(*[F.lit(float(x)) for x in row]).alias("cent"),
-                )
-                for c, row in enumerate(codebooks[j])
-            ]
-        )
+        cb_j = F.element_at(cb_lit, j + 1)
         subv = F.slice(v, j * sub + 1, sub)
 
-        def dist(cs: Column, subv: Column = subv) -> Column:
+        def dist(cent: Column, subv: Column = subv) -> Column:
             return F.aggregate(
                 F.zip_with(
-                    subv, cs["cent"], lambda a, b: (a.cast("double") - b) ** 2
+                    subv, cent, lambda a, b: (a.cast("double") - b) ** 2
                 ),
                 F.lit(0.0),
                 lambda acc, t: acc + t,
             )
 
+        def make_cand(cb_j: Column, dist):
+            # factory closure: the lambda handed to F.transform must take
+            # exactly ONE parameter (a second would be read as the index)
+            def cand(c: Column) -> Column:
+                return F.struct(
+                    dist(F.element_at(cb_j, c + 1)).alias("d"), c.alias("c")
+                )
+
+            return cand
+
         cands = F.transform(
-            cb_j, lambda cs: F.struct(dist(cs).alias("d"), cs["c"].alias("c"))
+            F.sequence(F.lit(0), F.lit(k - 1)), make_cand(cb_j, dist)
         )
         codes.append(F.array_min(cands)["c"])
     return df.withColumn(out_col, F.array(*codes))
@@ -141,22 +152,27 @@ def _adc_dist(
     left-associative (the DuckDB oracle's exact float-add order)."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    # one literal node for every codebook (see pq_encode); the inner
+    # per-subspace sum is an aggregate fold seeded 0.0 — for the
+    # non-negative squared terms 0.0+x is bit-exact x, so the fold equals
+    # the seedless left-associative chain it replaces term for term.
+    cb_lit = F.lit(
+        [[[float(x) for x in row] for row in cbj] for cbj in codebooks]
+    )
     dist = None
     for j in range(m):
-        cb_j = F.array(
-            *[
-                F.array(*[F.lit(float(x)) for x in row])
-                for row in codebooks[j]
-            ]
+        cent = F.element_at(
+            F.element_at(cb_lit, j + 1), F.element_at(codes_col, j + 1) + 1
         )
-        cent = F.element_at(cb_j, F.element_at(codes_col, j + 1) + 1)
-        t = None
-        for i in range(sub):
-            term = (
-                F.element_at(qvec_col, j * sub + i + 1)
-                - F.element_at(cent, i + 1)
-            ) ** 2
-            t = term if t is None else t + term
+        t = F.aggregate(
+            F.zip_with(
+                F.slice(qvec_col, j * sub + 1, sub),
+                cent,
+                lambda a, b: (a - b) ** 2,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         dist = t if dist is None else dist + t
     return dist
 

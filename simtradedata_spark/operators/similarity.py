@@ -86,9 +86,13 @@ def _hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
 
 def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed random hyperplanes (deterministic)."""
+    # one nested literal for the plane matrix (bits × dim individual
+    # F.lit nodes cost more driver/py4j time than the plan's execution
+    # at certification scale — the pq_encode finding)
+    planes_lit = F.lit([[float(x) for x in p] for p in planes])
     bits = []
-    for i, p in enumerate(planes):
-        proj = _dot(vec, F.array(*[F.lit(x) for x in p]))
+    for i, _p in enumerate(planes):
+        proj = _dot(vec, F.element_at(planes_lit, i + 1))
         bits.append(
             F.when(proj >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")

@@ -2114,10 +2114,14 @@ def q_logit_training(spark, sf_dir):
     from simtradedata_spark.operators.dedup import tokens
 
     docs = _t(spark, sf_dir, "documents")
-    feats = docs.select(
+    # SCRATCH persist (released between queries by release_scratch): each
+    # of the 6 GD steps is an action over `feats` — unpersisted, every
+    # step re-tokenizes the whole corpus (6 tokenize passes for one
+    # two-column feature frame).
+    feats = scratch_persist(docs.select(
         F.round(F.size(tokens("text")) / F.lit(50.0), 6).alias("f1"),
         (F.col("n_chars") >= 280).cast("int").alias("y"),
-    )
+    ))
     traj = logistic_regression(
         feats, ["f1"], "y", steps=_LOGIT_STEPS, lr=_LOGIT_LR
     )
@@ -2152,10 +2156,12 @@ def q_classifier_eval(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
-    feats = docs.select(
+    # SCRATCH persist: 6 GD-step actions + the eval scan all read `feats` —
+    # unpersisted that is 7 corpus tokenize passes (see q_logit_training).
+    feats = scratch_persist(docs.select(
         F.round(F.size(tokens("text")) / F.lit(50.0), 6).alias("f1"),
         (F.col("n_chars") >= 280).cast("int").alias("y"),
-    )
+    ))
     traj = logistic_regression(
         feats, ["f1"], "y", steps=_LOGIT_STEPS, lr=_LOGIT_LR
     )
