@@ -98,7 +98,13 @@ def bpe_learn(
     inspecting the induced segmentation. Stops early if the corpus runs
     out of adjacent pairs.
     """
-    vocab = word_vocab(df, text_col).localCheckpoint()
+    # LAZY checkpoints: each round's argmax (.first() → TakeOrdered, which
+    # computes EVERY partition, so the cache fills completely in that same
+    # job) materializes the vocab as a side effect — an eager checkpoint
+    # here was one extra full job per merge round for the same blocks.
+    # Lineage is still truncated once materialized, so the plan stays O(1)
+    # across merges.
+    vocab = word_vocab(df, text_col).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         top = (
@@ -111,7 +117,7 @@ def bpe_learn(
         merges.append((rank, top["left"], top["right"], top["pair_count"]))
         vocab = vocab.withColumn(
             "__sym", apply_merge(F.col("__sym"), top["left"], top["right"])
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges, vocab
 
 

@@ -363,10 +363,9 @@ def minhash_lsh_candidates(
     # tiny input through the eager path — an unset conf means nobody
     # derived it from input size, so treat the session as small and keep
     # the lazy persist (merely the small-input default, never wrong).
-    _sc = spark.sparkContext
-    if _sc.getConf().contains("spark.sql.shuffle.partitions") and int(
-        spark.conf.get("spark.sql.shuffle.partitions")
-    ) > (_sc.defaultParallelism):
+    from simtradedata_spark.session import big_input_session
+
+    if big_input_session(spark):
         sigd = sigs.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )

@@ -257,6 +257,17 @@ def full_curation(
     # is read ~2x, noise next to the stages themselves.
     from pyspark import StorageLevel
 
+    # The per-barrier System.gc() nudge exists so the ContextCleaner
+    # deletes the finished stage's shuffle files NOW — at the 1000x point
+    # those are ~13 GB per stage and letting them pile up overflowed the
+    # disk twice (r8/r9). At certification scale the same files are a few
+    # MB and the nudge is pure cost (~0.1 s x 6 barriers x 2 funnel
+    # queries per bench pass), so it is gated on the big-input session
+    # signal — the same scale switch the minhash checkpoint uses.
+    from simtradedata_spark.session import big_input_session
+
+    gc_nudge = big_input_session(spark)
+
     def barrier(df: DataFrame) -> DataFrame:
         pre = snapshot(spark)
         out = df.localCheckpoint(
@@ -264,7 +275,8 @@ def full_curation(
         )
         keep = snapshot(spark) - pre  # the new barrier's own blocks
         release_new(spark, start, keep=keep)
-        spark.sparkContext._jvm.System.gc()
+        if gc_nudge:
+            spark.sparkContext._jvm.System.gc()
         return out
 
     # 1-2: quality flags + exact dedup (curate_flags' first two stages)

@@ -51,6 +51,15 @@ def _bucketed_rank(
     with a descending numeric key pass its negation. Sample-skewed split
     points cost balance, never correctness — counts are exact per bucket.
     """
+    from pyspark import StorageLevel
+
+    # SCRATCH persist (released between queries by release_scratch): the
+    # split-point sample, the exact bucket counts and the final ranked
+    # consumer are THREE actions over `df` — unpersisted, the caller's
+    # upstream pipeline (DSIR scoring in the curation chain, the unigram-LM
+    # scorer in curriculum_buckets) runs three times. Serialized level: the
+    # frame is corpus-sized (the barrier discipline from pipeline.py).
+    df = scratch_persist(df, StorageLevel.MEMORY_AND_DISK)
     key = F.struct(*[F.col(c) for c in key_cols])
     # Deterministic bounded sample: hash-order + limit executes as
     # TakeOrdered (per-partition heap, driver merge) — no full sort, no

@@ -51,6 +51,24 @@ def derive_shuffle_partitions(input_bytes: int, cores: int) -> int:
     return max(cores, min(4 * cores, want))
 
 
+def big_input_session(spark: SparkSession) -> bool:
+    """True when THIS session's input outgrew the certification scale —
+    the signal is an EXPLICITLY-set ``spark.sql.shuffle.partitions`` above
+    ``defaultParallelism`` (get_spark derives the conf from input bytes;
+    it rises above cores only past ~16 MB·cores of compressed input). An
+    unset/default conf means nobody derived it from input size, so the
+    session is treated as small — on a third-party session Spark's
+    untouched default ('200' > local cores) must NOT route tiny inputs
+    through the big-input paths (eager checkpoints, System.gc nudges),
+    which cost ~2 s each at certification scale while buying nothing.
+    Shared by the minhash checkpoint gate (operators/dedup.py) and the
+    curation-chain barrier GC nudge (operators/pipeline.py)."""
+    sc = spark.sparkContext
+    return sc.getConf().contains("spark.sql.shuffle.partitions") and int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    ) > sc.defaultParallelism
+
+
 def get_spark(
     app_name: str = "simtradedata_spark",
     cpus: int | None = None,
