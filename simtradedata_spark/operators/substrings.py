@@ -181,9 +181,15 @@ def cross_doc_dup_coverage(
     occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
         key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
     )
+    # distinct-docs-per-gram WITHOUT the corpus-wide (key, gram) distinct
+    # exchange: a doc's duplicate grams are deduplicated locally with
+    # array_distinct inside the row, so the exploded pairs are already
+    # unique and ONE gram-keyed shuffle counts documents (two shuffles
+    # before — the distinct moved the full occurrence set a second time).
     dup = (
-        occ.select(key_col, "gram")
-        .distinct()
+        toked.select(
+            key_col, F.explode(F.array_distinct("__s.occ.gram")).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
@@ -241,9 +247,14 @@ def strip_cross_doc_spans(
     occ = toked.select(key_col, F.explode("__s.occ").alias("o")).select(
         key_col, F.col("o.s").alias("s"), F.col("o.gram").alias("gram")
     )
+    # per-doc array_distinct replaces the corpus-wide (key, gram) distinct
+    # exchange — see cross_doc_dup_coverage; min(key) owner and the
+    # distinct-doc count are unchanged because the pairs are already
+    # unique per document.
     dup = (
-        occ.select(key_col, "gram")
-        .distinct()
+        toked.select(
+            key_col, F.explode(F.array_distinct("__s.occ.gram")).alias("gram")
+        )
         .groupBy("gram")
         .agg(F.min(key_col).alias("owner"), F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
