@@ -6251,8 +6251,9 @@ def q_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(cents("o_totalprice")).alias("spend_cents"),
     )
-    # ONE extra Spark job for all three exact NTILEs (multi_ntile's shared
-    # approxQuantile split points + broadcast offsets) — the chained
+    # TWO extra Spark jobs for all three exact NTILEs (multi_ntile's shared
+    # approxQuantile split points + one fused bucket-count collect; offsets
+    # become literals, no broadcast offset joins) — the chained
     # global_ntile form cost 6 driver jobs and 5.4 s steady-state at sf0.1.
     m = multi_ntile(
         per_cust,

@@ -171,9 +171,12 @@ def test_value_histogram_broadcasts_bounds(spark):
 
 
 def test_rfm_segments_no_single_partition_window(spark):
-    """The per-customer frame must never funnel through one task. The only
-    SinglePartition exchanges multi_ntile allows are the ≤num_buckets-row
-    per-bucket count frames feeding the broadcast offsets."""
+    """The per-customer frame must never funnel through one task. Since the
+    fused-count rewrite, multi_ntile's returned plan carries no
+    SinglePartition exchange at all (offsets are literals; the only
+    remaining shuffles are the per-tile bucket-hash rank windows) — any
+    SinglePartition that ever reappears must be a ≤num_buckets-row count
+    frame."""
     import re
 
     p = plan(QUERIES["rfm_segments"][0](spark, SF))
