@@ -143,28 +143,32 @@ def pq_encode(
     return df.withColumn(out_col, F.array(*codes))
 
 
-def _adc_dist(
-    codes_col: str,
+def _adc_lut(
     qvec_col: str,
     codebooks: list[list[list[float]]],
 ) -> Column:
-    """Σ_j ||q_subj − codebook_j[code_j]||² — index-ascending,
-    left-associative (the DuckDB oracle's exact float-add order)."""
+    """Per-QUERY ADC lookup table: array<array<double>> where
+    ``lut[j][code] = ||q_subj − codebook_j[code]||²``. Computed once per
+    query row on the (bounded, broadcast) query side, so the per-candidate
+    distance collapses to m table lookups — the classic PQ ADC shape —
+    instead of re-folding m·(d/m) squared-difference terms per
+    (query, candidate) pair through interpreted lambda evaluation.
+
+    Each entry is the SAME expression the per-pair fold used (aggregate
+    over zip_with, (a−b)**2 terms, 0.0 seed — bit-exact x for the
+    non-negative squares), so every looked-up value is bit-identical to
+    the inline form and the DuckDB oracle's left-associative chain."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    # one literal node for every codebook (see pq_encode); the inner
-    # per-subspace sum is an aggregate fold seeded 0.0 — for the
-    # non-negative squared terms 0.0+x is bit-exact x, so the fold equals
-    # the seedless left-associative chain it replaces term for term.
     cb_lit = F.lit(
         [[[float(x) for x in row] for row in cbj] for cbj in codebooks]
     )
-    dist = None
-    for j in range(m):
-        cent = F.element_at(
-            F.element_at(cb_lit, j + 1), F.element_at(codes_col, j + 1) + 1
-        )
-        t = F.aggregate(
+
+    # one-parameter lambda per subspace: a default-arg j on the lambda
+    # itself would change its arity and make transform() pass the array
+    # index as the second argument
+    def _sub_dist(j: int):
+        return lambda cent: F.aggregate(
             F.zip_with(
                 F.slice(qvec_col, j * sub + 1, sub),
                 cent,
@@ -172,6 +176,24 @@ def _adc_dist(
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,
+        )
+
+    return F.array(
+        *(
+            F.transform(F.element_at(cb_lit, j + 1), _sub_dist(j))
+            for j in range(m)
+        )
+    )
+
+
+def _adc_dist_lut(codes_col: str, lut_col: str, m: int) -> Column:
+    """Σ_j ``lut[j][code_j]`` — index-ascending, left-associative, the
+    exact float-add order of the fold it replaces (and of the DuckDB
+    oracle)."""
+    dist = None
+    for j in range(m):
+        t = F.element_at(
+            F.element_at(lut_col, j + 1), F.element_at(codes_col, j + 1) + 1
         )
         dist = t if dist is None else dist + t
     return dist
@@ -196,15 +218,18 @@ def pq_adc_top_k(
     c = codes_df.select(
         F.col(id_col).alias("neighbor_id"), F.col(codes_col).alias("__codes")
     )
+    # the LUT is projected BEFORE the broadcast exchange, so it is
+    # materialized once per query row, not re-derived per candidate
     q = queries.select(
-        F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("__qvec")
+        F.col(qid_col).alias("query_id"),
+        _adc_lut(qvec_col, codebooks).alias("__lut"),
     )
     scored = c.join(
         F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
     ).select(
         "query_id",
         "neighbor_id",
-        _adc_dist("__codes", "__qvec", codebooks).alias("adc_dist2"),
+        _adc_dist_lut("__codes", "__lut", len(codebooks)).alias("adc_dist2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist2").asc(), F.col("neighbor_id")
@@ -320,14 +345,16 @@ def ivfpq_top_k(
         books,
         out_col="__codes",
     ).select("neighbor_id", "__cell", "__codes")
-    probes = _probes_frame(queries, id_col, vec_col, cent, n_probe, "__cell")
+    probes = _probes_frame(
+        queries, id_col, vec_col, cent, n_probe, "__cell"
+    ).withColumn("__lut", _adc_lut("__qvec", books))
     cand = (
         c.join(F.broadcast(probes), ["__cell"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            _adc_dist("__codes", "__qvec", books).alias("__adc"),
+            _adc_dist_lut("__codes", "__lut", m).alias("__adc"),
         )
     )
     w_short = Window.partitionBy("query_id").orderBy(
