@@ -229,7 +229,20 @@ def semantic_dedup(
     # the minhash-signature lifecycle): both sides of the within-cell
     # self-join consume this frame — without it the whole Lloyd
     # iteration runs twice inside the pairs job.
-    vecs = scratch_persist(vecs)
+    #
+    # spread() first: the scan-local kmeans assignment removed every
+    # exchange upstream of this frame, so unspread it inherits the
+    # PARQUET SPLIT COUNT (2 partitions on the 10x replica — one file),
+    # and because the pair join below broadcast-builds its right side,
+    # no exchange ever re-spreads it: the quadratic in-cell pair scan
+    # ran as 2 tasks on 32 cores (measured at 10x: 294 s median vs 66 s
+    # before the kmeans change; the r9 cosine_near_dups file-split bug
+    # in its join form). One tiny round-robin exchange of the N slim
+    # rows buys full-parallelism pair scans; the pair set and cosines
+    # are partition-invariant.
+    from simtradedata_spark.functions.partitioning import spread
+
+    vecs = scratch_persist(spread(vecs))
     # The self-join key has only k distinct values, so unsalted it caps the
     # quadratic pair stage at k tasks no matter the cluster size (guide
     # §2.5: synthetic keys need many more distinct values than partitions).
