@@ -350,19 +350,14 @@ def minhash_lsh_candidates(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, shingle_n, seed, hash_fn=hash_fn
     ).filter(F.col("minhash").isNotNull())
-    # Big-input sessions (derived shuffle partitions above core count —
-    # the session.py signal that the input outgrew the certification
-    # scale) get the checkpoint + GC nudge, so the ContextCleaner deletes
-    # the ~10 GB shingle-explode shuffle BEFORE the band self-join runs.
-    # Small sessions keep the lazy persist: the eager checkpoint job plus
-    # a System.gc() on a warm heap cost ~2 s, doubling this query's sf0.1
+    # Big-input sessions (input bytes past session.BIG_INPUT_BYTES — the
+    # data-derived signal get_spark measures at build time; conf-provenance
+    # fallback for sessions without it, see session.big_input_session) get
+    # the checkpoint + GC nudge, so the ContextCleaner deletes the ~10 GB
+    # shingle-explode shuffle BEFORE the band self-join runs. Small
+    # sessions keep the lazy persist: the eager checkpoint job plus a
+    # System.gc() on a warm heap cost ~2 s, doubling this query's sf0.1
     # bench entry for a shuffle that is only ~100 MB there.
-    # The signal counts only when the conf was EXPLICITLY set (builder
-    # conf, visible in the SparkConf): on a third-party session Spark's
-    # untouched default ('200' > local cores) would otherwise route every
-    # tiny input through the eager path — an unset conf means nobody
-    # derived it from input size, so treat the session as small and keep
-    # the lazy persist (merely the small-input default, never wrong).
     from simtradedata_spark.session import big_input_session
 
     if big_input_session(spark):

@@ -257,16 +257,18 @@ def full_curation(
     # is read ~2x, noise next to the stages themselves.
     from pyspark import StorageLevel
 
-    # The per-barrier System.gc() nudge exists so the ContextCleaner
-    # deletes the finished stage's shuffle files NOW — at the 1000x point
-    # those are ~13 GB per stage and letting them pile up overflowed the
-    # disk twice (r8/r9). At certification scale the same files are a few
-    # MB and the nudge is pure cost (~0.1 s x 6 barriers x 2 funnel
-    # queries per bench pass), so it is gated on the big-input session
-    # signal — the same scale switch the minhash checkpoint uses.
-    from simtradedata_spark.session import big_input_session
-
-    gc_nudge = big_input_session(spark)
+    # The per-barrier System.gc() nudge runs UNCONDITIONALLY. It exists so
+    # the ContextCleaner deletes the finished stage's shuffle files NOW —
+    # at the 1000x point those are ~13 GB per stage and letting them pile
+    # up overflowed the disk twice (r8/r9). Round 10 gated it on the
+    # big-input session signal to save ~0.1 s x barriers at certification
+    # scale, which backfired: on a cold 32-core pass mid-bench-suite the
+    # heap carries ~60 queries of garbage, and the strip/decontam stages
+    # then run 3-5x slower without the per-barrier compaction (r11 in-suite
+    # A/B at sf0.1/local[32]: funnel 40.1/22.4 s nudge-off vs 20.1/16.4 s
+    # nudge-on; the driver's r10 cold run measured the same regression,
+    # 18.3 -> 41.3 s round-over-round). The ~1 s small-scale cost is noise
+    # next to that failure mode at BOTH ends of the scale axis.
 
     def barrier(df: DataFrame) -> DataFrame:
         pre = snapshot(spark)
@@ -275,8 +277,7 @@ def full_curation(
         )
         keep = snapshot(spark) - pre  # the new barrier's own blocks
         release_new(spark, start, keep=keep)
-        if gc_nudge:
-            spark.sparkContext._jvm.System.gc()
+        spark.sparkContext._jvm.System.gc()
         return out
 
     # 1-2: quality flags + exact dedup (curate_flags' first two stages)

@@ -51,18 +51,45 @@ def derive_shuffle_partitions(input_bytes: int, cores: int) -> int:
     return max(cores, min(4 * cores, want))
 
 
+# Absolute input-size threshold for big_input_session, in bytes of
+# COMPRESSED parquet input. Core-count-INDEPENDENT by design: the r10
+# proxy (explicitly-set shuffle.partitions > defaultParallelism) inverted
+# with core count — more cores raised the threshold, so exactly the
+# high-parallelism runs that generate the most shuffle files were
+# classified "small" (the r10 ADVICE item). 512 MiB keeps every
+# certification scale (sf0.1 = 17.5 MB, the sf1.0 10x replica = 175 MB)
+# on the small-input plans the oracle certifies, while the 100x/1000x
+# replicas where the eager-checkpoint paths measurably win (the ~10 GB
+# shingle-explode shuffle, r7-r9 disk walls) sit 3-30x above it.
+BIG_INPUT_BYTES = 512 * 1024 * 1024
+
+
 def big_input_session(spark: SparkSession) -> bool:
-    """True when THIS session's input outgrew the certification scale —
-    the signal is an EXPLICITLY-set ``spark.sql.shuffle.partitions`` above
-    ``defaultParallelism`` (get_spark derives the conf from input bytes;
-    it rises above cores only past ~16 MB·cores of compressed input). An
-    unset/default conf means nobody derived it from input size, so the
-    session is treated as small — on a third-party session Spark's
-    untouched default ('200' > local cores) must NOT route tiny inputs
-    through the big-input paths (eager checkpoints, System.gc nudges),
-    which cost ~2 s each at certification scale while buying nothing.
-    Shared by the minhash checkpoint gate (operators/dedup.py) and the
-    curation-chain barrier GC nudge (operators/pipeline.py)."""
+    """True when THIS session's input outgrew the certification scale.
+
+    Primary signal: ``spark.simtradedata.inputBytes`` — the actual
+    compressed input size ``get_spark(input_dir=...)`` measured at session
+    build time (callers that construct their own session can set the same
+    key) — compared against the absolute ``BIG_INPUT_BYTES`` threshold, so
+    the answer keys on DATA SIZE, not conf provenance or core count.
+
+    Fallback (sessions without the key): an EXPLICITLY-set
+    ``spark.sql.shuffle.partitions`` above ``defaultParallelism`` — someone
+    derived a higher-than-cores shuffle ceiling from their input, which
+    only happens past ~16 MB·cores of compressed input. An unset/default
+    conf means nobody derived it, so the session is treated as small: on a
+    third-party session Spark's untouched default ('200' > local cores)
+    must NOT route tiny inputs through the big-input paths (eager
+    checkpoints cost ~2 s each at certification scale while buying
+    nothing). Used by the minhash checkpoint gate (operators/dedup.py);
+    the curation-chain barrier GC nudge (operators/pipeline.py) is
+    deliberately NOT gated on this since r11."""
+    v = spark.conf.get("spark.simtradedata.inputBytes", None)
+    if v is not None:
+        try:
+            return int(v) >= BIG_INPUT_BYTES
+        except ValueError:
+            pass  # malformed — fall through to the conf-provenance signal
     sc = spark.sparkContext
     return sc.getConf().contains("spark.sql.shuffle.partitions") and int(
         spark.conf.get("spark.sql.shuffle.partitions")
@@ -97,6 +124,9 @@ def get_spark(
     # oracle hashes are untouched; at 10-100x replicas it raises the
     # ceiling the way a cluster job sets 2-3x total cores, and AQE still
     # coalesces small stages back down.
+    input_bytes: int | None = None
+    if input_dir is not None and os.path.isdir(input_dir):
+        input_bytes = _dir_bytes(input_dir)
     env_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if env_parts is not None:
         try:
@@ -110,8 +140,8 @@ def get_spark(
                 f"SPARK_GRAFT_SHUFFLE_PARTITIONS={parts} must be > 0"
             )
         shuffle_parts = str(parts)
-    elif input_dir is not None and os.path.isdir(input_dir):
-        shuffle_parts = str(derive_shuffle_partitions(_dir_bytes(input_dir), n))
+    elif input_bytes is not None:
+        shuffle_parts = str(derive_shuffle_partitions(input_bytes, n))
     else:
         if input_dir is not None:
             import warnings
@@ -175,6 +205,11 @@ def get_spark(
         # predicates into the provider scan.
         .config("spark.sql.python.filterPushdown.enabled", "true")
     )
+    if input_bytes is not None:
+        # Measured input size for big_input_session — the data-derived
+        # scale signal the eager-checkpoint paths key on. Runtime (non-
+        # static) conf, so getOrCreate applies it to a reused session too.
+        b = b.config("spark.simtradedata.inputBytes", str(input_bytes))
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -9,8 +9,10 @@ from __future__ import annotations
 import pytest
 
 from simtradedata_spark.session import (
+    BIG_INPUT_BYTES,
     SHUFFLE_TARGET_PARTITION_BYTES,
     _dir_bytes,
+    big_input_session,
     derive_shuffle_partitions,
     get_spark,
 )
@@ -55,6 +57,52 @@ def test_dir_bytes_walks_nested_layout(tmp_path):
     (tmp_path / "t.parquet" / "part_0.parquet").write_bytes(b"x" * 1000)
     (tmp_path / "flat.parquet").write_bytes(b"y" * 500)
     assert _dir_bytes(str(tmp_path)) == 1500
+
+
+def test_big_input_session_keys_on_input_bytes(spark):
+    """r10 verdict item 5: the big-input signal must derive from DATA SIZE,
+    not conf provenance — a session whose measured input exceeds
+    BIG_INPUT_BYTES routes through the eager-checkpoint paths regardless of
+    how (or whether) shuffle partitions were set, and the threshold is
+    core-count-independent (the r10 proxy inverted with core count)."""
+    key = "spark.simtradedata.inputBytes"
+    try:
+        # above threshold -> big, even though this 8-core test session's
+        # shuffle.partitions == defaultParallelism (old proxy said small)
+        spark.conf.set(key, str(BIG_INPUT_BYTES))
+        assert big_input_session(spark) is True
+        spark.conf.set(key, str(100 * BIG_INPUT_BYTES))
+        assert big_input_session(spark) is True
+        # below threshold -> small (certification replicas: sf0.1 ~18 MB,
+        # the 10x replica ~175 MB)
+        spark.conf.set(key, str(175 * MB))
+        assert big_input_session(spark) is False
+        # malformed value falls back to the conf-provenance signal, which
+        # is False here (explicit partitions == cores)
+        spark.conf.set(key, "garbage")
+        assert big_input_session(spark) is False
+    finally:
+        spark.conf.unset(key)
+
+
+def test_big_input_session_conf_fallback_without_input_bytes(spark):
+    # no inputBytes key: the explicit shuffle.partitions-vs-cores fallback
+    # (this session: 8 == 8 -> small)
+    assert spark.conf.get("spark.simtradedata.inputBytes", None) is None
+    assert big_input_session(spark) is False
+
+
+def test_get_spark_records_input_bytes(tmp_path):
+    # get_spark(input_dir=...) publishes the measured size as a runtime
+    # conf; getOrCreate applies it to the (reused) session, so the wiring
+    # is observable without building a fresh JVM
+    (tmp_path / "t.parquet").write_bytes(b"x" * 1500)
+    s = get_spark("session-test-input-bytes", input_dir=str(tmp_path))
+    try:
+        assert s.conf.get("spark.simtradedata.inputBytes") == "1500"
+        assert big_input_session(s) is False
+    finally:
+        s.conf.unset("spark.simtradedata.inputBytes")
 
 
 def test_bad_env_override_fails_fast(monkeypatch):
