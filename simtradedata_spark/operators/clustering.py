@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from simtradedata_spark.functions.caching import scratch_persist
+from simtradedata_spark.functions.lits import fast_lit
 
 
 def _sq_dist(a, b):
@@ -119,11 +120,12 @@ def kmeans(
                 F.lit(None).cast("double").alias("dist"),
                 "__v",
             ).where(F.lit(False))
-        # ONE nested-array literal for the centroid table (not k unrolled
-        # array constructors: those made an O(k·d)-node expression tree
-        # whose codegen compile time dwarfed the tiny scan it replaced);
-        # the argmin lambda is written once and indexes into it.
-        cvecs = F.lit([[float(x) for x in cvec] for _, cvec in cents])
+        # ONE-call nested-array literal for the centroid table
+        # (functions/lits.py — F.lit(list) expands per element over py4j,
+        # ~k·d round trips PER ROUND here; see the pq.py note). The argmin
+        # lambda is written once and indexes into it. Labels keep F.lit:
+        # they are k scalars of caller-typed ids.
+        cvecs = fast_lit([[float(x) for x in cvec] for _, cvec in cents])
         labels = F.lit([cl for cl, _ in cents])
         pick = F.array_min(
             F.transform(

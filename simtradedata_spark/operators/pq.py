@@ -33,6 +33,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from simtradedata_spark.functions.lits import fast_lit
+
 
 def pq_train(
     corpus: DataFrame,
@@ -104,12 +106,13 @@ def pq_encode(
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
     v = F.col(vec_col)
-    # ONE nested-array literal for all m codebooks: the per-centroid
-    # F.array(F.lit(x), ...) construction issued m·k·(d/m) py4j calls and
-    # handed Catalyst a ~1000-node tree — at 64-dim/m=8/k=16 the DRIVER
-    # side (expression build + analysis) cost more than running the plan.
-    # A single F.lit of the nested Python list is one literal node.
-    cb_lit = F.lit(
+    # ONE py4j call for all m codebooks (functions/lits.py): F.lit of a
+    # nested list ALSO expands to m·k·(d/m) lit nodes py4j-call-by-call
+    # (r10 ADVICE correction — it is not one literal node until constant
+    # folding), which measured ~1 s of driver time per build on this
+    # shape; the SQL-literal form parses JVM-side in ~1 ms and folds to
+    # the identical single Literal.
+    cb_lit = fast_lit(
         [[[float(x) for x in row] for row in cbj] for cbj in codebooks]
     )
     codes = []
@@ -160,7 +163,7 @@ def _adc_lut(
     the inline form and the DuckDB oracle's left-associative chain."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    cb_lit = F.lit(
+    cb_lit = fast_lit(
         [[[float(x) for x in row] for row in cbj] for cbj in codebooks]
     )
 

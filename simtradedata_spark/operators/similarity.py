@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from simtradedata_spark.functions.lits import fast_lit
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -86,10 +87,10 @@ def _hyperplanes(dim: int, bits: int, seed: int = 11) -> list[list[float]]:
 
 def lsh_bucket_key(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id from fixed random hyperplanes (deterministic)."""
-    # one nested literal for the plane matrix (bits × dim individual
-    # F.lit nodes cost more driver/py4j time than the plan's execution
-    # at certification scale — the pq_encode finding)
-    planes_lit = F.lit([[float(x) for x in p] for p in planes])
+    # one-call nested literal for the plane matrix (functions/lits.py —
+    # bits × dim individual F.lit py4j round trips cost more driver time
+    # than the plan's execution at certification scale; the pq.py finding)
+    planes_lit = fast_lit([[float(x) for x in p] for p in planes])
     bits = []
     for i, _p in enumerate(planes):
         proj = _dot(vec, F.element_at(planes_lit, i + 1))
