@@ -147,6 +147,25 @@ def _u01(*cols, salt: str, rng: str = "xxhash64") -> F.Column:
     return F.pmod(h, F.lit(1_000_000_007)).cast("double") / 1_000_000_007.0
 
 
+def _u01_sql(*cols: str, salt: str, rng: str = "xxhash64") -> str:
+    """SQL-string twin of ``_u01`` — the identical expression tree, parsed
+    JVM-side in ONE py4j call instead of ~160 Column-API round trips per
+    field (r11: the 42-indicator ``fundamentals`` select spent 1.3 s of
+    pure driver time building _u01 Columns, ~10 asof-family queries pay
+    it per bench pass). Operand order matches the Column form node for
+    node, so values are bit-identical; the asof oracle hashes re-verify
+    that."""
+    key = ", ".join([f"'{salt}'"] + list(cols))
+    if rng == "md5":
+        h = (
+            f"CAST(conv(substring(md5(concat_ws('|', {key})), 1, 15),"
+            f" 16, 10) AS BIGINT)"
+        )
+    else:
+        h = f"xxhash64({key})"
+    return f"(CAST(pmod({h}, 1000000007) AS DOUBLE) / 1000000007.0D)"
+
+
 @dataclass
 class SyntheticMarket:
     spark: SparkSession
@@ -459,10 +478,16 @@ class SyntheticMarket:
             "sym_idx",
         )
         allrows = first.unionByName(restated)
-        ind = lambda name, lo, hi: F.round(
-            lo + (hi - lo) * self._rng01(F.col("sym_idx"), F.col("end_date"), F.col("merge_seq"), salt=name),
-            4,
-        ).alias(name)
+        # SQL-rendered indicator exprs (_u01_sql): the Column-API form
+        # `round(lo + (hi-lo)*_rng01(...), 4)` builds the tree
+        # Round(Add(Multiply(u, hi-lo), lo)) via __radd__/__rmul__ (pyspark
+        # does not swap operands), which is exactly what the string below
+        # parses to — one py4j call per field instead of ~160.
+        def ind(name: str, lo: float, hi: float) -> F.Column:
+            u = _u01_sql(
+                "sym_idx", "end_date", "merge_seq", salt=name, rng=self.rng
+            )
+            return F.expr(f"round({u} * {hi - lo!r}D + {lo!r}D, 4)").alias(name)
         indicators = [
             # ability tables + three statements + per-share table (same tall
             # frame — each PTrade table name is a projection, api/ptrade.py);
@@ -479,11 +504,14 @@ class SyntheticMarket:
             .rowsBetween(-3, 0)
         )
         cnt = F.count(F.lit(1)).over(w4)
-        for ttm, src in TTM_FIELDS.items():
-            out = out.withColumn(
-                ttm, F.when(cnt >= 4, F.round(F.avg(src).over(w4), 4))
-            )
-        return out
+        # one withColumns call (one analysis pass) instead of a 5-deep
+        # withColumn chain — identical projection, cheaper plan build
+        return out.withColumns(
+            {
+                ttm: F.when(cnt >= 4, F.round(F.avg(src).over(w4), 4))
+                for ttm, src in TTM_FIELDS.items()
+            }
+        )
 
     def stock_metadata(self) -> DataFrame:
         """FIXTURES §7: names (with an ST- and a 退-prefixed one), listed /
