@@ -3660,12 +3660,14 @@ def q_sort_msg_industry(spark, sf_dir):
     counts and Σmoney/Σvolume. Floats rounded 6dp on both engines; member
     sets are 2-3 stocks so the float sums are order-robust at 6dp."""
     m = _small_market(spark)
-    bars = m.bars().filter(F.col("sym_idx") >= 0)
-    days = (
-        bars.select("trade_date").distinct().orderBy(F.col("trade_date").desc()).limit(2)
-    )
-    two = [r[0] for r in days.collect()]
-    d, prev_d = max(two), min(two)
+    # the session bars memo (one checkpoint per session, shared with the
+    # indicator/window family) instead of a fresh bars build, and the last
+    # two trading days from the driver-side calendar twin — the old shape
+    # ran the whole bar-generation pipeline once EXTRA at plan-build time
+    # just to collect two dates that are pure calendar constants (r11)
+    bars = _market_bars(spark).filter(F.col("sym_idx") >= 0)
+    cal = m._trading_days_py()
+    d, prev_d = cal[-1], cal[-2]
     meta = m.stock_metadata().select(
         "symbol", F.col("blocks")["industry"].alias("grp")
     )

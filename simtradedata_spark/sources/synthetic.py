@@ -235,6 +235,29 @@ class SyntheticMarket:
             )
         )
 
+    def _trading_days_py(self) -> list:
+        """Driver-side twin of ``trading_days()``: the ordered trading-day
+        list as Python ``date``s — the calendar is a pure function of
+        (start, end, weekday/holiday rule), so date CONSTANTS (first day,
+        IPO/delist cut days, day counts) never need a Spark job. Same rule
+        the DuckDB oracle CTEs replicate; ``tests/test_generator.py``'s
+        calendar assertions pin all three implementations together."""
+        from datetime import date, timedelta
+
+        d0 = date.fromisoformat(self.start)
+        d1 = date.fromisoformat(self.end)
+        out = []
+        d = d0
+        while d <= d1:
+            is_weekday = d.weekday() < 5  # Mon..Fri
+            is_holiday = (d.month == 1 and d.day <= 3) or (
+                d.month == 10 and d.day <= 5
+            )
+            if is_weekday and not is_holiday:
+                out.append(d)
+            d += timedelta(days=1)
+        return out
+
     def _grid(self) -> DataFrame:
         """symbols × trading days with IPO/delist spans applied."""
         days = self.trading_days()
@@ -516,18 +539,15 @@ class SyntheticMarket:
     def stock_metadata(self) -> DataFrame:
         """FIXTURES §7: names (with an ST- and a 退-prefixed one), listed /
         de-listed dates, industry blocks map."""
-        days = self.trading_days()
-        n_days = days.count()
-        d0 = days.filter(F.col("day_idx") == 0).select("trade_date")
-        ipo_day = days.filter(F.col("day_idx") == n_days // 3).select("trade_date")
-        delist_day = days.filter(F.col("day_idx") == (2 * n_days) // 3).select(
-            "trade_date"
-        )
-        d0v, ipov, delv = (
-            d0.first()[0],
-            ipo_day.first()[0],
-            delist_day.first()[0],
-        )
+        # calendar constants from the driver-side twin (_trading_days_py):
+        # the old shape ran FOUR eager Spark jobs (count + three firsts)
+        # per build for values that are pure functions of the calendar
+        # config — ~1 s of the metadata dimension's plan-build time (r11)
+        days_py = self._trading_days_py()
+        n_days = len(days_py)
+        d0v = days_py[0]
+        ipov = days_py[n_days // 3]
+        delv = days_py[(2 * n_days) // 3]
         industries = ["bank", "tech", "energy", "consumer", "health"]
         ind = F.element_at(
             F.array(*[F.lit(x) for x in industries]),
@@ -616,9 +636,9 @@ class SyntheticMarket:
         CB for every sym_idx % 4 == 1 stock. convert_rate = 100 face value /
         convert_price; convert_value needs the live close, so it is derived
         at query time (api.get_cb_info)."""
-        days = self.trading_days()
-        d30 = days.filter(F.col("day_idx") == 30).select("trade_date")
-        list_d = d30.first()[0]
+        # day-30 constant from the driver-side calendar twin (no Spark job;
+        # see stock_metadata)
+        list_d = self._trading_days_py()[30]
         base = self.symbols().filter(F.col("sym_idx") % 4 == 1)
         meta = self.stock_metadata().select("symbol", "stock_name")
         base = base.join(meta, "symbol")
