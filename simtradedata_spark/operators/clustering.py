@@ -97,6 +97,22 @@ def kmeans(
         # the loop's only non-auto exit is `it == iters`; anything else
         # (0, negatives, a typo'd string) would spin Spark jobs forever
         raise ValueError(f"iters must be a positive int or 'auto', got {iters!r}")
+    if k > 256:
+        # soft cap on the scan-local literal path (r10 ADVICE): the
+        # assignment is an O(k·d) expression evaluated per row — fine for
+        # the documented small-k regime (blocking cells, label spines),
+        # but a large k silently trades the old broadcast-join shape for
+        # a huge expression/codegen blowup. Warn rather than fail:
+        # results stay correct, just slow.
+        import warnings
+
+        warnings.warn(
+            f"kmeans(k={k}): the scan-local argmin builds an O(k*d)"
+            " literal expression per round — beyond a few hundred"
+            " centroids, expression/codegen size dominates; train on a"
+            " sample (similarity._train_centroids) or reduce k.",
+            stacklevel=2,
+        )
     corpus = df.select(
         F.col(id_col),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__v"),

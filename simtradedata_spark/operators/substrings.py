@@ -169,6 +169,14 @@ def cross_doc_dup_coverage(
     UNION semantics, so overlapping duplicated grams count each position
     once and the fraction is capped at 1.0.
 
+    PRECONDITION: ``key_col`` must be unique per input row. The per-row
+    ``array_distinct`` that replaced the corpus-wide (key, gram) distinct
+    counts a gram once per ROW — with duplicate keys, a gram spanning two
+    rows of the same key would inflate ``n_docs`` (and flip owner
+    selection in ``strip_cross_doc_spans``), where the old distinct-based
+    shape was robust. Both certified callers feed keyed frames (the doc
+    table's primary key; the funnel's exact-dedup survivors).
+
     Caching: the staged gram frame is ``persist()``-ed for the duration of
     the query (it feeds multiple downstream branches). Library callers in
     a long-lived session should call ``functions.caching.release_scratch``
@@ -239,7 +247,10 @@ def strip_cross_doc_spans(
     ``functions.caching.release_scratch`` after consuming the result.
     Reconstruction is gap slicing over each doc's sorted removed-start
     array (see the plan-shape note in the module docstring) — token
-    order is the array order, no window, no collect_list rebuild."""
+    order is the array order, no window, no collect_list rebuild.
+
+    PRECONDITION: ``key_col`` unique per input row — same contract (and
+    same reason) as ``cross_doc_dup_coverage``."""
     toked = _occurrences(
         df, key_col, text_col, n, lowercase, with_tokens=True,
         hash_grams=hash_grams,

@@ -50,6 +50,11 @@ def _bucketed_rank(
     Keys must be ascending and total (include a unique tie-breaker); callers
     with a descending numeric key pass its negation. Sample-skewed split
     points cost balance, never correctness — counts are exact per bucket.
+
+    BUILD-TIME EXECUTION: the split-point sample and the exact bucket
+    counts are collected EAGERLY here and baked into the plan as literals
+    — the returned frame is a snapshot-consistent rank over the data as
+    of this call (see the multi_ntile note).
     """
     from pyspark import StorageLevel
 
@@ -142,6 +147,14 @@ def multi_ntile(
     correctness: ranks are row_numbers within bucket plus EXACT per-bucket
     offsets, tie-broken by the trailing order_cols). NTILE semantics match
     SQL exactly: first N mod n tiles get ceil(N/n) rows.
+
+    BUILD-TIME EXECUTION / SNAPSHOT CONSISTENCY: the approxQuantile and
+    the fused bucket-count collect run EAGERLY when this function is
+    called, and the counts/offsets are baked into the returned plan as
+    literals. The result is correct for the source data as of build time;
+    if the underlying table changes and the frame is re-evaluated, the
+    literal offsets silently desynchronize — rebuild the frame instead of
+    re-running a stale one (same contract as ``_bucketed_rank``).
     """
     proxy_cols = {c: f"__proxy_{c}" for c in specs}
     work = df

@@ -903,20 +903,28 @@ def q_boilerplate_lines(spark, sf_dir):
     the threshold, the ordered rebuild, and the all-removed → '' edge."""
     from simtradedata_spark.operators.textstats import remove_boilerplate_lines
 
+    from simtradedata_spark.operators.dedup import let
+
     docs = _t(spark, sf_dir, "documents")
-    words = F.split("text", " ")
-    n_lines = F.ceil(F.size(words) / F.lit(3)).cast("int")
-    lined = docs.select(
-        "doc_id",
-        F.array_join(
+
+    # let-bind the split token array: inlined, the regex split re-ran once
+    # PER LINE INDEX inside the transform lambda — O(len^2/3) per doc
+    # (the dedup.let pattern; r11 measurement on the sibling
+    # quantized_embeddings inline: 10.0 s -> 1.18 s at sf1.0)
+    def fold_lines(w: F.Column) -> F.Column:
+        n_lines = F.ceil(F.size(w) / F.lit(3)).cast("int")
+        return F.array_join(
             F.transform(
                 F.sequence(F.lit(0), n_lines - 1),
                 lambda i: F.array_join(
-                    F.slice(words, i * F.lit(3) + 1, F.lit(3)), " "
+                    F.slice(w, i * F.lit(3) + 1, F.lit(3)), " "
                 ),
             ),
             "\n",
-        ).alias("text"),
+        )
+
+    lined = docs.select(
+        "doc_id", let(F.split("text", " "), fold_lines).alias("text")
     )
     return remove_boilerplate_lines(lined, min_docs=5, sep="\n")
 
@@ -5658,11 +5666,19 @@ def q_quantized_embeddings(spark, sf_dir):
     from simtradedata_spark.operators.similarity import int8_scale, quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
+    # MATERIALIZE the scale in its own projection before quantizing: passing
+    # the raw int8_scale EXPRESSION into quantize_int8 inlines the O(d)
+    # array_max subtree into the per-ELEMENT transform lambda — interpreted
+    # HOF bodies get no subexpression elimination, so each row paid
+    # O(d^2) = 4096 element evaluations instead of 128 (r11 A/B at sf1.0:
+    # 10.0 s -> 1.18 s, values bit-identical; CollapseProject keeps the
+    # two projections apart because `scale` is referenced twice).
     scale = int8_scale(F.col("embedding"))
-    staged = emb.select(
+    pre = emb.select("vec_id", scale.alias("scale"), "embedding")
+    staged = pre.select(
         "vec_id",
-        scale.alias("scale"),
-        quantize_int8(F.col("embedding"), scale).alias("q"),
+        "scale",
+        quantize_int8(F.col("embedding"), F.col("scale")).alias("q"),
     )
     return staged.select(
         "vec_id",
