@@ -124,6 +124,13 @@ def main() -> None:
         # this (measured 8.2 s first-run vs 3.7-4.4 s steady-state for
         # cross_doc_dup_coverage in the r5d recording)
         "dup_gram_coverage",
+        # md5-minhash banding codegen (r11): the one heavy engine path the
+        # list above never touches — its first cold draw measured 9.6 s vs
+        # 3.5 s steady-state for incremental_dedup (same mechanism as the
+        # r5d cross_doc recording), and the funnel/dedup/incremental family
+        # all ride it. Warming the cheapest family member keeps JIT
+        # tiering out of ~8 timed entries.
+        "minhash_near_dups",
     ]
     for warm in dict.fromkeys(n for n in warm_names if n in QUERIES):
         QUERIES[warm][0](spark, sf_dir).write.format("noop").mode(

@@ -4,10 +4,13 @@ Usage: python tools/explain_dump.py <out_dir> <suffix> <name> [name ...]
        python tools/explain_dump.py plans/r10 before semantic_dedup cms_token_frequency
 
 Writes <out_dir>/<name>_<suffix>.txt for each query. Plans are BUILT, not
-executed (no data movement) — the optimization-round evidence files the
-judge diffs against claimed plan changes. Production @variant twins
-(tools/prod_variants.py) are addressed by their registry name, with '@'
-mapped to '_' in the file name.
+fully executed via the sink — but note that building SOME queries runs
+eager driver jobs (multi_ntile / _bucketed_rank collect split points and
+bucket counts at build time; kmeans/CC/BPE iterate), so this tool is not
+data-movement-free for those. The dumps are the optimization-round
+evidence files the judge diffs against claimed plan changes. Production
+@variant twins (tools/prod_variants.py) are addressed by their registry
+name, with '@' mapped to '_' in the file name.
 """
 
 from __future__ import annotations
