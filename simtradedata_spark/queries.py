@@ -8490,73 +8490,74 @@ QUERIES: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] 
 # `train_val_test_split`, leaving all market/indicator oracles unchecked
 # by the driver. Entries not listed keep their relative order after these.
 _FRONT_WINDOW = [
-    # Round-10 rotation. Membership is MECHANICALLY checked by
+    # Round-11 rotation. Membership is MECHANICALLY checked by
     # tools/window_lint.py (definition-granular taint from the round's git
     # diff, TRANSITIVE through callees); run it after any code change.
-    #   1-27  every query the r10 diff taints: the Bloom bitset
-    #         single-ship rewrite (full_curation_funnel, bloom_decontam),
-    #         the dedup big-session gate edit (minhash family), and —
-    #         the bulk — the scratch-release CacheManager fix in
-    #         functions/caching.py, whose release/protect helpers are in
-    #         the call graph of every market-memo and staged-scratch
-    #         query (the r9 1000x intra-session drift root cause; the
-    #         gate re-certifies that freeing scratch through the Dataset
-    #         API changes no values).
-    #  28-50  the 23 alphabetically-first untainted r06-certified
-    #         entries. The 27-strong taint set squeezes the burn-down
-    #         this round: 10 r06 entries (quality_scores …
-    #         weekly_ohlc) carry to r11, so the staleness minimum stays
-    #         r06 for one more round — taint coverage outranks rotation.
-    "amihud_illiquidity",
-    "bloom_decontam",
-    "bollinger_bands",
+    #   1-32  every query the r11 optimization diff taints: the funnel GC
+    #         nudge + big_input_session rewrite (funnel, minhash family),
+    #         fast_lit at the pq/kmeans/LSH literal sites, the
+    #         fundamentals SQL-expr rewrite (whole asof-statement family),
+    #         calendar-constant/stock_metadata changes (sort_msg_industry,
+    #         cb_info), and the HOF let-binding fixes (boilerplate_lines,
+    #         quantized_embeddings).
+    #   +5    the r10-touched queries the r10 window could not hold and
+    #         the r11 diff does not re-taint (r10 verdict item 2):
+    #         bpe_merges, bpe_token_counts, classifier_eval,
+    #         logit_training, plus label_centroids (flagged alongside
+    #         the kmeans-literal audit in the r10 ADVICE).
+    #   +13   the stalest-certified entries (all 8 remaining r06-certified
+    #         queries — closing the r06 staleness backlog — and 5 r07
+    #         ones), so the staleness minimum advances to r07.
+    "adjusted_bars_post",
+    "balance_statement_asof",
+    "boilerplate_lines",
+    "bpe_merges",
+    "bpe_token_counts",
+    "cashflow_statement_asof",
+    "cb_info",
+    "classifier_eval",
+    "cluster_balanced_sample",
     "cluster_representatives",
+    "conversion_funnel",
+    "cosine_near_dups",
+    "cosine_top5",
     "cross_doc_dup_coverage",
+    "curriculum_buckets",
+    "customer_spend_deciles",
+    "customers_without_orders",
+    "debt_paying_ability_asof",
     "dedup_clusters",
-    "dup_gram_coverage",
+    "dedup_lineitem_first",
+    "embedding_dup_clusters",
+    "eps_asof",
     "exact_substr_trim",
     "full_curation_funnel",
-    "fuzzy_doc_match",
-    "fuzzy_match_realistic",
-    "incremental_dedup",
-    "ma_crossover_signals",
-    "macd_indicators",
-    "max_drawdown",
-    "minhash_near_dups",
-    "momentum_portfolio",
-    "overnight_gaps",
-    "realized_vol",
-    "return_correlations",
-    "rfm_segments",
-    "risk_metrics",
-    "semantic_dedup",
-    "sequence_packing",
-    "status_transitions",
-    "strategy_equity_curve",
-    "weekly_bars",
-    "cms_token_frequency",
-    "code_conversion",
-    "corpus_datacard",
-    "debt_paying_ability_asof",
-    "doc_chunks",
-    "doc_stats",
-    "domain_capped_sample",
-    "dup_chunks",
-    "eps_asof",
-    "etf_info",
     "fundamentals_asof",
-    "gear_prices",
     "growth_ability_asof",
-    "hash_sample_docs",
-    "hourly_event_stats",
     "income_statement_asof",
-    "json_props",
-    "language_votes",
-    "monthly_growth",
+    "kmeans_clusters",
+    "label_centroids",
+    "logit_training",
+    "lsh_ann_top5",
+    "minhash_near_dups",
     "operating_ability_asof",
-    "percent_roundtrip",
-    "pipeline_funnel",
+    "pq_ann_top5",
     "profit_ability_asof",
+    "quality_scores",
+    "quantized_embeddings",
+    "rfm_segments",
+    "semantic_dedup",
+    "sessionize_users",
+    "sort_msg_industry",
+    "statements_by_year",
+    "statements_by_year_latest",
+    "stock_metadata",
+    "tick_directions",
+    "token_budget",
+    "unpivot_measures",
+    "user_retention_cohorts",
+    "user_value_cumlog",
+    "weekly_ohlc",
 ]
 QUERIES = {
     **{k: QUERIES[k] for k in _FRONT_WINDOW if k in QUERIES},
