@@ -90,9 +90,16 @@ def big_input_session(spark: SparkSession) -> bool:
             return int(v) >= BIG_INPUT_BYTES
         except ValueError:
             pass  # malformed — fall through to the conf-provenance signal
+    # Read the BUILD-TIME (static SparkConf) value, not the runtime SQL
+    # conf: builder.getOrCreate() on an existing session APPLIES runtime
+    # SQL confs, so a later get_spark() with a different core count
+    # silently rewrites the runtime shuffle.partitions and would flip this
+    # signal (observed: an 8-core session read back '32' after a reused
+    # 32-core builder). Provenance means what the session was DERIVED with.
     sc = spark.sparkContext
-    return sc.getConf().contains("spark.sql.shuffle.partitions") and int(
-        spark.conf.get("spark.sql.shuffle.partitions")
+    conf = sc.getConf()
+    return conf.contains("spark.sql.shuffle.partitions") and int(
+        conf.get("spark.sql.shuffle.partitions")
     ) > sc.defaultParallelism
 
 
