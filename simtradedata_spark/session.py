@@ -203,6 +203,23 @@ def get_spark(
         # Local-harness knob only — production code never collects results.
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
+        # Bound the in-memory status stores. Even with the UI disabled the
+        # AppStatus/SQLAppStatus listeners retain up to 1000 jobs/stages/
+        # SQL executions and 100k task infos (the REST status API's
+        # backing store) — across a 189-query session that store's update
+        # and cleanup cost competes with the task threads and ages the
+        # session: a fixed probe query measured 2.6-6.3x slower after 80
+        # queries than on a fresh session, and bounding the retention
+        # removed the aging (tools/session_age_probe.py A/B; the r10
+        # driver bench's mid-suite entries — cluster_representatives 32 s
+        # in-suite vs 5.9 s solo — are this mechanism). Not a local-mode
+        # tune: any long multi-query driver benefits identically; raise
+        # via extra_conf when the status API history actually matters.
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.ui.retainedDeadExecutors", "10")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events table stores TIMESTAMP(NANOS); Spark has no nanos
         # timestamp — read as long and convert in the catalog (micros trunc,
