@@ -13,6 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from simtradedata_spark.functions.caching import scratch_persist
+from simtradedata_spark.functions.lits import fast_lit
 from pyspark.sql.window import Window
 
 
@@ -90,18 +91,26 @@ def _bucketed_rank(
         )
         bucket = bucket + (key >= blit).cast("int")
     bucketed = df.withColumn("_bkt", bucket)
-    counts = dict(
-        (r["_bkt"], r["cnt"])
-        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    offsets, acc = {}, 0
-    for b in range(len(bounds) + 1):
-        offsets[b] = acc
-        acc += counts.get(b, 0)
-    off_expr = F.lit(0)
-    for b, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
+    # Exact per-bucket counts as ONE single-row conditional aggregate: a
+    # scan-local partial agg collapses to one row per task and the final
+    # merge is bounded by the bucket count — no explode, no groupBy
+    # shuffle, no per-group collect (the groupBy form paid a corpus-keyed
+    # exchange plus AQE stages for a <=num_buckets-row result; measured
+    # ~1.4 s -> ~0.3 s on the rfm fused-count sibling at sf0.1).
+    n_bkts = len(bounds) + 1
+    cnt_row = bucketed.selectExpr(
+        *[f"SUM(CAST((_bkt = {b}) AS BIGINT)) AS c{b}" for b in range(n_bkts)]
+    ).collect()[0]
+    counts = {b: (cnt_row[b] or 0) for b in range(n_bkts)}
+    offsets, acc = [], 0
+    for b in range(n_bkts):
+        offsets.append(acc)
+        acc += counts[b]
+    # offsets as ONE array literal indexed by bucket (element_at is
+    # 1-based) instead of a num_buckets-deep CASE WHEN chain — one py4j
+    # call, O(1) eval per row; same integer offsets, so ranks are
+    # unchanged.
+    off_expr = F.element_at(fast_lit(offsets), F.col("_bkt") + 1)
     w = Window.partitionBy("_bkt").orderBy(*key_cols)
     ranked = bucketed.withColumn(
         rank_col, (F.row_number().over(w) + off_expr).cast("long")
@@ -170,47 +179,48 @@ def multi_ntile(
     # fused count aggregates that same base — if counts hung off the
     # growing join/window chain instead, the count job would re-run
     # every tile's window (measured 1.5× slower in the per-spec shape).
+    # The per-spec bucket expression is rendered as ONE SQL string (repr
+    # doubles round-trip bit-exact through the parser, the lits.py
+    # precedent) instead of ~num_buckets chained Column ops — same
+    # expression tree, ~1 py4j call instead of ~3·num_buckets.
+    n_bkts: dict[str, int] = {}
     for (c, (_, _)), bounds in zip(specs.items(), qs):
-        bucket = F.lit(0)
-        for b in sorted(set(bounds)):
-            bucket = bucket + (F.col(proxy_cols[c]) > F.lit(float(b))).cast("int")
-        work = work.withColumn(f"__bkt_{c}", bucket)
-    # ONE exact count job for every spec's buckets: k·num_buckets groups,
-    # collected driver-side (bounded by the constants, never by N)
-    cnt_rows = (
-        work.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(c).alias("__n"),
-                            F.col(f"__bkt_{c}").alias("__b"),
-                        )
-                        for c in specs
-                    ]
-                )
-            ).alias("__nb")
+        uniq = sorted(set(bounds))
+        n_bkts[c] = len(uniq) + 1
+        terms = " + ".join(
+            f"CAST(({proxy_cols[c]} > {b!r}D) AS INT)" for b in uniq
         )
-        .groupBy(F.col("__nb.__n").alias("__n"), F.col("__nb.__b").alias("__b"))
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .collect()
-    )
-    counts: dict[str, dict[int, int]] = {c: {} for c in specs}
-    for r in cnt_rows:
-        counts[r["__n"]][r["__b"]] = r["__cnt"]
+        work = work.withColumn(f"__bkt_{c}", F.expr(terms or "0"))
+    # ONE exact count job for every spec's buckets, as a single-row
+    # conditional aggregate: the scan-local partial agg collapses each
+    # task to one row and the merge is bounded by k·num_buckets — no
+    # explode of (spec, bucket) structs, no groupBy shuffle (the exploded
+    # form paid a corpus-sized explode plus an exchange for a driver-
+    # bounded result; measured ~1.4 s -> ~0.3 s on rfm_segments at sf0.1).
+    cnt_row = work.selectExpr(
+        *[
+            f"SUM(CAST((__bkt_{c} = {b}) AS BIGINT)) AS __c_{i}_{b}"
+            for i, c in enumerate(specs)
+            for b in range(n_bkts[c])
+        ]
+    ).collect()[0]
+    counts: dict[str, list[int]] = {}
+    pos = 0
+    for c in specs:
+        counts[c] = [cnt_row[pos + b] or 0 for b in range(n_bkts[c])]
+        pos += n_bkts[c]
     out = work
     for c, (_, order_cols) in specs.items():
         bkt = f"__bkt_{c}"
         per = counts[c]
-        total = sum(per.values())
-        offsets, acc = {}, 0
-        for b in sorted(per):
-            offsets[b] = acc
+        total = sum(per)
+        offsets, acc = [], 0
+        for b in range(n_bkts[c]):
+            offsets.append(acc)
             acc += per[b]
-        off_expr = F.lit(0)
-        for b, off in offsets.items():
-            if off:
-                off_expr = F.when(F.col(bkt) == b, F.lit(off)).otherwise(off_expr)
+        # offsets as one array literal indexed by bucket — O(1) eval per
+        # row vs a num_buckets-deep CASE chain; identical integer offsets.
+        off_expr = F.element_at(fast_lit(offsets), F.col(bkt) + 1)
         w = Window.partitionBy(bkt).orderBy(*order_cols)
         rank = (F.row_number().over(w) + off_expr).cast("long")
         qf, rem = divmod(total, n)
