@@ -41,6 +41,15 @@ def connected_components(
     # Materialize the edge list ONCE: `edges` is lazy, and without this the
     # whole upstream pipeline (e.g. minhash signature + band join) re-executes
     # on every propagation round (measured 3x the total runtime).
+    # sym and the init labels stay EAGER: each has TWO consumers inside
+    # round 1's first job (labels' groupBy + the two joins), and a lazy
+    # checkpoint with concurrent consumers races to compute the expensive
+    # upstream (minhash banding) in parallel stages before the cache
+    # fills — measured 4.0 -> 15.6 s median with 6-23 s spread on
+    # dedup_clusters at sf0.1 when these two were lazy. Only the
+    # per-round new_labels checkpoint is safe to defer (single consumer:
+    # its own changed-count materializes it immediately, before the next
+    # round's joins read it twice).
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -84,8 +93,10 @@ def connected_components(
                     F.col("ncomp") < F.col("comp"), F.lit(False)
                 ).alias("__chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
+        # This count MATERIALIZES the lazy checkpoint (same job) — it must
+        # stay even if a caller never reads `changed`.
         changed = new_labels.filter("__chg").count()
         labels = new_labels.drop("__chg")
         if changed == 0:

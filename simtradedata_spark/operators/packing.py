@@ -29,6 +29,16 @@ def global_cumsum(
     """df + exact running sum of ``value_col`` over ascending ``key_cols``
     (inclusive of the current row), without a single-partition window.
     Keys must be total (include a unique tie-breaker)."""
+    from pyspark import StorageLevel
+
+    from simtradedata_spark.functions.caching import scratch_persist
+    from simtradedata_spark.functions.lits import fast_lit
+
+    # SCRATCH persist: the split-point sample, the per-bucket totals and
+    # the final cumsum consumer are THREE actions over `df` — unpersisted,
+    # the caller's upstream pipeline runs three times (the same reasoning
+    # as topk._bucketed_rank).
+    df = scratch_persist(df, StorageLevel.MEMORY_AND_DISK)
     key = F.struct(*[F.col(c) for c in key_cols])
     sample = (
         df.select(*key_cols)
@@ -48,20 +58,23 @@ def global_cumsum(
         )
         bucket = bucket + (key >= blit).cast("int")
     bucketed = df.withColumn("_bkt", bucket)
-    totals = dict(
-        (r["_bkt"], r["tot"])
-        for r in bucketed.groupBy("_bkt")
-        .agg(F.sum(F.col(value_col)).alias("tot"))
-        .collect()
-    )
-    offsets, acc = {}, 0
-    for b in range(len(bounds) + 1):
-        offsets[b] = acc
-        acc += totals.get(b, 0) or 0
-    off_expr = F.lit(0).cast("long")
-    for b, off in offsets.items():
-        if off:
-            off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
+    # Per-bucket totals as ONE single-row conditional aggregate — the
+    # scan-local partial agg collapses each task to a single row, no
+    # bucket-keyed exchange (same rewrite as topk._bucketed_rank).
+    n_bkts = len(bounds) + 1
+    tot_row = bucketed.selectExpr(
+        *[
+            f"SUM(CASE WHEN _bkt = {b} THEN {value_col} END) AS t{b}"
+            for b in range(n_bkts)
+        ]
+    ).collect()[0]
+    offsets, acc = [], 0
+    for b in range(n_bkts):
+        offsets.append(acc)
+        acc += tot_row[b] or 0
+    # offsets as one array literal indexed by bucket — O(1) eval per row,
+    # one py4j call; identical integer offsets.
+    off_expr = F.element_at(fast_lit(offsets), F.col("_bkt") + 1)
     w = (
         Window.partitionBy("_bkt")
         .orderBy(*key_cols)

@@ -390,12 +390,18 @@ def full_curation(
 
     # 6: DSIR importance selection over the clean pool (target = benchmark
     # domain, the certified dsir_selection policy: round-6dp score desc, id)
+    # NO barrier after stage 5 (r11): the selection layer over the
+    # decontam barrier is either a pure projection (select_top=None) or a
+    # broadcast join with a <= select_top-row frame — packing's two
+    # consumers re-derive that layer from the cached decontam barrier for
+    # the cost of re-reading its blocks, which is exactly what reading a
+    # stage-5 barrier twice would have cost, minus one full-corpus
+    # checkpoint job and one live corpus copy. The expensive part of the
+    # select_top path (DSIR scoring + top-k) is shared via a scratch
+    # persist of the tiny `picked` frame instead.
     clean = flagged.filter(F.col("__clean"))
     if select_top is None:
-        # barrier for symmetry with the select_top path: packing consumes
-        # this frame twice (filter + join-back), so an unpersisted
-        # withColumn layer would recompute off the decontam barrier
-        flagged = barrier(flagged.withColumn("__selected", F.col("__clean")))
+        flagged = flagged.withColumn("__selected", F.col("__clean"))
     else:
         scores = dsir_importance(
             clean.select(id_col, F.col("text_clean").alias(text_col)),
@@ -404,26 +410,45 @@ def full_curation(
         ).select(
             id_col, F.round("log_ratio", 6).alias("log_ratio")
         )
-        from simtradedata_spark.operators.topk import global_rank
+        # exact top-k by ascending (-score, id) == (score desc, id asc).
+        # Bounded k executes as TakeOrderedAndProject — per-partition
+        # k-heaps merged once (k·p rows), no full sort, no rank pass: the
+        # bucketed global-rank path spent a persist + split-point sample +
+        # bucket-count job (9 jobs, ~1.3 s of the sf0.1 funnel) to compute
+        # ranks it immediately discarded via `rank <= k`. The two-pass
+        # global rank stays for large k, where k·p rows would strain the
+        # single merge task.
+        if select_top <= 65536:
+            picked = (
+                scores.withColumn("__neg", -F.col("log_ratio"))
+                .orderBy("__neg", id_col)
+                .limit(select_top)
+                .select(id_col, "log_ratio")
+                .withColumn("__selected", F.lit(True))
+            )
+        else:
+            from simtradedata_spark.operators.topk import global_rank
 
-        # exact global rank WITHOUT a single-partition window (the
-        # bucketed two-pass scheme — this frame is corpus-sized):
-        # ascending (-score, id) == (score desc, id asc)
-        picked = (
-            global_rank(
-                scores.withColumn("__neg", -F.col("log_ratio")),
-                ["__neg", id_col],
-                rank_col="__rk",
+            picked = (
+                global_rank(
+                    scores.withColumn("__neg", -F.col("log_ratio")),
+                    ["__neg", id_col],
+                    rank_col="__rk",
+                )
+                .filter(F.col("__rk") <= select_top)
+                .select(id_col, "log_ratio")
+                .withColumn("__selected", F.lit(True))
             )
-            .filter(F.col("__rk") <= select_top)
-            .select(id_col, "log_ratio")
-            .withColumn("__selected", F.lit(True))
-        )
-        flagged = barrier(
-            flagged.join(picked, id_col, "left").withColumn(
-                "__selected",
-                F.col("__clean") & F.coalesce("__selected", F.lit(False)),
-            )
+        # scratch persist so the DSIR scoring + top-k runs once across
+        # packing's two consumers; bounded by select_top rows. For small k
+        # the broadcast hint keeps the corpus side unshuffled regardless
+        # of size estimates; the large-k path lets the planner choose.
+        picked = scratch_persist(picked)
+        if select_top <= 65536:
+            picked = F.broadcast(picked)
+        flagged = flagged.join(picked, id_col, "left").withColumn(
+            "__selected",
+            F.col("__clean") & F.coalesce("__selected", F.lit(False)),
         )
 
     # 7: sequence packing over the selected docs' kept tokens

@@ -215,10 +215,17 @@ def get_spark(
         # in-suite vs 5.9 s solo — are this mechanism). Not a local-mode
         # tune: any long multi-query driver benefits identically; raise
         # via extra_conf when the status API history actually matters.
+        # retainedTasks is the delicate one — measured at BOTH scales:
+        # 2000 made eviction churn an episodic per-stage stall at
+        # 10x-replica event rates (dedup_clusters sf1.0 interleaved A/B:
+        # [22, 42] s vs [8, 11] s at the 100k default), while the 100k
+        # default lets ~100k live task wrappers accumulate and restores
+        # the sf0.1 session aging (probe ratio 2.5x). 20000 measured clean
+        # at both: sf1.0 solo 9.6-11.6 s, sf0.1 aging ratio 0.8-0.9.
         .config("spark.sql.ui.retainedExecutions", "8")
         .config("spark.ui.retainedJobs", "100")
         .config("spark.ui.retainedStages", "200")
-        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.ui.retainedTasks", "20000")
         .config("spark.ui.retainedDeadExecutors", "10")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events table stores TIMESTAMP(NANOS); Spark has no nanos
