@@ -5428,16 +5428,13 @@ def q_bloom_decontam(spark, sf_dir):
     negatives; the md5 hash backend lets DuckDB rebuild the identical bit
     pattern, so even the false positives are certified."""
     from simtradedata_spark.operators.dedup import shingles_of, tokens
-    from simtradedata_spark.operators.sketches import (
-        bloom_build,
-        bloom_might_contain,
-    )
+    from simtradedata_spark.operators.sketches import bloom_build, bloom_flag_col
 
     m_bits, k = 1 << 14, 4
     docs = _t(spark, sf_dir, "documents")
     # SCRATCH persist (released between queries by release_scratch): this
-    # frame feeds the bench-gram build, the corpus probe set, AND the hits
-    # join — without it the shingle construction runs ~4x per query
+    # frame feeds the bench-gram build, the per-doc gram counts, AND the
+    # probe — without it the shingle construction runs ~3x per query
     g = scratch_persist(docs.select(
         "doc_id", "source", shingles_of(tokens("text"), 5).alias("gs")
     ))
@@ -5450,12 +5447,18 @@ def q_bloom_decontam(spark, sf_dir):
         "doc_id", F.size("gs").alias("n_grams"), F.explode("gs").alias("gram")
     )
     sketch = bloom_build(bench_g, "gram", m_bits=m_bits, k=k, hash_fn="md5")
-    probed = bloom_might_contain(
-        sketch, corpus.select("gram"), "gram", m_bits=m_bits, k=k, hash_fn="md5"
-    )
+    # Probe IN PLACE (bloom_flag_col: JVM-side hashing against the packed
+    # bitset, zero shuffle) instead of distinct → bloom_might_contain →
+    # join-back: per-occurrence grams are near-unique, so the distinct and
+    # the gram-keyed join-back were two corpus-sized gram-string shuffles
+    # buying nothing — the same r10 rewrite the curation chain carries,
+    # now on the standalone certified query. Per-gram verdicts are
+    # bit-identical (same seed strings, same bit layout), so bloom_hits
+    # and flagged are unchanged.
     per_doc = corpus.groupBy("doc_id").agg(F.min("n_grams").alias("n_grams"))
     hits = (
-        corpus.join(probed.filter("might_contain"), "gram")
+        bloom_flag_col(sketch, corpus, "gram", m_bits=m_bits, k=k, hash_fn="md5")
+        .filter("might_contain")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("bloom_hits"))
     )

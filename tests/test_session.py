@@ -105,6 +105,19 @@ def test_get_spark_records_input_bytes(tmp_path):
         s.conf.unset("spark.simtradedata.inputBytes")
 
 
+def test_status_store_retention_bounded(spark):
+    """r11: the status stores must be bounded — unbounded retention aged
+    long query sessions (probe ratio up to 6x after 80 queries), while
+    retainedTasks below ~20k caused eviction-churn stalls at 10x-replica
+    event rates. These values are the two-scale-measured compromise; a
+    deliberate change should update both the session default and this pin."""
+    conf = spark.sparkContext.getConf()
+    assert conf.get("spark.sql.ui.retainedExecutions") == "8"
+    assert conf.get("spark.ui.retainedJobs") == "100"
+    assert conf.get("spark.ui.retainedStages") == "200"
+    assert conf.get("spark.ui.retainedTasks") == "20000"
+
+
 def test_bad_env_override_fails_fast(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "not_an_int")
     with pytest.raises(ValueError, match="not an int"):
